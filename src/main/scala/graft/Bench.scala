@@ -1,24 +1,85 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compile.ModelValidator
+import graft.data.SourceFilesGen
+import graft.spec._
+
+/** Benchmark entry point (driver contract: ONE JSON line on stdout).
+ *
+ * Times every SparkEntry query on SPARK_GRAFT_SF_DIR, plus the headline
+ * metric from BASELINE.json: validation throughput (M rows/sec) of the
+ * compiled constraint model over the synthetic source-code table.
+ */
 object Bench {
+
+  /** Canonical source-file constraint model (FIXTURES.md §1). */
+  val sourceFileModel: ModelSpec = ModelSpec("source_file", Seq(
+    FieldSpec("repo", StrSpec(pattern = Some("^[\\w.-]+/[\\w.-]+$"))),
+    FieldSpec("path", StrSpec(minLength = Some(1))),
+    FieldSpec("commit", StrSpec(pattern = Some("^[0-9a-f]{40}$"),
+      minLength = Some(40), maxLength = Some(40))),
+    FieldSpec("lang", EnumSpec(SourceFilesGen.langs)),
+    FieldSpec("content", NullableSpec(StrSpec(maxLength = Some(1000000))))
+  ))
+
+  /** Force full materialization of every output column (a bare count()
+   * would let Catalyst prune the violation expressions away). */
+  def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Validation throughput over `rows` synthetic source files already
+   * materialized in `df`: rows/sec of the full model (5 fields, ~10
+   * compiled constraints + sha256 invariant). */
+  def validationSecs(df: DataFrame): Double = time {
+    val planned = ModelValidator.plan(df, sourceFileModel)
+      .withColumn("sha", graft.checks.TableChecks.sha256(col("content")))
+    // aggregate forces every violation expression + the hash
+    planned.agg(
+      sum(size(col(ModelValidator.VIOLATIONS))),
+      count(when(col(ModelValidator.VALID), 1)),
+      max(col("sha"))).collect()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "2000000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // ---- per-query timings on the driver's parquet tables
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () } // warm
+      val t = time { try force(fn(spark, sfDir)) catch { case _: Throwable => -1L } }
+      name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- headline: validation throughput on the synthetic source table
+    val gen = SourceFilesGen.generate(spark, benchRows)
+      .repartition(cpus.toInt * 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    gen.count() // materialize input so we time validation, not generation
+    validationSecs(gen.limit(100000)) // warm codegen
+    val vSecs = validationSecs(gen)
+    val mRowsPerSec = benchRows / vSecs / 1e6
+    gen.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"validation_mrows_per_sec","value":$mRowsPerSec%.3f,"unit":"Mrows/sec","queries_total_sec":$total%.3f,"queries":$qs%s,"validate_rows":$benchRows%d,"validate_sec":$vSecs%.3f,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,296 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spec._
+import graft.compile.ModelValidator
+import graft.checks.{Drift, TableChecks}
+import graft.data.SourceFilesGen
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every `queries` entry is one engine operator exercised over the driver's
+ * parquet tables; `oracleSql` holds the DuckDB-equivalent SQL where the
+ * operator is ANSI-expressible (others get the driver's rows-only check).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The documents-table constraint model: every field constrained the way
+   * pydantic would (str length/pattern, enum membership, int range) with
+   * thresholds chosen so real rows violate them (positive + negative cases). */
+  val docModel: ModelSpec = ModelSpec("document", Seq(
+    FieldSpec("doc_id", IntSpec(ge = Some(0))),
+    FieldSpec("text", StrSpec(minLength = Some(100), maxLength = Some(500))),
+    FieldSpec("lang", EnumSpec(Seq("en", "de", "fr"))),
+    FieldSpec("source", StrSpec(pattern = Some("^src[0-9]+$"))),
+    FieldSpec("n_chars", IntSpec(ge = Some(1), le = Some(1000)))
+  ))
+
+  /** Flagship: full validation of the synthetic source-code table at tiny
+   * scale — generate, validate, return violation rows. */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = SourceFilesGen.generate(spark, 5000L)
+    val model = ModelSpec("source_file", Seq(
+      FieldSpec("repo", StrSpec(pattern = Some("^[\\w.-]+/[\\w.-]+$"))),
+      FieldSpec("path", StrSpec(minLength = Some(1))),
+      FieldSpec("commit", StrSpec(pattern = Some("^[0-9a-f]{40}$"),
+        minLength = Some(40), maxLength = Some(40))),
+      FieldSpec("lang", EnumSpec(SourceFilesGen.langs)),
+      FieldSpec("content", NullableSpec(StrSpec(maxLength = Some(1000000))))
+    ))
+    ModelValidator.violations(df, model, Seq("id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- model validation: per-row verdict (model_fields error
+    // accumulation -> valid flag)
+    "v_verdict" -> ((s, dir) => {
+      ModelValidator.validate(t(s, dir, "documents"), docModel)
+        .select(col("doc_id"), col("valid"))
+    }),
+
+    // ---- violation sink: exploded ValidationError.errors() rows
+    "v_violations" -> ((s, dir) => {
+      ModelValidator.violations(t(s, dir, "documents"), docModel, Seq("doc_id"))
+        .select(col("doc_id"), element_at(col("loc"), 1).as("field"),
+          col("type").as("vtype"))
+    }),
+
+    // ---- per-column stats (exact flavor for oracle parity; the HLL++/
+    // approx_percentile flavor is TableChecks.columnStats, bench-only)
+    "v_col_stats" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val one = (c: String) => d.agg(
+        count(lit(1)).as("row_count"),
+        count(col(c)).as("nonnull_count"),
+        countDistinct(col(c)).as("distinct_ct"),
+        min(col(c)).cast("string").as("min_value"),
+        max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("col_name"), col("row_count"), col("nonnull_count"),
+          col("distinct_ct"), col("min_value"), col("max_value"))
+      one("lang").unionAll(one("source")).unionAll(one("n_chars"))
+    }),
+
+    // ---- uniqueness (set semantics at table level): duplicated keys
+    "v_unique_dups" -> ((s, dir) => {
+      TableChecks.duplicateKeys(t(s, dir, "documents"), Seq("lang", "source"))
+    }),
+
+    // ---- referential integrity: broadcast anti-join vs language dim
+    "v_ri_lang" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq("en", "de", "fr", "es").toDF("lang")
+      TableChecks.referentialViolations(t(s, dir, "documents"), "lang", dim, "lang")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ---- distribution drift: PSI per source vs global, closed form
+    "v_drift_psi" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val hist = Drift.histogram(d, col("source"),
+        Drift.bucketize(col("n_chars"), 0, 600, 20))
+      val ref = hist.groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+      Drift.psi(hist, ref).select(col("part"), round(col("psi"), 4).as("psi"))
+    }),
+
+    // ---- distribution drift: KS per source vs global
+    "v_drift_ks" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val hist = Drift.histogram(d, col("source"),
+        Drift.bucketize(col("n_chars"), 0, 600, 20))
+      val ref = hist.groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+      Drift.ks(hist, ref).select(col("part"), round(col("ks"), 4).as("ks"))
+    }),
+
+    // ---- Json[T] validation: parse-then-validate fused in one projection
+    "v_json_field" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+    }),
+
+    // ---- relational: group agg (TPC-H Q1 shape). Money in integer cents —
+    // exact, engine-independent arithmetic for the oracle compare.
+    "q1_agg" -> ((s, dir) => {
+      val priceCents = round(col("l_extendedprice") * 100).cast("long")
+      val discE2 = round(col("l_discount") * 100).cast("long")
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(priceCents * (lit(100L) - discE2)).as("revenue_e4"),
+          count(lit(1)).as("n"))
+    }),
+
+    // ---- relational: broadcast join + agg
+    "q_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+    }),
+
+    // ---- window top-k per group (total order via tiebreaker)
+    "q_window_top3" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // ---- exact dedup (hash-groupBy): canonical id + multiplicity per text
+    "d_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+        .select(col("keep_id"), col("copies"))
+    }),
+
+    // ---- text: whitespace token count
+    "t_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    }),
+
+    // ---- text: quality scoring (chars/token + stopword ratio)
+    "t_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, x => x.isin("the", "a", "of", "and", "to")))
+      t(s, dir, "documents").select(col("doc_id"),
+        round(length(col("text")).cast("double") / nTok, 3).as("chars_per_token"),
+        round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "v_verdict" ->
+      """SELECT doc_id,
+        |  coalesce(doc_id >= 0 AND length(text) >= 100 AND length(text) <= 500
+        |    AND lang IN ('en','de','fr') AND regexp_matches(source, '^src[0-9]+$')
+        |    AND n_chars >= 1 AND n_chars <= 1000, FALSE)
+        |  AND doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |  AND source IS NOT NULL AND n_chars IS NOT NULL AS valid
+        |FROM documents""".stripMargin,
+
+    "v_violations" ->
+      """SELECT doc_id, 'doc_id' AS field, 'missing' AS vtype FROM documents WHERE doc_id IS NULL
+        |UNION ALL SELECT doc_id, 'doc_id', 'greater_than_equal' FROM documents WHERE doc_id < 0
+        |UNION ALL SELECT doc_id, 'text', 'missing' FROM documents WHERE text IS NULL
+        |UNION ALL SELECT doc_id, 'text', 'string_too_short' FROM documents WHERE length(text) < 100
+        |UNION ALL SELECT doc_id, 'text', 'string_too_long' FROM documents WHERE length(text) > 500
+        |UNION ALL SELECT doc_id, 'lang', 'missing' FROM documents WHERE lang IS NULL
+        |UNION ALL SELECT doc_id, 'lang', 'enum' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        |UNION ALL SELECT doc_id, 'source', 'missing' FROM documents WHERE source IS NULL
+        |UNION ALL SELECT doc_id, 'source', 'string_pattern_mismatch' FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+        |UNION ALL SELECT doc_id, 'n_chars', 'missing' FROM documents WHERE n_chars IS NULL
+        |UNION ALL SELECT doc_id, 'n_chars', 'greater_than_equal' FROM documents WHERE n_chars < 1
+        |UNION ALL SELECT doc_id, 'n_chars', 'less_than_equal' FROM documents WHERE n_chars > 1000""".stripMargin,
+
+    "v_col_stats" ->
+      """SELECT 'lang' AS col_name, count(*) AS row_count, count(lang) AS nonnull_count,
+        |  count(DISTINCT lang) AS distinct_ct, CAST(min(lang) AS VARCHAR) AS min_value,
+        |  CAST(max(lang) AS VARCHAR) AS max_value FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*), count(source), count(DISTINCT source),
+        |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*), count(n_chars), count(DISTINCT n_chars),
+        |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
+
+    "v_unique_dups" ->
+      """SELECT lang, source, count(*) AS dup_count FROM documents
+        |GROUP BY lang, source HAVING count(*) > 1""".stripMargin,
+
+    "v_ri_lang" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')""".stripMargin,
+
+    "v_drift_psi" ->
+      """WITH hist AS (
+        |  SELECT source AS part,
+        |         least(greatest(CAST(floor(n_chars / 30.0) AS INT), 0), 19) AS bucket,
+        |         count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |ptot AS (SELECT part, sum(cnt) AS part_total FROM hist GROUP BY 1),
+        |ref AS (SELECT bucket, sum(cnt) AS ref_cnt FROM hist GROUP BY 1),
+        |refp AS (SELECT bucket, ref_cnt * 1.0 / (SELECT sum(ref_cnt) FROM ref) AS q FROM ref),
+        |grid AS (SELECT p.part, p.part_total, r.bucket, r.q FROM ptot p CROSS JOIN refp r),
+        |j AS (SELECT g.part, coalesce(h.cnt, 0) * 1.0 / g.part_total AS p, g.q
+        |      FROM grid g LEFT JOIN hist h ON h.part = g.part AND h.bucket = g.bucket)
+        |SELECT part, round(sum((greatest(p, 0.0001) - greatest(q, 0.0001))
+        |  * ln(greatest(p, 0.0001) / greatest(q, 0.0001))), 4) AS psi
+        |FROM j GROUP BY part""".stripMargin,
+
+    "v_drift_ks" ->
+      """WITH hist AS (
+        |  SELECT source AS part,
+        |         least(greatest(CAST(floor(n_chars / 30.0) AS INT), 0), 19) AS bucket,
+        |         count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |ptot AS (SELECT part, sum(cnt) AS part_total FROM hist GROUP BY 1),
+        |ref AS (SELECT bucket, sum(cnt) AS ref_cnt FROM hist GROUP BY 1),
+        |refcdf AS (SELECT bucket,
+        |    sum(ref_cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      * 1.0 / (SELECT sum(ref_cnt) FROM ref) AS ref_cdf FROM ref),
+        |grid AS (SELECT p.part, p.part_total, r.bucket, r.ref_cdf FROM ptot p CROSS JOIN refcdf r),
+        |j AS (SELECT g.part, g.bucket, g.ref_cdf,
+        |        sum(coalesce(h.cnt, 0)) OVER (PARTITION BY g.part ORDER BY g.bucket ROWS UNBOUNDED PRECEDING)
+        |          * 1.0 / g.part_total AS part_cdf
+        |      FROM grid g LEFT JOIN hist h ON h.part = g.part AND h.bucket = g.bucket)
+        |SELECT part, round(max(abs(part_cdf - ref_cdf)), 4) AS ks
+        |FROM j GROUP BY part""".stripMargin,
+
+    "v_json_field" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_window_top3" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "d_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "t_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "t_quality" ->
+      """SELECT doc_id,
+        |  round(length(text) * 1.0 / len(string_split(text, ' ')), 3) AS chars_per_token,
+        |  round(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','of','and','to'))) * 1.0
+        |    / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,106 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution-drift checks (PSI + KS) on histograms of a numeric metric
+ * (canonically `length(content)`) across table partitions.
+ *
+ * No reference analog — this generalizes pydantic's per-value range checks
+ * (gt/ge/lt/le, `validators/int.rs:125-181`) to per-partition distribution
+ * checks (SURVEY §2.3). Both statistics are computed in CLOSED FORM over
+ * bucket counts: one groupBy to histogram, one tiny join against the
+ * reference histogram, a Window for the KS cumulative sums. No UDAF, no
+ * collect — everything stays distributed and the heavy shuffle is the single
+ * `groupBy(part, bucket)` whose cardinality is |parts| x |buckets|, not |rows|.
+ */
+object Drift {
+
+  /** Bucketize `metric` into `nBuckets` fixed-width buckets over [lo, hi];
+   * out-of-range values clamp to the edge buckets (so mass is conserved —
+   * required for PSI). */
+  def bucketize(metric: Column, lo: Double, hi: Double, nBuckets: Int): Column =
+    least(greatest(
+      floor((metric.cast("double") - lo) / ((hi - lo) / nBuckets)).cast("int"),
+      lit(0)), lit(nBuckets - 1))
+
+  /** Histogram: (part, bucket, cnt). */
+  def histogram(df: DataFrame, partCol: Column, bucket: Column): DataFrame =
+    df.groupBy(partCol.as("part"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /**
+   * PSI of every partition against a reference histogram
+   * (bucket, ref_cnt). PSI = sum_b (p_b - q_b) * ln(p_b / q_b), with
+   * epsilon-smoothed proportions (standard practice; keeps the closed form
+   * total). Returns (part, psi).
+   */
+  def psi(hist: DataFrame, refHist: DataFrame, eps: Double = 1e-4): DataFrame = {
+    val refTot = refHist.agg(sum("ref_cnt").as("ref_total"))
+    val ref = broadcast(refHist.crossJoin(broadcast(refTot))
+      .select(col("bucket"),
+        (col("ref_cnt") / col("ref_total")).as("q")))
+    val partTot = hist.groupBy("part").agg(sum("cnt").as("part_total"))
+    // part x ref-bucket grid so a bucket ABSENT from a partition still
+    // contributes its (0 - q)·ln(eps/q) mass; grid size = |parts|·|buckets|.
+    val grid = partTot.crossJoin(ref)
+    grid
+      .join(hist, Seq("part", "bucket"), "left")
+      .select(col("part"),
+        (coalesce(col("cnt"), lit(0L)) / col("part_total")).as("p"),
+        col("q"))
+      .select(col("part"),
+        ((greatest(col("p"), lit(eps)) - greatest(col("q"), lit(eps))) *
+          log(greatest(col("p"), lit(eps)) / greatest(col("q"), lit(eps))))
+          .as("term"))
+      .groupBy("part").agg(sum("term").as("psi"))
+  }
+
+  /**
+   * Two-sample KS statistic of every partition against the reference:
+   * max over buckets of |CDF_part - CDF_ref|. Cumulative sums via a Window
+   * ordered by bucket within each partition key — partition cardinality is
+   * |parts| x |buckets| so the window is tiny regardless of table size.
+   */
+  def ks(hist: DataFrame, refHist: DataFrame): DataFrame = {
+    val refTot = refHist.agg(sum("ref_cnt").as("ref_total"))
+    val refCdf = broadcast(refHist.crossJoin(broadcast(refTot))
+      .select(col("bucket"),
+        (sum(col("ref_cnt")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)) / col("ref_total"))
+          .as("ref_cdf")))
+    val partTot = hist.groupBy("part").agg(sum("cnt").as("part_total"))
+    // part x ref-bucket grid (cnt=0 where absent) so the cumulative part CDF
+    // is evaluated at EVERY bucket boundary — the sup-gap may sit on a
+    // bucket the partition never populated.
+    val grid = partTot.crossJoin(broadcast(refCdf.select(col("bucket"), col("ref_cdf"))))
+    val w = Window.partitionBy("part").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .join(hist, Seq("part", "bucket"), "left")
+      .select(col("part"), col("bucket"), col("ref_cdf"),
+        (sum(coalesce(col("cnt"), lit(0L))).over(w) / col("part_total"))
+          .as("part_cdf"))
+      .select(col("part"), abs(col("part_cdf") - col("ref_cdf")).as("gap"))
+      .groupBy("part").agg(max("gap").as("ks"))
+  }
+
+  /** End-to-end drift verdicts for `metric` across `partCol`:
+   * reference = the global distribution. Returns
+   * (part, psi, ks, drifted = psi > psiThreshold || ks > ksThreshold). */
+  def driftVerdicts(df: DataFrame, partCol: Column, metric: Column,
+                    lo: Double, hi: Double, nBuckets: Int = 50,
+                    psiThreshold: Double = 0.2,
+                    ksThreshold: Double = 0.15): DataFrame = {
+    val b = bucketize(metric, lo, hi, nBuckets)
+    val hist = histogram(df, partCol, b).cache()
+    val refHist = hist.groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+    val p = psi(hist, refHist)
+    val k = ks(hist, refHist)
+    p.join(k, Seq("part"), "outer")
+      .select(col("part"), col("psi"), col("ks"),
+        (col("psi") > psiThreshold || col("ks") > ksThreshold).as("drifted"))
+  }
+}

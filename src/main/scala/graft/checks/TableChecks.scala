@@ -1,0 +1,109 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table-level checks — the relational generalization of pydantic's
+ * per-object constraint vocabulary (SURVEY §2.3):
+ *  - per-column stats  <- observed analogs of min_length/max_length/ge/le
+ *  - uniqueness        <- set semantics ("sets - unique lists",
+ *                         validators/mod.rs:600-601)
+ *  - referential integrity <- literal/enum membership (literal.rs:28) at
+ *                         dimension-table scale
+ *
+ * All operators here are scale-first: two-phase (partial+final) aggregation,
+ * salting for skewed keys, broadcast for dimensions.
+ */
+object TableChecks {
+
+  /**
+   * Per-column stats in ONE pass over the table (one shuffle-free partial
+   * aggregation): row count, null count/rate, HLL++ distinct
+   * (approx_count_distinct — a TypedImperativeAggregate with partial merge,
+   * exactly the partial+final shape a 1000-executor scan needs), min/max,
+   * and length quantiles for string columns.
+   *
+   * Output: one row per column (long format), so downstream constraint
+   * checks on stats are joins, not schema surgery.
+   */
+  def columnStats(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val isStr = df.schema(c).dataType.typeName == "string"
+      Seq(
+        count(col(c)).as(s"${c}__nonnull"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__distinct"),
+        min(col(c).cast("string")).as(s"${c}__min"),
+        max(col(c).cast("string")).as(s"${c}__max")
+      ) ++ (if (isStr) Seq(
+        percentile_approx(length(col(c)),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000))
+          .as(s"${c}__len_q")
+      ) else Seq(
+        lit(null).cast("array<int>").as(s"${c}__len_q")
+      ))
+    }
+    val wide = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    // long format: stack the per-column stat groups
+    val stacked = cols.map { c =>
+      wide.select(
+        lit(c).as("column"),
+        col("__rows").as("row_count"),
+        col(s"${c}__nonnull").as("nonnull_count"),
+        (lit(1.0) - col(s"${c}__nonnull") / col("__rows")).as("null_rate"),
+        col(s"${c}__distinct").as("approx_distinct"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        col(s"${c}__len_q").getItem(0).as("len_p50"),
+        col(s"${c}__len_q").getItem(1).as("len_p95"),
+        col(s"${c}__len_q").getItem(2).as("len_p99"))
+    }
+    stacked.reduce(_.unionAll(_))
+  }
+
+  /**
+   * Duplicate keys — the table-level "set" constraint. Returns one row per
+   * duplicated key with its count.
+   *
+   * Scale: a single `groupBy(keys)` hash-aggregates map-side first (partial
+   * agg), so the shuffle carries one record per distinct key per task, not
+   * per input row; AQE handles residual skew. For pathologically hot keys
+   * use [[duplicateKeysSalted]].
+   */
+  def duplicateKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /**
+   * Salted two-phase variant for skewed keys (SURVEY §4.2.1): phase 1 groups
+   * on (keys, salt) so a mega-key's rows spread over `saltBuckets` reducers;
+   * phase 2 re-aggregates the per-salt partial counts (tiny).
+   */
+  def duplicateKeysSalted(df: DataFrame, keys: Seq[String],
+                          saltBuckets: Int = 64): DataFrame = {
+    val salted = df
+      .withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__partial"))
+    salted
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("dup_count"))
+      .filter(col("dup_count") > 1)
+  }
+
+  /**
+   * Referential integrity: rows whose `fk` has no match in `dim.pk` —
+   * enum/literal membership generalized to a dimension table. Broadcast
+   * left-anti join: zero shuffle of the fact side.
+   */
+  def referentialViolations(fact: DataFrame, fk: String,
+                            dim: DataFrame, pk: String): DataFrame =
+    fact.filter(col(fk).isNotNull)
+      .join(broadcast(dim.select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")
+
+  /** sha256 invariant column — the per-row invariant vs a reference run
+   * (north rule; `sha2(content, 256)`). */
+  def sha256(c: Column): Column = sha2(c, 256)
+}

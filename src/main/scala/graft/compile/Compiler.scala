@@ -1,0 +1,744 @@
+package graft.compile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.spec._
+import Violations.{T, oneS, one, collect, merge, empty}
+
+/**
+ * Spec -> Catalyst compiler.
+ *
+ * The reference interprets a validator tree depth-first per row
+ * (`pydantic-core/src/validators/mod.rs`); we compile the same tree ONCE into
+ * a pair of Columns — the coerced value and the violation bundle — and let
+ * whole-stage codegen fuse everything into a single pass over the data. This
+ * mirrors the reference's own design choices:
+ *  - unconstrained specs emit no checks at all (validator specialization,
+ *    `string.rs:50-66`, `int.rs:53-65`);
+ *  - error construction sits behind `when(...)` so the happy path computes
+ *    only cheap booleans (`#[cold]` error fns, `mod.rs:670-683`);
+ *  - violations accumulate across all fields, never fail-fast per row
+ *    (`model_fields.rs:313`).
+ */
+object Compiler {
+
+  /** Compiled form of a spec applied to one input column.
+   * `value` = coerced output (null when invalid/missing);
+   * `violations` = array<struct<loc,type,msg,input,ctx>> (empty = valid);
+   * `dataType` = static output type of `value`. */
+  final case class Compiled(value: Column, violations: Column, dataType: DataType)
+
+  private def ok(value: Column, dt: DataType): Compiled =
+    Compiled(value, empty, dt)
+
+  private def typeViolation(loc: Column, errType: String, msg: String,
+                            input: Column, dt: DataType): Compiled =
+    Compiled(lit(null).cast(dt),
+      collect(Seq(oneS(loc, errType, msg, input))), dt)
+
+  private def isIntegral(t: DataType): Boolean = t match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+  private def isFloating(t: DataType): Boolean = t match {
+    case _: FloatType | _: DoubleType => true
+    case _ => false
+  }
+  private def isNumeric(t: DataType): Boolean =
+    isIntegral(t) || isFloating(t) || t.isInstanceOf[DecimalType]
+
+  /** gt/ge/lt/le/multiple_of checks shared by every ordered type —
+   * reference `int.rs:125-181`, `float.rs`, `datetime.rs:124-127`.
+   * Error types/messages verbatim from `errors/types.rs:213-227`. */
+  private def orderedChecks[A](v: Column, loc: Column, raw: Column,
+      gt: Option[A], ge: Option[A], lt: Option[A], le: Option[A],
+      multipleOf: Option[A], toCol: A => Column): Seq[Column] = {
+    def chk(bOpt: Option[A], cond: Column => Column, typ: String,
+            word: String, key: String): Option[Column] =
+      bOpt.map { b =>
+        when(v.isNotNull && !cond(toCol(b)),
+          oneS(loc, typ, s"Input should be $word $b", raw, Map(key -> b.toString)))
+      }
+    val mult = multipleOf.map { m =>
+      when(v.isNotNull && (v % toCol(m)) =!= lit(0),
+        oneS(loc, T.multipleOf, s"Input should be a multiple of $m", raw,
+          Map("multiple_of" -> m.toString)))
+    }
+    Seq(
+      chk(gt, v > _, T.greaterThan, "greater than", "gt"),
+      chk(ge, v >= _, T.greaterThanEqual, "greater than or equal to", "ge"),
+      chk(lt, v < _, T.lessThan, "less than", "lt"),
+      chk(le, v <= _, T.lessThanEqual, "less than or equal to", "le"),
+      mult
+    ).flatten
+  }
+
+  private def strictOf(specStrict: Option[Boolean], mode: Mode): Boolean =
+    specStrict.getOrElse(mode == Mode.Strict)
+
+  /**
+   * Compile `spec` against `input` (whose static Spark type is `inputType`)
+   * at location `loc` (array<string> column).
+   */
+  def compile(input: Column, inputType: DataType, loc: Column, spec: Spec,
+              mode: Mode): Compiled = spec match {
+
+    case AnySpec => ok(input, inputType)
+
+    case NoneSpec =>
+      Compiled(lit(null).cast(inputType),
+        collect(Seq(when(input.isNotNull,
+          oneS(loc, T.noneRequired, "Input should be None", input)))),
+        inputType)
+
+    case NullableSpec(inner) =>
+      val c = compile(input, inputType, loc, inner, mode)
+      Compiled(
+        when(input.isNotNull, c.value),
+        when(input.isNull, empty).otherwise(c.violations),
+        c.dataType)
+
+    case WithDefaultSpec(inner, default, onError) =>
+      val c = compile(input, inputType, loc, inner, mode)
+      val defaultCol = lit(default).cast(c.dataType)
+      val value0 = when(input.isNull, defaultCol).otherwise(c.value)
+      val viols0 = when(input.isNull, empty).otherwise(c.violations)
+      onError match {
+        case OnError.Raise => Compiled(value0, viols0, c.dataType)
+        case OnError.UseDefault =>
+          // reference `with_default.rs:110-122`: on_error=default swallows
+          // the inner error and substitutes the default value.
+          Compiled(when(size(viols0) > 0, defaultCol).otherwise(value0),
+            empty, c.dataType)
+      }
+
+    case ChainSpec(steps) =>
+      // reference validators/chain.rs: sequential pipeline, value threads.
+      steps.foldLeft(ok(input, inputType)) { (acc, s) =>
+        val c = compile(acc.value, acc.dataType, loc, s, mode)
+        Compiled(c.value, merge(Seq(acc.violations, c.violations)), c.dataType)
+      }
+
+    case CustomErrorSpec(inner, errType, message) =>
+      val c = compile(input, inputType, loc, inner, mode)
+      Compiled(c.value,
+        when(size(c.violations) > 0,
+          collect(Seq(oneS(loc, errType, message, input)))).otherwise(empty),
+        c.dataType)
+
+    case s: StrSpec => compileStr(input, inputType, loc, s, mode)
+    case s: IntSpec => compileInt(input, inputType, loc, s, mode)
+    case s: FloatSpec => compileFloat(input, inputType, loc, s, mode)
+    case s: BoolSpec => compileBool(input, inputType, loc, s, mode)
+    case s: DecimalSpec => compileDecimal(input, inputType, loc, s, mode)
+    case s: DateSpec => compileDate(input, inputType, loc, s, mode)
+    case s: DatetimeSpec => compileDatetime(input, inputType, loc, s, mode)
+    case s: BytesSpec => compileBytes(input, inputType, loc, s, mode)
+    case s: UuidSpec => compileUuid(input, inputType, loc, s, mode)
+    case s: UrlSpec => compileUrl(input, inputType, loc, s, mode)
+
+    case LiteralSpec(values) =>
+      val bad = when(input.isNotNull && !input.isin(values: _*),
+        oneS(loc, T.literalError,
+          s"Input should be ${values.map("'" + _ + "'").mkString(" or ")}",
+          input, Map("expected" -> values.mkString(","))))
+      Compiled(when(input.isin(values: _*), input), collect(Seq(bad)), inputType)
+
+    case EnumSpec(values) =>
+      val bad = when(input.isNotNull && !input.isin(values: _*),
+        oneS(loc, T.enumError,
+          s"Input should be ${values.map("'" + _ + "'").mkString(" or ")}",
+          input, Map("expected" -> values.mkString(","))))
+      Compiled(when(input.isin(values: _*), input), collect(Seq(bad)), inputType)
+
+    case s: ListSpec => compileList(input, inputType, loc, s, mode)
+    case s: SetSpec => compileSet(input, inputType, loc, s, mode)
+    case s: DictSpec => compileDict(input, inputType, loc, s, mode)
+    case s: JsonSpec => compileJson(input, inputType, loc, s, mode)
+    case s: UnionSpec => compileUnion(input, inputType, loc, s, mode)
+
+    case s: TaggedUnionSpec => compileTaggedUnion(input, inputType, loc, s, mode)
+
+    case m: ModelSpec => compileModel(input, inputType, loc, m, mode)
+  }
+
+  // -------------------------------------------------------------------- str
+
+  private def compileStr(input: Column, t: DataType, loc: Column, s: StrSpec,
+                         mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val base: Either[String, Column] = t match {
+      case _: StringType => Right(input)
+      case _ if isNumeric(t) && !strict && s.coerceNumbersToStr =>
+        Right(input.cast(StringType))
+      case _: BinaryType if !strict => Right(input.cast(StringType))
+      case _ => Left("not a string")
+    }
+    base match {
+      case Left(_) =>
+        typeViolation(loc, T.stringType, "Input should be a valid string",
+          input, StringType)
+      case Right(raw0) =>
+        // reference order (`string.rs:122-178`):
+        // strip -> ascii_only -> char length -> pattern(search) -> lower/upper
+        val v1 = if (s.stripWhitespace) trim(raw0) else raw0
+        val checks = Seq(
+          if (s.asciiOnly)
+            Some(when(v1.isNotNull && !v1.rlike("^[\\x00-\\x7F]*$"),
+              oneS(loc, T.stringNotAscii,
+                "Input should be ASCII", input)))
+          else None,
+          s.minLength.map(n => when(v1.isNotNull && length(v1) < n,
+            oneS(loc, T.stringTooShort,
+              s"String should have at least $n character${if (n == 1) "" else "s"}",
+              input, Map("min_length" -> n.toString)))),
+          s.maxLength.map(n => when(v1.isNotNull && length(v1) > n,
+            oneS(loc, T.stringTooLong,
+              s"String should have at most $n character${if (n == 1) "" else "s"}",
+              input, Map("max_length" -> n.toString)))),
+          // unanchored search like the reference (`string.rs:332-339`);
+          // Java rlike is also an unanchored find.
+          s.pattern.map(p => when(v1.isNotNull && !v1.rlike(p),
+            oneS(loc, T.stringPatternMismatch,
+              s"String should match pattern '$p'", input,
+              Map("pattern" -> p))))
+        ).flatten
+        val v2 =
+          if (s.toLower) lower(v1)
+          else if (s.toUpper) upper(v1)
+          else v1
+        Compiled(v2, collect(checks), StringType)
+    }
+  }
+
+  // -------------------------------------------------------------------- int
+
+  private def compileInt(input: Column, t: DataType, loc: Column, s: IntSpec,
+                         mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val (value, parseChecks): (Column, Seq[Column]) = t match {
+      case _ if isIntegral(t) => (input.cast(LongType), Nil)
+      case _: BooleanType if !strict => (input.cast(LongType), Nil)
+      case _: StringType if !strict =>
+        val v = Coercions.strToLong(input)
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.intParsing,
+            "Input should be a valid integer, unable to parse string as an integer",
+            input))))
+      case _ if isFloating(t) && !strict =>
+        val v = Coercions.doubleToLongExact(input)
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.intFromFloat,
+            "Input should be a valid integer, got a number with a fractional part",
+            input))))
+      case dt: DecimalType if !strict =>
+        val v = when(input === input.cast(LongType).cast(dt), input.cast(LongType))
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.intFromFloat,
+            "Input should be a valid integer, got a number with a fractional part",
+            input))))
+      case _ =>
+        return typeViolation(loc, T.intType, "Input should be a valid integer",
+          input, LongType)
+    }
+    val cs = orderedChecks[Long](value, loc, input, s.gt, s.ge, s.lt, s.le,
+      s.multipleOf, lit(_))
+    Compiled(value, collect(parseChecks ++ cs), LongType)
+  }
+
+  // ------------------------------------------------------------------ float
+
+  private def compileFloat(input: Column, t: DataType, loc: Column,
+                           s: FloatSpec, mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val (value, parseChecks): (Column, Seq[Column]) = t match {
+      case _ if isNumeric(t) => (input.cast(DoubleType), Nil)
+      case _: BooleanType if !strict => (input.cast(DoubleType), Nil)
+      case _: StringType if !strict =>
+        val v = Coercions.strToDouble(input)
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.floatParsing,
+            "Input should be a valid number, unable to parse string as a number",
+            input))))
+      case _ =>
+        return typeViolation(loc, T.floatType, "Input should be a valid number",
+          input, DoubleType)
+    }
+    val finite =
+      if (s.allowInfNan) Nil
+      else Seq(when(value.isNotNull &&
+          (isnan(value) || value === Double.PositiveInfinity ||
+           value === Double.NegativeInfinity),
+        oneS(loc, T.finiteNumber, "Input should be a finite number", input)))
+    val cs = orderedChecks[Double](value, loc, input, s.gt, s.ge, s.lt, s.le,
+      s.multipleOf, lit(_))
+    Compiled(value, collect(parseChecks ++ finite ++ cs), DoubleType)
+  }
+
+  // ------------------------------------------------------------------- bool
+
+  private def compileBool(input: Column, t: DataType, loc: Column,
+                          s: BoolSpec, mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    t match {
+      case _: BooleanType => ok(input, BooleanType)
+      case _: StringType if !strict =>
+        val v = Coercions.strToBool(input)
+        Compiled(v, collect(Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.boolParsing,
+            "Input should be a valid boolean, unable to interpret input",
+            input)))), BooleanType)
+      case _ if isNumeric(t) && !strict =>
+        val v = Coercions.longToBool(input)
+        Compiled(v, collect(Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.boolParsing,
+            "Input should be a valid boolean, unable to interpret input",
+            input)))), BooleanType)
+      case _ =>
+        typeViolation(loc, T.boolType, "Input should be a valid boolean",
+          input, BooleanType)
+    }
+  }
+
+  // ---------------------------------------------------------------- decimal
+
+  private def compileDecimal(input: Column, t: DataType, loc: Column,
+                             s: DecimalSpec, mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val dt = DecimalType(s.precision, s.scale)
+    val (value, parseChecks): (Column, Seq[Column]) = t match {
+      case _: DecimalType => (input.cast(dt), Nil)
+      case _ if isNumeric(t) => (input.cast(dt), Nil)
+      case _: StringType if !strict =>
+        val v = regexp_replace(trim(input), "_", "").try_cast(dt)
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.decimalParsing, "Input should be a valid decimal", input))))
+      case _ =>
+        return typeViolation(loc, T.decimalType,
+          "Input should be a valid decimal", input, dt)
+    }
+    // digit counting on the normalized string form — reference
+    // decimal.rs:105-136 counts significant digits of the normalized value.
+    lazy val normStr = regexp_replace(regexp_replace(
+      value.cast(StringType), "^-", ""), "\\.?0+$", "")
+    lazy val digits = length(regexp_replace(
+      regexp_replace(normStr, "\\.", ""), "^0+", ""))
+    lazy val places = when(normStr.contains("."),
+      length(element_at(split(normStr, "\\."), 2))).otherwise(lit(0))
+    val digitChecks = Seq(
+      s.maxDigits.map(n => when(value.isNotNull && digits > n,
+        oneS(loc, T.decimalMaxDigits,
+          s"Decimal input should have no more than $n digit${if (n == 1) "" else "s"} in total",
+          input, Map("max_digits" -> n.toString)))),
+      s.decimalPlaces.map(n => when(value.isNotNull && places > n,
+        oneS(loc, T.decimalMaxPlaces,
+          s"Decimal input should have no more than $n decimal place${if (n == 1) "" else "s"}",
+          input, Map("decimal_places" -> n.toString))))
+    ).flatten
+    val cs = orderedChecks[BigDecimal](value, loc, input, s.gt, s.ge, s.lt,
+      s.le, s.multipleOf, (b: BigDecimal) => lit(b.bigDecimal))
+    Compiled(value, collect(parseChecks ++ digitChecks ++ cs), dt)
+  }
+
+  // ------------------------------------------------------------------- date
+
+  private def compileDate(input: Column, t: DataType, loc: Column,
+                          s: DateSpec, mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val (value, parseChecks): (Column, Seq[Column]) = t match {
+      case _: DateType => (input, Nil)
+      case _: TimestampType if !strict =>
+        // lax datetime->date only at exact midnight (`date.rs`,
+        // errors/types.rs:343 DateFromDatetimeInexact)
+        val v = Coercions.timestampToDateExact(input)
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.dateFromDatetimeInexact,
+            "Datetimes provided to dates should have zero time - e.g. be exact dates",
+            input))))
+      case _: StringType if !strict =>
+        val v = Coercions.strToDate(input)
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.dateParsing,
+            "Input should be a valid date or datetime, input is too short",
+            input))))
+      case _ =>
+        return typeViolation(loc, T.dateType, "Input should be a valid date",
+          input, DateType)
+    }
+    val nowChecks = s.nowOp.toSeq.map {
+      case NowOp.Past => when(value.isNotNull && !(value < current_date()),
+        oneS(loc, T.datePast, "Date should be in the past", input))
+      case NowOp.Future => when(value.isNotNull && !(value > current_date()),
+        oneS(loc, T.dateFuture, "Date should be in the future", input))
+    }
+    val cs = orderedChecks[String](value, loc, input, s.gt, s.ge, s.lt, s.le,
+      None, (b: String) => lit(b).cast(DateType))
+    Compiled(value, collect(parseChecks ++ nowChecks ++ cs), DateType)
+  }
+
+  // --------------------------------------------------------------- datetime
+
+  private def compileDatetime(input: Column, t: DataType, loc: Column,
+                              s: DatetimeSpec, mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val (value, parseChecks): (Column, Seq[Column]) = t match {
+      case _: TimestampType => (input, Nil)
+      case _: DateType if !strict =>
+        // lax date->datetime at midnight (`datetime.rs:74-77`)
+        (input.cast(TimestampType), Nil)
+      case _: StringType if !strict =>
+        val v = Coercions.strToTimestamp(input)
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.datetimeParsing,
+            "Input should be a valid datetime, invalid datetime separator",
+            input))))
+      case _ if isNumeric(t) && !strict =>
+        (Coercions.epochToTimestamp(input), Nil)
+      case _ =>
+        return typeViolation(loc, T.datetimeType,
+          "Input should be a valid datetime", input, TimestampType)
+    }
+    val nowChecks = s.nowOp.toSeq.map {
+      case NowOp.Past => when(value.isNotNull && !(value < current_timestamp()),
+        oneS(loc, T.datetimePast, "Input should be in the past", input))
+      case NowOp.Future => when(value.isNotNull && !(value > current_timestamp()),
+        oneS(loc, T.datetimeFuture, "Input should be in the future", input))
+    }
+    val cs = orderedChecks[String](value, loc, input, s.gt, s.ge, s.lt, s.le,
+      None, (b: String) => lit(b).cast(TimestampType))
+    Compiled(value, collect(parseChecks ++ nowChecks ++ cs), TimestampType)
+  }
+
+  // ------------------------------------------------------------------ bytes
+
+  private def compileBytes(input: Column, t: DataType, loc: Column,
+                           s: BytesSpec, mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val value: Column = t match {
+      case _: BinaryType => input
+      case _: StringType if !strict => input.cast(BinaryType)
+      case _ =>
+        return typeViolation(loc, T.bytesType, "Input should be a valid bytes",
+          input, BinaryType)
+    }
+    // byte counts, not chars — reference bytes.rs; Spark octet_length
+    val checks = Seq(
+      s.minLength.map(n => when(value.isNotNull && octet_length(value) < n,
+        oneS(loc, T.bytesTooShort,
+          s"Data should have at least $n bytes", input,
+          Map("min_length" -> n.toString)))),
+      s.maxLength.map(n => when(value.isNotNull && octet_length(value) > n,
+        oneS(loc, T.bytesTooLong,
+          s"Data should have at most $n bytes", input,
+          Map("max_length" -> n.toString))))
+    ).flatten
+    Compiled(value, collect(checks), BinaryType)
+  }
+
+  // ------------------------------------------------------------------- uuid
+
+  private val uuidRe =
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+  private def compileUuid(input: Column, t: DataType, loc: Column,
+                          s: UuidSpec, mode: Mode): Compiled = {
+    if (!t.isInstanceOf[StringType])
+      return typeViolation(loc, T.uuidParsing, "Input should be a valid UUID",
+        input, StringType)
+    val v0 = trim(input)
+    val valid = v0.rlike(uuidRe)
+    val checks = Seq(
+      Some(when(input.isNotNull && !valid,
+        oneS(loc, T.uuidParsing,
+          "Input should be a valid UUID, invalid character", input))),
+      // version nibble is char 15 of the canonical form (`uuid.rs:69,103`)
+      s.version.map(ver => when(input.isNotNull && valid &&
+          substring(lower(v0), 15, 1) =!= ver.toString,
+        oneS(loc, T.uuidVersion,
+          s"UUID version $ver expected", input,
+          Map("expected_version" -> ver.toString))))
+    ).flatten
+    Compiled(when(valid, lower(v0)), collect(checks), StringType)
+  }
+
+  // -------------------------------------------------------------------- url
+
+  private def compileUrl(input: Column, t: DataType, loc: Column,
+                         s: UrlSpec, mode: Mode): Compiled = {
+    if (!t.isInstanceOf[StringType])
+      return typeViolation(loc, T.urlParsing, "Input should be a valid URL",
+        input, StringType)
+    val v = trim(input)
+    val scheme = lower(try_parse_url(v, lit("PROTOCOL")))
+    val host = try_parse_url(v, lit("HOST"))
+    val checks = Seq(
+      Some(when(input.isNotNull && scheme.isNull,
+        oneS(loc, T.urlParsing,
+          "Input should be a valid URL, relative URL without a base", input))),
+      s.maxLength.map(n => when(input.isNotNull && length(v) > n,
+        oneS(loc, T.urlTooLong,
+          s"URL should have at most $n characters", input,
+          Map("max_length" -> n.toString)))),
+      (if (s.allowedSchemes.nonEmpty)
+        Some(when(input.isNotNull && scheme.isNotNull &&
+            !scheme.isin(s.allowedSchemes.map(_.toLowerCase): _*),
+          oneS(loc, T.urlScheme,
+            s"URL scheme should be ${s.allowedSchemes.map("'" + _ + "'").mkString(" or ")}",
+            input, Map("expected_schemes" -> s.allowedSchemes.mkString(",")))))
+      else None),
+      (if (s.hostRequired)
+        Some(when(input.isNotNull && scheme.isNotNull &&
+            (host.isNull || host === ""),
+          oneS(loc, T.urlParsing, "Input should be a valid URL, empty host",
+            input)))
+      else None)
+    ).flatten
+    Compiled(when(scheme.isNotNull, v), collect(checks), StringType)
+  }
+
+  // ------------------------------------------------------------ collections
+
+  private def compileList(input: Column, t: DataType, loc: Column,
+                          s: ListSpec, mode: Mode): Compiled = t match {
+    case ArrayType(elemType, _) =>
+      val sizeChecks = Seq(
+        s.minLength.map(n => when(input.isNotNull && size(input) < n,
+          oneS(loc, T.tooShort,
+            s"List should have at least $n item${if (n == 1) "" else "s"} after validation, not fewer",
+            input, Map("min_length" -> n.toString)))),
+        s.maxLength.map(n => when(input.isNotNull && size(input) > n,
+          oneS(loc, T.tooLong,
+            s"List should have at most $n item${if (n == 1) "" else "s"} after validation, not more",
+            input, Map("max_length" -> n.toString))))
+      ).flatten
+      s.item match {
+        case AnySpec =>
+          Compiled(input, collect(sizeChecks), t)
+        case itemSpec =>
+          // element loc = loc ++ [index] — reference loc paths carry list
+          // indices (`errors/location.rs:15-23`).
+          val elemViols = flatten(transform(input, (x, i) =>
+            compile(x, elemType, concat(loc, array(i.cast(StringType))),
+              itemSpec, mode).violations))
+          val firstCompiled = compile(lit(null).cast(elemType), elemType,
+            loc, itemSpec, mode)
+          val mapped = transform(input, x =>
+            compile(x, elemType, loc, itemSpec, mode).value)
+          Compiled(mapped,
+            merge(Seq(collect(sizeChecks),
+              when(input.isNull, empty).otherwise(elemViols))),
+            ArrayType(firstCompiled.dataType))
+      }
+    case _ =>
+      typeViolation(loc, "list_type", "Input should be a valid list", input,
+        ArrayType(StringType))
+  }
+
+  private def compileSet(input: Column, t: DataType, loc: Column,
+                         s: SetSpec, mode: Mode): Compiled = {
+    // set = unique list: dedupe is a coercion, not an error
+    // (reference `set.rs`; "sets - unique lists" `mod.rs:600-601`)
+    val asList = compileList(input, t, loc,
+      ListSpec(s.item, s.minLength, s.maxLength), mode)
+    Compiled(array_distinct(asList.value), asList.violations, asList.dataType)
+  }
+
+  private def compileDict(input: Column, t: DataType, loc: Column,
+                          s: DictSpec, mode: Mode): Compiled = t match {
+    case MapType(kt, vt, _) =>
+      val sizeChecks = Seq(
+        s.minLength.map(n => when(input.isNotNull && size(input) < n,
+          oneS(loc, T.tooShort,
+            s"Dictionary should have at least $n item${if (n == 1) "" else "s"} after validation, not fewer",
+            input, Map("min_length" -> n.toString)))),
+        s.maxLength.map(n => when(input.isNotNull && size(input) > n,
+          oneS(loc, T.tooLong,
+            s"Dictionary should have at most $n item${if (n == 1) "" else "s"} after validation, not more",
+            input, Map("max_length" -> n.toString))))
+      ).flatten
+      val keyViols = s.key match {
+        case AnySpec => empty
+        case ks => flatten(transform(map_keys(input), k =>
+          compile(k, kt, concat(loc, array(k.cast(StringType))), ks, mode)
+            .violations))
+      }
+      val valViols = s.value match {
+        case AnySpec => empty
+        case vs => flatten(transform(map_entries(input), e =>
+          compile(e.getField("value"), vt,
+            concat(loc, array(e.getField("key").cast(StringType))), vs, mode)
+            .violations))
+      }
+      Compiled(input,
+        merge(Seq(collect(sizeChecks),
+          when(input.isNull, empty).otherwise(merge(Seq(keyViols, valViols))))),
+        t)
+    case _ =>
+      typeViolation(loc, "dict_type", "Input should be a valid dictionary",
+        input, MapType(StringType, StringType))
+  }
+
+  // ------------------------------------------------------------------- json
+
+  private def compileJson(input: Column, t: DataType, loc: Column,
+                          s: JsonSpec, mode: Mode): Compiled = {
+    if (!t.isInstanceOf[StringType])
+      return typeViolation(loc, T.jsonType, "JSON input should be string",
+        input, StringType)
+    // parse+validate fused like jiter (`validators/json.rs:24`,
+    // docs/why.md:60-61) — from_json and the inner checks sit in one
+    // projection, Catalyst fuses them.
+    val parsedType = DataType.fromDDL(s.innerDdl)
+    val parsed = from_json(input, parsedType, Map("mode" -> "PERMISSIVE"))
+    // from_json PERMISSIVE never nulls the struct on malformed input, so
+    // validity comes from try_parse_json (null <=> not JSON)
+    val parseCheck = when(input.isNotNull && try_parse_json(input).isNull,
+      oneS(loc, T.jsonInvalid, "Invalid JSON", input))
+    val innerCompiled = s.inner.map { m =>
+      compileModel(parsed, parsedType, loc, m, mode)
+    }
+    Compiled(
+      innerCompiled.map(_.value).getOrElse(parsed),
+      merge(Seq(collect(Seq(parseCheck)),
+        innerCompiled.map(c => when(parsed.isNull, empty).otherwise(c.violations))
+          .getOrElse(empty))),
+      innerCompiled.map(_.dataType).getOrElse(parsedType))
+  }
+
+  // ------------------------------------------------------------------ union
+
+  private def compileUnion(input: Column, t: DataType, loc: Column,
+                           s: UnionSpec, mode: Mode): Compiled = {
+    // LeftToRight: first success wins == ordered coalesce of try-branches
+    // (exact port of `union.rs:194-210`).
+    // Smart: strict pass over all branches, then lax pass — approximates the
+    // exactness scoring of `union.rs:139-157` (documented deviation).
+    val branchesModes: Seq[(Spec, Mode)] = s.mode match {
+      case UnionMode.LeftToRight => s.choices.map(_ -> mode)
+      case UnionMode.Smart =>
+        s.choices.map(_ -> (Mode.Strict: Mode)) ++
+          s.choices.map(_ -> (Mode.Lax: Mode))
+    }
+    val compiled = branchesModes.map { case (c, m) =>
+      compile(input, t, loc, c, m)
+    }
+    val sameType = compiled.map(_.dataType).distinct.size == 1
+    val outType: DataType = if (sameType) compiled.head.dataType else StringType
+    val tryVals = compiled.map { c =>
+      val v = if (sameType) c.value else c.value.cast(StringType)
+      when(size(c.violations) === 0 && input.isNotNull, v)
+    }
+    val anyOk = compiled
+      .map(c => size(c.violations) === 0)
+      .reduce(_ || _)
+    // on total failure emit every branch's violations (reference emits all
+    // branch errors, `union.rs:190-191`)
+    val dedupBranches = s.choices.map(c => compile(input, t, loc, c, mode))
+    val failViols = merge(dedupBranches.map(_.violations))
+    Compiled(
+      when(input.isNotNull, coalesce(tryVals: _*)),
+      when(input.isNull || anyOk, empty).otherwise(failViols),
+      outType)
+  }
+
+  // ----------------------------------------------------------- tagged union
+
+  private def compileTaggedUnion(input: Column, t: DataType, loc: Column,
+                                 s: TaggedUnionSpec, mode: Mode): Compiled =
+    t match {
+      case st: StructType =>
+        val disc = input.getField(s.discriminator)
+        // O(1) dispatch == CASE WHEN on the tag (reference `union.rs:336`
+        // LiteralLookup; Catalyst case-when short-circuits the same way)
+        val branchViols = s.choices.map { case (tag, model) =>
+          (disc === tag, compileModel(input, st, loc, model, mode).violations)
+        }.toSeq
+        val unknown = collect(Seq(oneS(loc, T.unionTagInvalid,
+          s"Input tag '{tag}' found using '${s.discriminator}' does not match any of the expected tags: " +
+            s.choices.keys.map("'" + _ + "'").mkString(", "),
+          disc, Map("discriminator" -> s.discriminator))))
+        val viols = branchViols.foldRight(unknown) { case ((cond, v), els) =>
+          when(cond, v).otherwise(els)
+        }
+        Compiled(input, when(input.isNull, empty).otherwise(viols), t)
+      case _ =>
+        typeViolation(loc, "model_type", "Input should be an object", input, t)
+    }
+
+  // ------------------------------------------------------------------ model
+
+  /** Compile a model against a struct-typed column (nested models). The
+   * top-level DataFrame path lives in [[ModelValidator]] and shares this by
+   * passing `struct(df.columns)`. */
+  def compileModel(input: Column, t: DataType, loc: Column, m: ModelSpec,
+                   mode: Mode): Compiled = t match {
+    case st: StructType =>
+      val present = st.fieldNames.toSet
+      val fieldResults: Seq[(String, Column, Column, DataType)] =
+        m.fields.map { f =>
+          val sourceName = (f.name +: f.aliases).find(present.contains)
+          val floc = concat(loc, array(lit(f.name)))
+          sourceName match {
+            case None =>
+              if (f.required && !hasDefault(f.spec))
+                (f.name, lit(null).cast(StringType),
+                  collect(Seq(oneS(floc, T.missing, "Field required",
+                    lit(null)))), StringType: DataType)
+              else {
+                val c = compile(lit(null).cast(StringType), StringType, floc,
+                  f.spec, m.mode)
+                (f.name, c.value, c.violations, c.dataType)
+              }
+            case Some(src) =>
+              val col0 = input.getField(src)
+              val ft = st(src).dataType
+              val c = compile(col0, ft, floc, f.spec, m.mode)
+              val viols =
+                if (f.required && !isNullTolerant(f.spec))
+                  when(col0.isNull,
+                    collect(Seq(oneS(floc, T.missing, "Field required",
+                      lit(null))))).otherwise(c.violations)
+                else c.violations
+              val value =
+                if (f.required && !isNullTolerant(f.spec))
+                  when(col0.isNotNull, c.value)
+                else c.value
+              (f.name, value, viols, c.dataType)
+          }
+        }
+      // extra=forbid: columns present in the input but not in the spec —
+      // reference `model_fields.rs:67` extra behavior
+      val extraChecks: Seq[Column] = m.extra match {
+        case Extra.Forbid =>
+          val known = m.fields.flatMap(f => f.name +: f.aliases).toSet
+          st.fieldNames.filterNot(known.contains).toSeq.map { ex =>
+            when(input.getField(ex).isNotNull,
+              oneS(concat(loc, array(lit(ex))), T.extraForbidden,
+                "Extra inputs are not permitted", input.getField(ex)))
+          }
+        case Extra.Ignore => Nil
+      }
+      val allViols = merge(fieldResults.map(_._3) :+ collect(extraChecks))
+      val value = struct(fieldResults.map { case (n, v, _, _) => v.as(n) }: _*)
+      Compiled(value, allViols,
+        StructType(fieldResults.map { case (n, _, _, dt) => StructField(n, dt) }))
+    case _ =>
+      typeViolation(loc, "model_type", s"Input should be a valid dictionary or instance of ${m.name}",
+        input, t)
+  }
+
+  private def hasDefault(s: Spec): Boolean = s match {
+    case _: WithDefaultSpec => true
+    case NullableSpec(inner) => hasDefault(inner)
+    case _ => false
+  }
+
+  private def isNullTolerant(s: Spec): Boolean = s match {
+    case _: NullableSpec | _: WithDefaultSpec | NoneSpec | AnySpec => true
+    case ChainSpec(steps) => steps.headOption.exists(isNullTolerant)
+    case UnionSpec(cs, _) => cs.exists(isNullTolerant)
+    case _ => false
+  }
+}

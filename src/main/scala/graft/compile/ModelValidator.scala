@@ -1,0 +1,108 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.spec._
+import Violations.{T, oneS, collect, merge}
+
+/**
+ * The row operator applied to a whole table — the engine's equivalent of
+ * `SchemaValidator.validate_python` looped over records
+ * (`pydantic-core/src/validators/mod.rs:183-211`), except it is ONE Catalyst
+ * projection over the Dataset: every field's coercion + checks + the
+ * violation bundle evaluate in a single whole-stage-codegen pass, no
+ * per-record interpreter.
+ *
+ * Top-level fields are compiled flat (no struct wrapping) so Catalyst's
+ * column pruning sees exactly which physical columns each check touches.
+ */
+object ModelValidator {
+
+  val VIOLATIONS = "violations"
+  val VALID = "valid"
+
+  /** Add coerced field columns, the `violations` bundle and a `valid` flag.
+   * Keeps every original column (callers prune). */
+  def plan(df: DataFrame, model: ModelSpec): DataFrame = {
+    val st = df.schema
+    val present = st.fieldNames.toSet
+    val results: Seq[(String, Column, Column)] = model.fields.map { f =>
+      val floc = array(lit(f.name))
+      (f.name +: f.aliases).find(present.contains) match {
+        case None =>
+          if (f.required && !nullTolerant(f.spec))
+            (f.name, lit(null).cast(StringType),
+              collect(Seq(oneS(floc, T.missing, "Field required", lit(null)))))
+          else {
+            val c = Compiler.compile(lit(null).cast(StringType), StringType,
+              floc, f.spec, model.mode)
+            (f.name, c.value, c.violations)
+          }
+        case Some(src) =>
+          val col0 = col(src)
+          val c = Compiler.compile(col0, st(src).dataType, floc, f.spec,
+            model.mode)
+          val (value, viols) =
+            if (f.required && !nullTolerant(f.spec))
+              (when(col0.isNotNull, c.value),
+                when(col0.isNull, collect(Seq(oneS(floc, T.missing,
+                  "Field required", lit(null))))).otherwise(c.violations))
+            else (c.value, c.violations)
+          (f.name, value, viols)
+      }
+    }
+    val extraChecks: Seq[Column] = model.extra match {
+      case Extra.Forbid =>
+        val known = model.fields.flatMap(f => f.name +: f.aliases).toSet
+        st.fieldNames.filterNot(known.contains).toSeq.map { ex =>
+          when(col(ex).isNotNull,
+            oneS(array(lit(ex)), T.extraForbidden,
+              "Extra inputs are not permitted", col(ex)))
+        }
+      case Extra.Ignore => Nil
+    }
+    val bundle = merge(results.map(_._3) :+ collect(extraChecks))
+    // ONE projection: coerced values + bundle all reference the ORIGINAL
+    // input columns (a withColumn chain would shadow them) and stay in a
+    // single whole-stage-codegen stage.
+    val fieldNames = model.fields.map(_.name).toSet
+    val passthrough = st.fieldNames.filterNot(fieldNames.contains).toSeq.map(col)
+    df.select(passthrough ++
+      results.map { case (n, v, _) => v.as(n) } :+
+      bundle.as(VIOLATIONS): _*)
+      .withColumn(VALID, size(col(VIOLATIONS)) === 0)
+  }
+
+  /** Validated projection: model fields only (extras dropped, like
+   * `extra='ignore'`), plus verdict columns. */
+  def validate(df: DataFrame, model: ModelSpec): DataFrame = {
+    val planned = plan(df, model)
+    planned.select(
+      (model.fields.map(f => col(f.name)) :+ col(VIOLATIONS) :+ col(VALID)): _*)
+  }
+
+  /** Violation sink: one row per violation — the exploded analog of
+   * `ValidationError.errors()` (`validation_exception.rs:507-520`).
+   * `keyCols` identify the offending row. */
+  def violations(df: DataFrame, model: ModelSpec, keyCols: Seq[String]): DataFrame = {
+    val planned = plan(df, model)
+    planned
+      .filter(size(col(VIOLATIONS)) > 0)
+      .select(keyCols.map(col) :+ explode(col(VIOLATIONS)).as("v"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("v.loc").as("loc"),
+        col("v.type").as("type"),
+        col("v.msg").as("msg"),
+        col("v.input").as("input"),
+        col("v.ctx").as("ctx")): _*)
+  }
+
+  private def nullTolerant(s: Spec): Boolean = s match {
+    case _: NullableSpec | _: WithDefaultSpec | NoneSpec | AnySpec => true
+    case ChainSpec(steps) => steps.headOption.exists(nullTolerant)
+    case UnionSpec(cs, _) => cs.exists(nullTolerant)
+    case _ => false
+  }
+}

@@ -1,0 +1,95 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic synthetic source-code table
+ * `(repo, path, commit, lang, content)` — the input shape mandated by
+ * BASELINE.json's input_hint (FIXTURES.md §1).
+ *
+ * Built entirely from Column expressions over `spark.range(n)` so generation
+ * is distributed, reproducible (seed folded into every hash) and scales to
+ * any row count without driver involvement — the same generator produces the
+ * 60k-row oracle mirror and the multi-100M-row bench input.
+ *
+ * Injected pathologies (all rates deterministic in id):
+ *  - SKEW: repo 0 is a mega-repo holding ~20% of rows (exercises salting/AQE)
+ *  - bad commit hex (not ^[0-9a-f]{40}$)
+ *  - null path
+ *  - unknown lang (fails referential integrity)
+ *  - duplicate (repo,path,commit) triples
+ *  - one "drifted" repo whose content-length distribution is shifted
+ *    (positive case for KS/PSI)
+ */
+object SourceFilesGen {
+
+  val langs: Seq[String] = Seq("scala", "java", "python", "rust", "go", "c",
+    "cpp", "js", "ts", "ruby")
+
+  def langDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    langs.toDF("lang")
+  }
+
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L,
+               repoCount: Int = 1000, violationRatePerMille: Int = 20): DataFrame = {
+    val ids = spark.range(n)
+    val h = xxhash64(col("id"), lit(seed))           // master per-row hash
+    val h2 = xxhash64(col("id"), lit(seed + 1))
+    val h3 = xxhash64(col("id"), lit(seed + 2))
+
+    // --- repo: 20% of rows land in repo 0 (the mega-repo); the rest spread
+    // uniformly over [1, repoCount)
+    val repoIdx = when(pmod(h, lit(5)) === 0, lit(0L))
+      .otherwise(pmod(h2, lit(repoCount - 1)) + 1)
+    val repo = concat(lit("org"), pmod(repoIdx, lit(97)).cast("string"),
+      lit("/repo"), repoIdx.cast("string"))
+
+    // --- duplicates: ~2/1000 rows clone the triple of row (id - id%500)
+    val dupSel = pmod(h3, lit(500)) === 1
+    val keyId = when(dupSel, col("id") - pmod(col("id"), lit(500)))
+      .otherwise(col("id"))
+    val kh = xxhash64(keyId, lit(seed))
+
+    // --- path: directory fan-out from the hash; null-injected
+    val ext = element_at(typedLit(langs.map {
+      case "python" => "py"; case "ruby" => "rb"; case l => l
+    }), pmod(kh, lit(langs.size)).cast("int") + 1)
+    val path0 = concat(lit("src/m"), pmod(kh, lit(37)).cast("string"),
+      lit("/f"), keyId.cast("string"), lit("."), ext)
+    val pathBad = pmod(h3, lit(1000)) < violationRatePerMille / 4
+    val path = when(pathBad, lit(null)).otherwise(path0)
+
+    // --- commit: 40-char hex (sha1 of the key id + seed); corrupted for a
+    // small slice (uppercase/truncated -> pattern violation)
+    val commit0 = sha1(concat(keyId.cast("string"), lit("#"), lit(seed.toString)))
+    val commitBadSel = pmod(h3, lit(1000))
+      .between(violationRatePerMille / 4, violationRatePerMille / 2 - 1)
+    val commit = when(commitBadSel, upper(substring(commit0, 1, 20)))
+      .otherwise(commit0)
+
+    // --- lang: from the dim; small slice unknown (RI violation)
+    val langOk = element_at(typedLit(langs), pmod(kh, lit(langs.size)).cast("int") + 1)
+    val langBadSel = pmod(h3, lit(1000))
+      .between(violationRatePerMille / 2, (violationRatePerMille * 3) / 4 - 1)
+    val lang = when(langBadSel, lit("klingon")).otherwise(langOk)
+
+    // --- content: deterministic pseudo-code; length ~ geometric-ish from the
+    // hash (64..~4096 chars). Repo 7 is the DRIFTED repo: lengths shifted 4x.
+    val unit = concat(lit("def fn_"), pmod(h2, lit(9973)).cast("string"),
+      lit("(x): return x * "), pmod(h, lit(997)).cast("string"), lit("\n"))
+    val lenFactor = (pmod(h2, lit(16)) * pmod(h3, lit(16)) + 1).cast("int")
+    val drifted = repoIdx === 7
+    val reps = when(drifted, lenFactor * 4).otherwise(lenFactor)
+    val content = repeat(unit, reps)
+
+    ids.select(
+      col("id"),
+      repo.as("repo"),
+      path.as("path"),
+      commit.as("commit"),
+      lang.as("lang"),
+      content.as("content"))
+  }
+}

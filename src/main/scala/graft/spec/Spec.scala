@@ -1,0 +1,272 @@
+package graft.spec
+
+/**
+ * Declarative constraint-spec ADT — the engine's IR.
+ *
+ * Mirrors the reference's CoreSchema tree (pydantic: built by
+ * `pydantic/_internal/_generate_schema.py:773-810`, consumed by
+ * `pydantic-core/src/validators/mod.rs:523-668`, 47 schema kinds) but is a
+ * Scala sealed trait designed to compile to Catalyst `Column` expressions,
+ * not an interpreter tree.
+ *
+ * Pure data: no Spark dependency in this file. Compilation lives in
+ * [[graft.compile.Compiler]].
+ */
+sealed trait Spec extends Serializable
+
+/** Validation mode — reference: strict vs lax
+ * (`pydantic-core/src/validators/validation_state.rs`, `Strict` metadata
+ * `pydantic/types.py:123`). Strict = type must already match; Lax = apply
+ * the coercion tables of `pydantic-core/src/input/shared.rs`. */
+sealed trait Mode extends Serializable
+object Mode {
+  case object Strict extends Mode
+  case object Lax extends Mode
+}
+
+// ---------------------------------------------------------------------------
+// Scalar specs
+// ---------------------------------------------------------------------------
+
+/** String schema + constrained-str — reference `validators/string.rs:42,110-185`.
+ * Transform order mirrors the reference: strip -> ascii check -> length ->
+ * pattern (unanchored search, `string.rs:332-339`) -> lower/upper. */
+final case class StrSpec(
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    pattern: Option[String] = None,
+    stripWhitespace: Boolean = false,
+    toLower: Boolean = false,
+    toUpper: Boolean = false,
+    asciiOnly: Boolean = false,
+    coerceNumbersToStr: Boolean = false,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Int schema — reference `validators/int.rs:44,98-187`. Lax coercions:
+ * str->int with underscore cleanup (`input/shared.rs:77-99`), float->int only
+ * if integral (`shared.rs:202-212`), bool->int. */
+final case class IntSpec(
+    gt: Option[Long] = None,
+    ge: Option[Long] = None,
+    lt: Option[Long] = None,
+    le: Option[Long] = None,
+    multipleOf: Option[Long] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Float schema — reference `validators/float.rs:30-97`. `allowInfNan`
+ * defaults true like the reference (`float.rs:36,76-77`). */
+final case class FloatSpec(
+    gt: Option[Double] = None,
+    ge: Option[Double] = None,
+    lt: Option[Double] = None,
+    le: Option[Double] = None,
+    multipleOf: Option[Double] = None,
+    allowInfNan: Boolean = true,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Bool schema — reference `validators/bool.rs`; lax string tokens from
+ * `input/shared.rs:25-45` and int 0/1 from `:47-55`. */
+final case class BoolSpec(strict: Option[Boolean] = None) extends Spec
+
+/** Decimal schema — reference `validators/decimal.rs` (digit counting
+ * `decimal.rs:105-136`). */
+final case class DecimalSpec(
+    precision: Int = 38,
+    scale: Int = 18,
+    gt: Option[BigDecimal] = None,
+    ge: Option[BigDecimal] = None,
+    lt: Option[BigDecimal] = None,
+    le: Option[BigDecimal] = None,
+    multipleOf: Option[BigDecimal] = None,
+    maxDigits: Option[Int] = None,
+    decimalPlaces: Option[Int] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Date schema — reference `validators/date.rs`. Bounds are ISO strings so
+ * the spec stays a pure value. `now` constraints: past/future
+ * (`errors/types.rs:343-350`). */
+final case class DateSpec(
+    gt: Option[String] = None,
+    ge: Option[String] = None,
+    lt: Option[String] = None,
+    le: Option[String] = None,
+    nowOp: Option[NowOp] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Datetime schema — reference `validators/datetime.rs:44-138`. Lax accepts
+ * epoch int/float and ISO strings. */
+final case class DatetimeSpec(
+    gt: Option[String] = None,
+    ge: Option[String] = None,
+    lt: Option[String] = None,
+    le: Option[String] = None,
+    nowOp: Option[NowOp] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+sealed trait NowOp extends Serializable
+object NowOp {
+  /** value must be strictly before now — error `date_past`/`datetime_past` */
+  case object Past extends NowOp
+  /** value must be strictly after now — error `date_future`/`datetime_future` */
+  case object Future extends NowOp
+}
+
+/** Bytes schema — reference `validators/bytes.rs`; lengths are byte counts. */
+final case class BytesSpec(
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** UUID schema — reference `validators/uuid.rs:73-156`; optional version
+ * equality check (`uuid.rs:69,103`). */
+final case class UuidSpec(version: Option[Int] = None, strict: Option[Boolean] = None)
+    extends Spec
+
+/** URL schema — reference `validators/url.rs` (839 LoC); constraint surface
+ * from `pydantic/_internal/_known_annotated_metadata.py:59-66`. */
+final case class UrlSpec(
+    allowedSchemes: Seq[String] = Nil,
+    hostRequired: Boolean = false,
+    maxLength: Option[Int] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Literal membership — reference `validators/literal.rs:28-100` (per-type
+ * hash-map lookup; Catalyst `isin` compiles to the same InSet). */
+final case class LiteralSpec(values: Seq[String]) extends Spec
+
+/** Enum membership — reference `validators/enum_.rs`. Distinct from Literal
+ * only in error type string (`enum` vs `literal_error`). */
+final case class EnumSpec(values: Seq[String]) extends Spec
+
+/** None/null schema — reference `validators/none.rs`. */
+case object NoneSpec extends Spec
+
+/** Any — always passes (`validators/any.rs`). */
+case object AnySpec extends Spec
+
+// ---------------------------------------------------------------------------
+// Combinators
+// ---------------------------------------------------------------------------
+
+/** Nullable wrapper — reference `validators/nullable.rs`: null passes,
+ * otherwise inner spec applies. */
+final case class NullableSpec(inner: Spec) extends Spec
+
+/** Default handling — reference `validators/with_default.rs:83-143`.
+ * `onError` mirrors `on_error: raise | omit | default` (`:110-122,168-171`). */
+final case class WithDefaultSpec(
+    inner: Spec,
+    default: String,
+    onError: OnError = OnError.Raise
+) extends Spec
+
+sealed trait OnError extends Serializable
+object OnError {
+  case object Raise extends OnError
+  case object UseDefault extends OnError
+}
+
+/** Sequential pipeline — reference `validators/chain.rs`. Each step's output
+ * value feeds the next; violations accumulate. */
+final case class ChainSpec(steps: Seq[Spec]) extends Spec
+
+/** Union — reference `validators/union.rs:102-210`. `LeftToRight` = first
+ * success wins (exactly `coalesce` over try-branches). `Smart` approximates
+ * the exactness scoring (`union.rs:139-157`) by trying all branches strict
+ * first, then all lax — documented deviation (SURVEY §7.4.4). */
+final case class UnionSpec(choices: Seq[Spec], mode: UnionMode = UnionMode.Smart)
+    extends Spec
+
+sealed trait UnionMode extends Serializable
+object UnionMode {
+  case object Smart extends UnionMode
+  case object LeftToRight extends UnionMode
+}
+
+/** Tagged union — reference `union.rs:292-352`: discriminator field value
+ * dispatches to a branch in O(1); we compile to CASE WHEN which Catalyst
+ * executes the same way. Unknown tag -> `union_tag_invalid`. */
+final case class TaggedUnionSpec(
+    discriminator: String,
+    choices: Map[String, ModelSpec]
+) extends Spec
+
+/** Override the error emitted by the inner spec — reference
+ * `validators/custom_error.rs`. */
+final case class CustomErrorSpec(inner: Spec, errorType: String, message: String)
+    extends Spec
+
+/** JSON-string schema — reference `validators/json.rs:24`: parse the string
+ * as JSON, then validate the parsed value against `inner`.
+ * `innerDdl` is the Spark DDL of the expected parsed shape. */
+final case class JsonSpec(innerDdl: String, inner: Option[ModelSpec] = None)
+    extends Spec
+
+// ---------------------------------------------------------------------------
+// Collections
+// ---------------------------------------------------------------------------
+
+/** List schema — reference `validators/list.rs:100-150`; min/max length and
+ * per-element inner validation. */
+final case class ListSpec(
+    item: Spec = AnySpec,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None
+) extends Spec
+
+/** Set semantics = unique list — reference `validators/set.rs` and the
+ * registry comment "sets - unique lists" (`validators/mod.rs:600-601`). */
+final case class SetSpec(
+    item: Spec = AnySpec,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None
+) extends Spec
+
+/** Dict schema — reference `validators/dict.rs`. */
+final case class DictSpec(
+    key: Spec = AnySpec,
+    value: Spec = AnySpec,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None
+) extends Spec
+
+// ---------------------------------------------------------------------------
+// Model (the row operator)
+// ---------------------------------------------------------------------------
+
+/** Per-field spec — reference `pydantic/fields.py:55-102` (FieldInfo). */
+final case class FieldSpec(
+    name: String,
+    spec: Spec,
+    required: Boolean = true,
+    /** validation aliases, tried in order — reference `pydantic/aliases.py`,
+     * LookupTree `model_fields.rs:108`. */
+    aliases: Seq[String] = Nil
+) extends Serializable
+
+/** Extra-field behavior — reference `model_fields.rs:67`. */
+sealed trait Extra extends Serializable
+object Extra {
+  case object Ignore extends Extra
+  case object Forbid extends Extra
+}
+
+/** The row operator: named record of fields, error accumulation across all
+ * fields — reference `validators/model_fields.rs:53-191,300+`
+ * (`Vec<ValLineError>` accumulation at `:313`, outer-loc push `:211-216`). */
+final case class ModelSpec(
+    name: String,
+    fields: Seq[FieldSpec],
+    extra: Extra = Extra.Ignore,
+    mode: Mode = Mode.Lax
+) extends Spec {
+  def field(n: String): FieldSpec = fields.find(_.name == n).get
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.{Drift, TableChecks}
+import graft.data.SourceFilesGen
+
+class ChecksSpec extends SparkTestBase {
+
+  lazy val sf = SourceFilesGen.generate(spark, 20000L).cache()
+
+  test("generator: deterministic, skewed, violation-injecting") {
+    def checksum() = SourceFilesGen.generate(spark, 1000L)
+      .agg(sum(pmod(xxhash64(col("repo"), col("commit")), lit(1000000007L))))
+      .collect().head.getLong(0)
+    val a = checksum(); val b = checksum()
+    assert(a == b) // same seed -> identical table
+    val topShare = sf.groupBy("repo").count().orderBy(desc("count"))
+      .limit(1).collect().head.getLong(1).toDouble / 20000
+    assert(topShare > 0.15 && topShare < 0.25) // mega-repo ~20%
+    val badCommit = sf.filter(!col("commit").rlike("^[0-9a-f]{40}$")).count()
+    assert(badCommit > 0)
+    val badLang = sf.filter(col("lang") === "klingon").count()
+    assert(badLang > 0)
+    val nullPath = sf.filter(col("path").isNull).count()
+    assert(nullPath > 0)
+  }
+
+  test("column stats: null rate + distinct + quantiles in one pass") {
+    val stats = TableChecks.columnStats(sf, Seq("repo", "path", "content"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(stats("path").getAs[Double]("null_rate") > 0.0)
+    assert(stats("repo").getAs[Double]("null_rate") == 0.0)
+    assert(stats("repo").getAs[Long]("approx_distinct") > 500)
+    assert(stats("content").getAs[Int]("len_p95") > 0)
+  }
+
+  test("uniqueness: plain and salted agree") {
+    val plain = TableChecks.duplicateKeys(sf, Seq("repo", "path", "commit"))
+    val salted = TableChecks.duplicateKeysSalted(sf, Seq("repo", "path", "commit"))
+    val p = plain.agg(count(lit(1)), sum("dup_count")).collect().head
+    val s = salted.agg(count(lit(1)), sum("dup_count")).collect().head
+    assert(p == s)
+    assert(p.getLong(0) > 0) // generator injects duplicate triples
+  }
+
+  test("referential integrity: unknown lang rows surface") {
+    val bad = TableChecks.referentialViolations(
+      sf, "lang", SourceFilesGen.langDim(spark), "lang")
+    assert(bad.count() > 0)
+    assert(bad.filter(col("lang") =!= "klingon").count() == 0)
+  }
+
+  test("drift: the shifted repo is flagged, normal repos are not") {
+    val big = sf.filter(col("repo").isin("org0/repo0", "org7/repo7", "org1/repo1",
+      "org8/repo8", "org9/repo9"))
+    val verdicts = Drift.driftVerdicts(big, col("repo"),
+      length(col("content")), 0, 5000, nBuckets = 40)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(verdicts("org7/repo7")) // drifted: 4x content length
+    assert(!verdicts("org0/repo0")) // mega-repo dominates ref -> not drifted
+  }
+
+  test("psi/ks: identical distribution scores ~zero") {
+    val hist = Drift.histogram(sf, lit("all"),
+      Drift.bucketize(length(col("content")), 0, 5000, 40))
+    val ref = hist.groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+    val psi = Drift.psi(hist, ref).collect().head.getDouble(1)
+    val ks = Drift.ks(hist, ref).collect().head.getDouble(1)
+    assert(math.abs(psi) < 1e-9)
+    assert(math.abs(ks) < 1e-9)
+  }
+
+  test("sha256 invariant matches reference implementation") {
+    val h = sf.limit(1).select(col("content"),
+      TableChecks.sha256(col("content")).as("h")).collect().head
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = md.digest(h.getString(0).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h.getString(1) == expect)
+  }
+}
