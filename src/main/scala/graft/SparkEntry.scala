@@ -7,6 +7,9 @@ import graft.spec._
 import graft.compile.ModelValidator
 import graft.checks.{Drift, TableChecks}
 import graft.data.SourceFilesGen
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -170,10 +173,218 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         round(length(col("text")).cast("double") / nTok, 3).as("chars_per_token"),
         round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
+    }),
+
+    // ---- text: BPE-ish token count (regex pretokenizer)
+    "t_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe"))
+    }),
+
+    // ---- text: language identification (stopword-profile argmax)
+    "t_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text"), TextOps.defaultProfiles).as("lang_pred"))
+    }),
+
+    // ---- text: order-sensitive rolling-hash document fingerprint
+    "t_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- dedup: MinHash signatures (4 permutations, md5-portable)
+    "d_minhash_sig" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 4)
+      t(s, dir, "documents").select(col("doc_id"),
+        element_at(sig, 1).as("m0"), element_at(sig, 2).as("m1"),
+        element_at(sig, 3).as("m2"), element_at(sig, 4).as("m3"))
+    }),
+
+    // ---- dedup: MinHash-LSH near-dup pairs (12 hashes, 4 bands x 3,
+    // Jaccard-verified >= 0.5)
+    "d_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 12, bands = 4, shingleN = 3, threshold = 0.5)
+    }),
+
+    // ---- dedup: 60-bit SimHash fingerprints (codegen'd explode+agg path)
+    "d_simhash" -> ((s, dir) => {
+      Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("sig"))
+    }),
+
+    // ---- dedup: SimHash near-dup pairs, hamming <= 3 via exact 4-chunk
+    // banding (pigeonhole: no false negatives)
+    "d_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // ---- similarity: brute-force cosine top-5 (8 query vectors broadcast
+    // against the corpus)
+    "s_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+    }),
+
+    // ---- similarity: LSH-bucketed approximate top-3 (6 hyperplanes)
+    "s_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.annLsh(e, e, "vec_id", "embedding", "vec_id", "embedding",
+        k = 3, planes = lshPlanes6)
+    }),
+
+    // ---- similarity: embedding-cosine near-dup pairs (4 planes, cos>=0.4)
+    "s_near_dup" -> ((s, dir) => {
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, planes = lshPlanes4)
     })
   )
 
+  /** Deterministic md5-derived hyperplanes shared verbatim with the oracle
+   * SQL (integer components — both engines compute identical dot signs). */
+  val lshPlanes6: Seq[Seq[Int]] = Similarity.portablePlanes(6, 64)
+  val lshPlanes4: Seq[Seq[Int]] = Similarity.portablePlanes(4, 64)
+
+  // ---- shared DuckDB fragments (each replays the engine's exact
+  // arithmetic: in-order double folds, md5-derived hashes)
+
+  /** In-order-fold cosine over two list<float> exprs — bit-identical to
+   * [[Similarity.cosine]] (same casts, same fold order). */
+  private def cosSql(a: String, b: String): String = {
+    def dotS(x: String, y: String) =
+      s"list_reduce(list_transform(generate_series(1,64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u,w) -> u + w)"
+    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+  }
+
+  /** CTEs `pl` (hyperplane literals — the same integers the Spark side
+   * embeds) and `bk` (vec_id -> LSH bucket). */
+  private def bucketCteSql(planes: Seq[Seq[Int]]): String = {
+    val values = planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.mkString(",")}])" }.mkString(", ")
+    s"""pl(p, v) AS (SELECT * FROM (VALUES $values) t(p, v)),
+       |bk AS (SELECT vec_id, CAST(sum(CASE WHEN
+       |    list_reduce(list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * v[i]), (u,w) -> u + w) > 0
+       |  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM embeddings CROSS JOIN pl GROUP BY vec_id)""".stripMargin
+  }
+
+  /** CTEs tk (tokens) and s (distinct 3-gram shingles) over documents. */
+  private val shinglesCteSql =
+    """tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') tk FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  generate_series(1, greatest(len(tk) - 2, 1)),
+      |  i -> array_to_string(tk[i:i+2], ' '))) sh FROM tk)""".stripMargin
+
+  /** CTEs computing the 60-bit simhash per doc (identical to
+   * [[Dedup.simhash]]: md5-60bit token hash, ±1 bit votes). */
+  private val simhashCteSql =
+    """tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') tk FROM documents),
+      |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(t.tok),1,15)) AS BIGINT) h
+      |      FROM tk, unnest(tk.tk) AS t(tok)),
+      |bits AS (SELECT doc_id, g.i, sum(CASE WHEN (h >> g.i) & 1 = 1 THEN 1 ELSE -1 END) v
+      |         FROM h CROSS JOIN (SELECT unnest(generate_series(0,59)) i) g GROUP BY 1, 2),
+      |sig AS (SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) sig
+      |        FROM bits GROUP BY doc_id)""".stripMargin
+
+  private def langScoreSql(words: Seq[String]): String =
+    s"len(list_filter(tk, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk)"
+
   def oracleSql: Map[String, String] = Map(
+
+    "t_bpe_tokens" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "t_lang_id" -> {
+      val p = TextOps.defaultProfiles
+      s"""WITH tk0 AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') tk FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${langScoreSql(p("de"))} s_de, ${langScoreSql(p("en"))} s_en,
+         |  ${langScoreSql(p("es"))} s_es, ${langScoreSql(p("fr"))} s_fr,
+         |  ${langScoreSql(p("zh"))} s_zh
+         | FROM tk0)
+         |SELECT doc_id, CASE
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+         |FROM sc""".stripMargin
+    },
+
+    "t_fingerprint" ->
+      """WITH tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') tk FROM documents)
+        |SELECT doc_id, list_reduce(list_transform(generate_series(1, len(tk)),
+        |    i -> ((CAST(concat('0x', substr(md5(tk[i]),1,15)) AS BIGINT) % 1000000007) * (CAST(i AS BIGINT) % 1000000007)) % 1000000007),
+        |  (a, b) -> (a + b) % 1000000007) AS fp
+        |FROM tk""".stripMargin,
+
+    "d_minhash_sig" ->
+      s"""WITH $shinglesCteSql
+         |SELECT doc_id,
+         |  list_min(list_transform(sh, x -> md5('0:' || x))) AS m0,
+         |  list_min(list_transform(sh, x -> md5('1:' || x))) AS m1,
+         |  list_min(list_transform(sh, x -> md5('2:' || x))) AS m2,
+         |  list_min(list_transform(sh, x -> md5('3:' || x))) AS m3
+         |FROM s""".stripMargin,
+
+    "d_minhash_lsh" ->
+      s"""WITH $shinglesCteSql,
+         |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 11),
+         |  j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) sg FROM s),
+         |bands AS (SELECT doc_id, sh, g.b, md5(array_to_string(sg[g.b*3+1:g.b*3+3], '|')) bh
+         |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) b) g),
+         |pairs AS (SELECT x.doc_id ia, y.doc_id ib,
+         |    len(list_intersect(x.sh, y.sh)) * 1.0 / len(list_distinct(x.sh || y.sh)) j
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         |SELECT ia AS id_a, ib AS id_b, max(j) AS jaccard FROM pairs
+         |WHERE j >= 0.5 GROUP BY ia, ib""".stripMargin,
+
+    "d_simhash" ->
+      s"""WITH $simhashCteSql
+         |SELECT doc_id, sig FROM sig""".stripMargin,
+
+    "d_simhash_pairs" ->
+      s"""WITH $simhashCteSql
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+    "s_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 8),
+         |c AS (SELECT vec_id neighbor_id, embedding cv FROM embeddings),
+         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+         |       FROM q JOIN c ON query_id <> neighbor_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |      FROM sc)
+         |WHERE rank <= 5""".stripMargin,
+
+    "s_ann_lsh" ->
+      s"""WITH ${bucketCteSql(lshPlanes6)},
+         |eb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)),
+         |sc AS (SELECT x.vec_id query_id, y.vec_id neighbor_id,
+         |         ${cosSql("x.embedding", "y.embedding")} AS cos
+         |       FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |      FROM sc)
+         |WHERE rank <= 3""".stripMargin,
+
+    "s_near_dup" ->
+      s"""WITH ${bucketCteSql(lshPlanes4)},
+         |eb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id))
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  ${cosSql("x.embedding", "y.embedding")} AS cos
+         |FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin,
+
 
     "v_verdict" ->
       """SELECT doc_id,

@@ -1,0 +1,19 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    for (name <- args) {
+      val fn = SparkEntry.queries(name)
+      Bench.force(fn(spark, dir)) // warm
+      val t0 = System.nanoTime()
+      val n = Bench.force(fn(spark, dir))
+      println(f"TIMEQ $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,224 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.text.TextOps
+
+/**
+ * Near-duplicate detection for training-data pipelines: exact hashing,
+ * MinHash + LSH, SimHash banding, and exact n-gram Jaccard verification.
+ *
+ * Reference anchor: pydantic's set semantics ("sets - unique lists",
+ * `pydantic-core/src/validators/mod.rs:600-601`) generalized from
+ * unique-within-a-collection to unique-within-a-100TB-corpus.
+ *
+ * Scale design:
+ *  - Signatures are per-row map-only expressions (no shuffle, codegen'd).
+ *  - Candidate generation is an equi-join on (band_id, band_hash) — a hash
+ *    shuffle whose key cardinality is ~|docs|·bands / bucket-collision-rate,
+ *    NEVER an O(n²) cross join.
+ *  - Verification (exact Jaccard) runs only on candidate pairs.
+ *  - All hashes derive from md5 (engine-portable) so a DuckDB oracle can
+ *    replay every stage bit-for-bit; swap [[TextOps.hash60]] for xxhash64
+ *    on a real cluster for ~3x cheaper hashing (same topology).
+ */
+object Dedup {
+
+  // ------------------------------------------------------------- shingling
+
+  /** Word n-gram shingles (distinct), joined by single spaces.
+   * Documents shorter than n tokens yield their full token string. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** k-permutation MinHash signature over a shingle array: element j is
+   * min over shingles of md5(j || ':' || shingle) — string-min over hex
+   * digests is a valid uniform permutation and is portable to the oracle.
+   * One row-local expression; no shuffle. NOTE: array higher-order
+   * functions are CodegenFallback (interpreted per element) — fine for a
+   * handful of hashes, but the hot pipeline path is [[minhashSignatureDf]],
+   * which keeps every md5 inside whole-stage codegen. */
+  def minhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { j =>
+      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))
+    }: _*)
+
+  /** Codegen'd signature computation: explode shingles, then ONE hash
+   * aggregation with k min(md5) aggregates — the md5s and mins run inside
+   * whole-stage codegen with map-side partial aggregation, so the shuffle
+   * carries k×32-byte partial signatures per doc, not shingles.
+   * Returns (id, m0..m{k-1}). */
+  def minhashSignatureDf(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, shingleN: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val aggs = (0 until k).map { j =>
+      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j")
+    }
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band hashes: signature split into `bands` bands of `rowsPerBand`,
+   * each band hashed to one md5 string. k = bands * rowsPerBand. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
+
+  /** Exact Jaccard similarity of two shingle arrays (verification step —
+   * runs on candidate pairs only). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast(DoubleType) /
+      size(array_union(a, b))
+
+  /**
+   * Full MinHash-LSH near-dup pipeline:
+   *   shingle -> sign -> band -> bucket-join -> verify Jaccard >= threshold.
+   *
+   * Returns distinct (id_a, id_b, jaccard) with id_a < id_b.
+   *
+   * The join is banded LSH: docs sharing any band bucket become candidates.
+   * Probability a pair with Jaccard s collides: 1-(1-s^r)^b. The shuffle
+   * key is (band, hash) — high cardinality, naturally well-distributed;
+   * boilerplate-heavy corpora (one bucket holding millions of docs) are the
+   * skew case, handled by AQE skew-join splitting plus the `maxBucket`
+   * guard that drops degenerate buckets (standard practice: a bucket with
+   * 10^6 docs is boilerplate, not near-dup signal — and would produce 10^12
+   * pairs).
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 12, bands: Int = 4,
+                      shingleN: Int = 3, threshold: Double = 0.5,
+                      maxBucket: Long = 100000L): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    // 1. signatures via codegen'd explode+agg (one shuffle keyed by id)
+    val sig = minhashSignatureDf(df, idCol, textCol, numHashes, shingleN)
+    // 2. band hashes over the materialized signature columns (cheap md5s
+    //    over 32-char strings — no shingle recomputation anywhere above)
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+    }
+    val buckets = sig.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
+    val guarded = {
+      import org.apache.spark.sql.expressions.Window
+      // drop degenerate buckets before the self-join (count via window so
+      // the bucket list never hits the driver)
+      val w = Window.partitionBy("band", "bhash")
+      buckets.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    }
+    // 3. candidate pairs: slim self-join on (band, bhash) — ids only
+    val cand = guarded.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(guarded.select(col("band"), col("bhash"), col("id").as("id_b")),
+        Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // 4. verify with exact Jaccard: candidates are few, so Spark broadcasts
+    //    them and the shingle arrays never shuffle
+    val sh = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /**
+   * 60-bit SimHash over whitespace tokens: bit i of the fingerprint is the
+   * sign of Σ_tokens (±1 by bit i of hash60(token)). Computed as one
+   * row-local aggregate expression over a 60-counter array — map-only,
+   * no explode, no shuffle.
+   */
+  def simhash(text: Column, bits: Int = 60): Column = {
+    // hash once per token, then fold 60 static bit-vote counters (bit
+    // positions are compile-time constants, so every shift is a literal)
+    val hashes = transform(TextOps.tokens(text), t => TextOps.hash60(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), bits),
+      (acc, h) => array((0 until bits).map { i =>
+        element_at(acc, i + 1) +
+          when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)
+      }: _*))
+    (0 until bits).map { i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Codegen'd simhash: explode tokens, hash once, then ONE aggregation
+   * with 60 conditional-sum bit votes — partial aggregation means the
+   * shuffle carries 60 longs per doc regardless of document size. This is
+   * the hot-path form of [[simhash]] (whose array-fold is interpreted).
+   * Returns (id, sig). */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String,
+                bits: Int = 60): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("id"), TextOps.hash60(col("tok")).as("h"))
+    val votes = (0 until bits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1)
+        .otherwise(-1)).as(s"v$i")
+    }
+    val agg = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sig.as("sig"))
+  }
+
+  /**
+   * SimHash near-dup pairs with hamming distance <= maxHamming, found by
+   * chunk banding: split the fingerprint into `chunks` equal bit ranges;
+   * by pigeonhole, any pair within maxHamming <= chunks-1 shares at least
+   * one identical chunk, so the banded equi-join is EXACT (no false
+   * negatives) while avoiding the O(n²) cross join.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4,
+                   bits: Int = 60): DataFrame = {
+    require(chunks > maxHamming, "banding is exact only when chunks > maxHamming")
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val withSig = simhashDf(df, idCol, textCol, bits)
+    val chunked = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(mask)
+      }: _*)).as(Seq("chunk", "cval")))
+    val l = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("cval"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "cval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Exact duplicate groups by full-content hash: one map-side-combined
+   * groupBy on a 256-bit key. Returns (keep_id, copies) per group. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+}

@@ -1,0 +1,148 @@
+package graft.similarity
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over embedding columns (`array<float>`): brute-force
+ * cosine top-k as the exact baseline, random-hyperplane LSH bucketing as
+ * the scale path, and embedding-cosine near-duplicate pairs.
+ *
+ * Reference anchor: none in pydantic (it has no vector ops) — this is the
+ * training-data-pipeline extension mandated by the build brief.
+ *
+ * Scale design:
+ *  - Brute force is exact but O(|Q|·|C|): only usable when the query side
+ *    is broadcastable. The query set is broadcast so the corpus is a single
+ *    map-only pass (no corpus shuffle), with per-partition top-k partial
+ *    aggregation before the final k-merge.
+ *  - LSH replaces the cross product with an equi-join on bucket signatures:
+ *    corpus shuffles once by bucket; recall is tuned by (planes, tables).
+ *  - All arithmetic is in-order double folds so results are bit-identical
+ *    across engines (the DuckDB oracle replays the same plan).
+ */
+object Similarity {
+
+  /** In-order left-fold sum — deterministic, engine-portable (matches
+   * DuckDB's list_reduce order). */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+
+  /** Dot product of two equal-length double arrays, in array order. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(foldSum(transform(a, x => x * x)))
+
+  /** Cosine similarity; inputs cast elementwise to double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast(DoubleType))
+    val bd = transform(b, _.cast(DoubleType))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  // ---------------------------------------------------- deterministic planes
+
+  /** Engine-portable pseudo-random hyperplanes: component d of plane p is
+   * (h % 2001) - 1000 where h = first 15 hex chars of md5("p_d") parsed
+   * base-16 — integer components so both engines compute identical dots.
+   * Regenerable in SQL: CAST(concat('0x', substr(md5(p||'_'||d),1,15)) AS
+   * BIGINT) % 2001 - 1000. */
+  def portablePlanes(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        md.reset()
+        val hex = md.digest(s"${p}_$d".getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.take(15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toInt
+      }
+    }
+  }
+
+  /** LSH bucket signature: bit p set iff dot(vec, plane_p) > 0. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column = {
+    val vd = transform(vec, _.cast(DoubleType))
+    val bits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = typedLit(plane.map(_.toDouble))
+      when(dot(vd, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  // ------------------------------------------------------------ brute force
+
+  /**
+   * Exact cosine top-k: every query row against the whole corpus.
+   * `queries` is broadcast (must be small); the corpus side never shuffles —
+   * the only shuffle is the final per-query top-k window over
+   * |Q|·|C| candidate rows reduced map-side by nothing... so for large
+   * corpora prefer [[annLsh]]. Deterministic total order:
+   * (cosine desc, corpus id asc).
+   */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).as("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: candidates are corpus rows sharing the
+   * query's bucket signature; exact cosine + top-k within candidates.
+   * One corpus shuffle on the bucket key; query side broadcast. Recall
+   * rises with fewer planes (bigger buckets) or more tables (union of
+   * several plane sets).
+   */
+  def annLsh(queries: DataFrame, corpus: DataFrame,
+             qId: String, qVec: String, cId: String, cVec: String,
+             k: Int, planes: Seq[Seq[Int]]): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).as("__qv"), lshBucket(col(qVec), planes).as("__bucket")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      lshBucket(col(cVec), planes).as("__bucket"))
+    val scored = q.join(c, Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs: vectors in the same LSH bucket
+   * with cosine >= threshold. The equi-join on bucket keeps the pair count
+   * ~|corpus|·bucket_load instead of |corpus|²; exactness within a bucket.
+   */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Seq[Seq[Int]]): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), planes).as("__bucket"))
+    val l = sig.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"))
+    val r = sig.select(col("__bucket"), col("id").as("id_b"), col("v").as("vb"))
+    l.join(r, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization,
+ * quality scoring, language identification, and document fingerprinting.
+ *
+ * No direct reference analog — pydantic validates individual values; these
+ * generalize its string-constraint vocabulary
+ * (`pydantic/_internal/_known_annotated_metadata.py:18-96`: min_length,
+ * pattern, ascii rates) to corpus-level text quality signals.
+ *
+ * Everything is a pure `Column -> Column` function: per-row, shuffle-free,
+ * whole-stage-codegen'd. At 100 TB these run as map-only passes over the
+ * scan — the only shuffles in a text-quality pipeline are the final
+ * aggregations callers add on top.
+ */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish tokenization: letter runs | digit runs | single punctuation,
+   * the shape byte-pair pretokenizers produce, so token counts approximate
+   * LLM token budgeting. Extraction (not split) keeps the pattern inside
+   * RE2's feature set — portable to the DuckDB oracle. */
+  val bpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast(LongType)
+
+  /** Quality signals: chars/token, stopword ratio, alpha ratio,
+   * mean word length — the standard cheap filters (C4/Gopher-style) a
+   * training pipeline gates documents on. */
+  def charsPerToken(text: Column): Column =
+    length(text).cast(DoubleType) / tokenCount(text)
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    size(filter(toks, t => lower(t).isin(stopwords: _*))).cast(DoubleType) /
+      size(toks)
+  }
+
+  /** Fraction of characters that are letters — low values flag
+   * boilerplate/binary-ish documents. */
+  def alphaRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\p{L}", "")))
+      .cast(DoubleType) / length(text)
+
+  /**
+   * Language identification by stopword-profile scoring: score(text, lang) =
+   * |tokens ∩ profile(lang)| / |tokens|, argmax over languages.
+   * An n-gram/stopword heuristic (the classic cheap langid); profiles are
+   * tiny literal arrays so the whole thing is one codegen'd projection —
+   * no joins, no shuffles, no UDF.
+   *
+   * Deterministic tie-break: higher score wins, then lexicographic lang.
+   */
+  def langId(text: Column, profiles: Map[String, Seq[String]]): Column = {
+    val toks = tokens(lower(text))
+    val scored: Seq[Column] = profiles.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        struct(
+          (size(filter(toks, t => t.isin(words: _*))).cast(DoubleType) /
+            size(toks)).as("score"),
+          lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang): max by score then by lang — but we
+    // want ties broken by FIRST lang alphabetically, so invert: take max of
+    // (score, reversed-rank) — simpler: reduce with explicit comparison.
+    scored.reduce { (a, b) =>
+      when(b.getField("score") > a.getField("score"), b).otherwise(a)
+    }.getField("lang")
+  }
+
+  /** Default stopword profiles for the languages in the synthetic corpora.
+   * Word lists are the top function words of each language (public
+   * knowledge). */
+  val defaultProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "para", "que"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3")
+  )
+
+  /**
+   * Order-sensitive document fingerprint: a rolling polynomial hash over
+   * token hashes, h = Σ_i (i+1) · H(token_i) mod M, with
+   * H = first 15 hex chars of md5 (60-bit, engine-portable: DuckDB computes
+   * the identical value, so the oracle can replay it).
+   *
+   * Unlike a set-based MinHash this distinguishes permutations — it is the
+   * cheap "same bytes, same order" dedup key (reference analog: pydantic's
+   * whole-value equality in Literal; generalized to long documents).
+   */
+  def fingerprint(text: Column, mod: Long = 1000000007L): Column = {
+    val toks = tokens(text)
+    val hashed = transform(toks, (t, i) =>
+      (conv(substring(md5(t), 1, 15), 16, 10).cast(LongType) % mod) *
+        ((i + 1).cast(LongType) % mod) % mod)
+    aggregate(hashed, lit(0L), (acc, x) => (acc + x) % mod)
+  }
+
+  /** Portable 60-bit token hash shared with the DuckDB oracle:
+   * first 15 hex chars of md5, parsed base-16. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** Specs for the training-data-pipeline operators: text analysis, near-dup
+ * detection (MinHash/SimHash/Jaccard), and embedding similarity search. */
+class PipelineOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ text
+
+  test("bpe tokens: letter runs, digit runs, single punctuation") {
+    val n = Seq("foo_bar2 baz!!").toDF("text")
+      .select(TextOps.bpeTokenCount(col("text"))).as[Long].head()
+    // foo _ bar 2 baz ! ! -> 7
+    assert(n == 7)
+  }
+
+  test("langId picks the profile with highest stopword hit rate") {
+    val df = Seq(
+      (1L, "the cat sat of the mat and it is a thing"),
+      (2L, "der hund und die katze ist ein tier mit fell"),
+      (3L, "le chat est pour la maison et les jardins")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextOps.langId(col("text"), TextOps.defaultProfiles).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = (t: String) => Seq(t).toDF("text")
+      .select(TextOps.fingerprint(col("text"))).as[Long].head()
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a")) // permutation changes the hash
+    assert(fp("a b c") >= 0 && fp("a b c") < 1000000007L)
+  }
+
+  // ----------------------------------------------------------------- dedup
+
+  test("shingles: distinct word 3-grams; short docs fall back to full text") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("jaccard: exact set similarity") {
+    val j = Seq(((1 to 8).map("s" + _), (5 to 12).map("s" + _)))
+      .toDF("a", "b").select(Dedup.jaccard(col("a"), col("b")))
+      .as[Double].head()
+    assert(j == 4.0 / 12.0)
+  }
+
+  test("minhash-LSH finds near-dup pairs and skips dissimilar docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " other x"
+    val different = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, different)).toDF("id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "id", "text",
+      numHashes = 12, bands = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.8)
+  }
+
+  test("simhash: identical docs hash equal; near-dups are hamming-close") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 79).map(i => s"tok$i").mkString(" ") + " tok80x"
+    val far = (1 to 80).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("id", "text")
+      .select(col("id"), Dedup.simhash(col("text")).as("sig"))
+    val sigs = df.as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) < 10)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 15)
+  }
+
+  test("simhashPairs banding finds all pairs within maxHamming (exactness)") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, "completely different words"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxHamming = 3, chunks = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 0)
+  }
+
+  test("exact dedup groups by content hash") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val g = Dedup.exactGroups(df, "id", "text")
+      .select("keep_id", "copies").as[(Long, Long)].collect().toSet
+    assert(g == Set((1L, 2L), (3L, 1L)))
+  }
+
+  // ------------------------------------------------------------ similarity
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("cosine: known values") {
+    val df = vecDf(Seq((1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(2f, 0f, 0f))))
+    val c = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(math.abs(c((1L, 2L))) < 1e-12)      // orthogonal
+    assert(math.abs(c((1L, 3L)) - 1.0) < 1e-12) // parallel
+  }
+
+  test("brute-force top-k is exact and deterministically ordered") {
+    val df = vecDf(Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(1f, 0.01f))))
+    val top = Similarity.bruteForceTopK(df.filter(col("vec_id") === 1), df,
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(top == Set((1L, 4L), (2L, 2L))) // nearest = 4, then 2
+  }
+
+  test("LSH ANN: same-bucket neighbors scored exactly; near-dup pairs found") {
+    val planes = Similarity.portablePlanes(4, 4)
+    assert(planes == Similarity.portablePlanes(4, 4)) // deterministic
+    val df = vecDf(Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.99f, 0.01f, 0f, 0f)),
+      (3L, Seq(-1f, 0f, 0f, 0f))))
+    val nd = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9, planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nd == Set((1L, 2L))) // 1~2 collide and are near-identical
+    val ann = Similarity.annLsh(df, df, "vec_id", "embedding",
+      "vec_id", "embedding", k = 1, planes = planes)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ann.get(1L).contains(2L))
+  }
+}
