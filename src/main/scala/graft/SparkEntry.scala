@@ -241,6 +241,43 @@ object SparkEntry {
     "s_near_dup" -> ((s, dir) => {
       Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, planes = lshPlanes4)
+    }),
+
+    // ---- partition verdicts: per-partition pass/fail from violation rate
+    // (the Runner's checkpoint row, expressed over the documents table with
+    // `source` as the partition key so DuckDB can replay it)
+    "v_part_verdict" -> ((s, dir) => {
+      ModelValidator.plan(t(s, dir, "documents"), docModel)
+        .groupBy(col("source").as("part_id"))
+        .agg(count(lit(1)).as("row_count"),
+          sum(size(col(ModelValidator.VIOLATIONS))).as("violation_count"),
+          sum(when(col(ModelValidator.VALID), 0L).otherwise(1L)).as("invalid_rows"))
+        .withColumn("passed",
+          col("invalid_rows").cast("double") / col("row_count") <= 0.5)
+    }),
+
+    // ---- serialization: model_dump_json (by_alias + computed field)
+    "z_dump_json" -> ((s, dir) => {
+      import graft.serialize.Serializer
+      val m = ModelSpec("doc", Seq(
+        FieldSpec("doc_id", IntSpec()), FieldSpec("lang", StrSpec()),
+        FieldSpec("n_chars", IntSpec())))
+      Serializer.dumpJson(t(s, dir, "documents"), m,
+        Serializer.DumpSpec(
+          byAlias = Map("lang" -> "language"),
+          // computed field kept integer-typed: engines format doubles in
+          // JSON differently, ints identically
+          computed = Seq("n2" -> (col("n_chars") * 2))))
+    }),
+
+    // ---- serialization: model_dump projection (include/exclude/alias)
+    "z_dump_proj" -> ((s, dir) => {
+      import graft.serialize.Serializer
+      Serializer.dump(t(s, dir, "documents"), docModel,
+        Serializer.DumpSpec(
+          include = Some(Seq("doc_id", "lang", "source", "text")),
+          exclude = Set("text"),
+          byAlias = Map("source" -> "src")))
     })
   )
 
@@ -376,6 +413,42 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
          |      FROM sc)
          |WHERE rank <= 3""".stripMargin,
+
+    "v_part_verdict" ->
+      """WITH viol AS (
+        |  SELECT source FROM documents WHERE doc_id IS NULL
+        |  UNION ALL SELECT source FROM documents WHERE doc_id < 0
+        |  UNION ALL SELECT source FROM documents WHERE text IS NULL
+        |  UNION ALL SELECT source FROM documents WHERE length(text) < 100
+        |  UNION ALL SELECT source FROM documents WHERE length(text) > 500
+        |  UNION ALL SELECT source FROM documents WHERE lang IS NULL
+        |  UNION ALL SELECT source FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        |  UNION ALL SELECT source FROM documents WHERE source IS NULL
+        |  UNION ALL SELECT source FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+        |  UNION ALL SELECT source FROM documents WHERE n_chars IS NULL
+        |  UNION ALL SELECT source FROM documents WHERE n_chars < 1
+        |  UNION ALL SELECT source FROM documents WHERE n_chars > 1000),
+        |vc AS (SELECT source, CAST(count(*) AS BIGINT) violation_count FROM viol GROUP BY source),
+        |fl AS (SELECT source, CASE WHEN
+        |    coalesce(doc_id >= 0 AND length(text) >= 100 AND length(text) <= 500
+        |      AND lang IN ('en','de','fr') AND regexp_matches(source, '^src[0-9]+$')
+        |      AND n_chars >= 1 AND n_chars <= 1000, FALSE)
+        |    AND doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |    AND source IS NOT NULL AND n_chars IS NOT NULL
+        |  THEN 0 ELSE 1 END inv FROM documents),
+        |base AS (SELECT source, count(*) row_count, CAST(sum(inv) AS BIGINT) invalid_rows
+        |         FROM fl GROUP BY source)
+        |SELECT base.source AS part_id, base.row_count,
+        |  coalesce(vc.violation_count, 0) AS violation_count, base.invalid_rows,
+        |  base.invalid_rows * 1.0 / base.row_count <= 0.5 AS passed
+        |FROM base LEFT JOIN vc ON base.source = vc.source""".stripMargin,
+
+    "z_dump_json" ->
+      """SELECT to_json(struct_pack(doc_id := doc_id, language := lang,
+        |  n_chars := n_chars, n2 := n_chars * 2)) AS json FROM documents""".stripMargin,
+
+    "z_dump_proj" ->
+      "SELECT doc_id, lang, source AS src FROM documents",
 
     "s_near_dup" ->
       s"""WITH ${bucketCteSql(lshPlanes4)},

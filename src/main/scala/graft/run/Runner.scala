@@ -1,0 +1,247 @@
+package graft.run
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checks.{Drift, TableChecks}
+import graft.compile.ModelValidator
+import graft.spec.ModelSpec
+
+/**
+ * Checkpointed, resumable validation runs (north rule): the input table is
+ * bucketed by key hash, each wave of buckets is validated and its
+ * violations + per-partition metrics committed atomically, and a killed run
+ * resumes by anti-joining pending buckets against the completed ledger.
+ *
+ * Reference anchor: pydantic validates one object per call and the caller
+ * owns retries; at 10^12 rows the "caller" must be this: partition-level
+ * units of work with exactly-once commit semantics.
+ *
+ * Storage layout under `outDir` (parquet-dir TableIO — an Iceberg results
+ * table on a real cluster, same shape):
+ *   violations/part_id=K/ (parquet)  dynamic-partition-overwritten per wave
+ *   ledger/wave-<uuid>.json          one JSON-lines file per committed wave
+ *                                    (written tmp + atomic rename)
+ *   _ref_hist/ (parquet)             content-length reference histogram,
+ *                                    frozen on first run (drift baseline)
+ *
+ * Partitions NOT present in the ledger are untrusted: a wave killed
+ * mid-write leaves orphan parquet under violations/ which the next run
+ * overwrites (partitionOverwriteMode=dynamic) and the reader ignores.
+ */
+object Runner {
+
+  /** Per-partition verdict + lineage row — the checkpoint unit. */
+  final case class PartitionResult(
+      part_id: Int,
+      spec_hash: String,
+      row_count: Long,
+      violation_count: Long,
+      invalid_rows: Long,
+      sha_checksum: Long,
+      psi: Double,
+      passed: Boolean,
+      attempt: Int,
+      completed_at_ms: Long)
+
+  final case class RunReport(
+      buckets: Int,
+      skipped: Seq[Int],
+      ran: Seq[Int],
+      passed: Seq[Int],
+      failed: Seq[Int])
+
+  /** Stable hash of the compiled spec — part of partition lineage, so a
+   * spec change invalidates nothing silently (results are keyed by it). */
+  def specHash(m: ModelSpec): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(m.toString.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** Bucket assignment: xxhash64 of the partition key — uniform even when
+   * key values are skewed (the mega-repo still lands in ONE bucket, which
+   * is the point: verdicts are per key group; skew inside a bucket is
+   * handled by the salted aggs of TableChecks). */
+  def partitionId(key: Column, buckets: Int): Column =
+    pmod(xxhash64(key), lit(buckets)).cast("int")
+
+  // ------------------------------------------------------------- ledger IO
+
+  private def ledgerDir(outDir: String) = Paths.get(outDir, "ledger")
+
+  /** Committed partitions (part_id -> attempt), only entries whose
+   * spec_hash matches. */
+  def completedParts(spark: SparkSession, outDir: String,
+                     spec: String): Map[Int, Int] = {
+    val dir = ledgerDir(outDir)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val files = Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+    if (files.isEmpty) return Map.empty
+    spark.read.json(files: _*)
+      .filter(col("spec_hash") === spec)
+      .groupBy("part_id").agg(max("attempt").as("attempt"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+  }
+
+  /** Atomic wave commit: JSON-lines tmp file + rename. */
+  private def commitWave(outDir: String, results: Seq[PartitionResult]): Unit = {
+    Files.createDirectories(ledgerDir(outDir))
+    val json = results.map { r =>
+      s"""{"part_id":${r.part_id},"spec_hash":"${r.spec_hash}","row_count":${r.row_count},""" +
+        s""""violation_count":${r.violation_count},"invalid_rows":${r.invalid_rows},""" +
+        s""""sha_checksum":${r.sha_checksum},"psi":${r.psi},"passed":${r.passed},""" +
+        s""""attempt":${r.attempt},"completed_at_ms":${r.completed_at_ms}}"""
+    }.mkString("", "\n", "\n")
+    val tmp = ledgerDir(outDir).resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, json)
+    Files.move(tmp, ledgerDir(outDir).resolve(s"wave-${UUID.randomUUID()}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ---------------------------------------------------------------- driver
+
+  /**
+   * Validate `df` under `model`, checkpointing per `buckets` partitions of
+   * `xxhash64(keyCol) % buckets`, `waveSize` buckets per Spark job.
+   *
+   * Resumable: partitions already in the ledger (same spec hash) are
+   * skipped — the input for a completed bucket is never re-read because the
+   * bucket filter is pushed into the scan's partition pruning when the
+   * input is bucketed/partitioned by the same key, and is a cheap scan
+   * filter otherwise.
+   *
+   * Pass criteria per partition: violation rate <= maxViolationRate AND
+   * content-length PSI vs the frozen reference histogram <= maxPsi.
+   */
+  def run(spark: SparkSession, df: DataFrame, model: ModelSpec,
+          keyCol: String, contentCol: String, outDir: String,
+          buckets: Int = 64, waveSize: Int = 16,
+          maxViolationRate: Double = 0.05, maxPsi: Double = 0.25,
+          histLo: Double = 0, histHi: Double = 8192,
+          histBuckets: Int = 40): RunReport = {
+    val spec = specHash(model)
+    val done = completedParts(spark, outDir, spec)
+    val all = 0 until buckets
+    val pending = all.filterNot(done.contains)
+    val withPart = df.withColumn("__part",
+      partitionId(col(keyCol), buckets))
+
+    // freeze the drift reference histogram on first contact
+    val refHistPath = s"$outDir/_ref_hist"
+    if (!Files.isDirectory(Paths.get(refHistPath))) {
+      val tmp = s"$outDir/._ref_hist-${UUID.randomUUID()}"
+      Drift.histogram(withPart, lit("all"),
+        Drift.bucketize(length(col(contentCol)), histLo, histHi, histBuckets))
+        .groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      try Files.move(Paths.get(tmp), Paths.get(refHistPath),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        // concurrent run won the race; use theirs and drop our staging dir
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
+    }
+    val refHist = spark.read.parquet(refHistPath)
+
+    var ranAll = Vector.empty[Int]
+    var passedAll = Vector.empty[Int]
+    pending.grouped(waveSize).foreach { wave =>
+      val waveDf = withPart.filter(col("__part").isin(wave: _*))
+      val planned = ModelValidator.plan(waveDf, model)
+        .withColumn("__sha", TableChecks.sha256(col(contentCol)))
+        .withColumn("__sha60",
+          coalesce(graft.text.TextOps.hash60(col("__sha")), lit(0L)))
+
+      // violations sink for the wave, committed per part_id directory
+      planned.filter(size(col(ModelValidator.VIOLATIONS)) > 0)
+        .select(col("__part").as("part_id"), col(keyCol).as("key"),
+          explode(col(ModelValidator.VIOLATIONS)).as("v"))
+        .select(col("part_id"), col("key"),
+          col("v.loc").as("loc"), col("v.type").as("type"),
+          col("v.msg").as("msg"), col("v.input").as("input"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_id")
+        .parquet(s"$outDir/violations")
+
+      // per-partition metrics: ONE aggregation pass (partial+final)
+      val metrics = planned.groupBy(col("__part").as("part_id")).agg(
+        count(lit(1)).as("row_count"),
+        sum(size(col(ModelValidator.VIOLATIONS))).as("violation_count"),
+        sum(when(col(ModelValidator.VALID), 0L).otherwise(1L)).as("invalid_rows"),
+        // order-independent content checksum: xor of 60-bit sha prefixes —
+        // the per-row sha256-equality invariant aggregated per partition
+        // (xor never overflows; any single changed row flips it)
+        expr("bit_xor(__sha60)").as("sha_checksum"))
+
+      // drift per partition vs the frozen reference
+      val hist = Drift.histogram(waveDf, col("__part"),
+        Drift.bucketize(length(col(contentCol)), histLo, histHi, histBuckets))
+      val psiDf = Drift.psi(hist, refHist)
+        .select(col("part").as("part_id"), col("psi"))
+
+      val rows = metrics.join(psiDf, Seq("part_id"), "left")
+        .collect().map { r =>
+          val partId = r.getAs[Int]("part_id")
+          val rc = r.getAs[Long]("row_count")
+          val vc = Option(r.getAs[Any]("violation_count"))
+            .map(_.toString.toLong).getOrElse(0L)
+          val inv = r.getAs[Long]("invalid_rows")
+          val psi = Option(r.getAs[Any]("psi"))
+            .map(_.toString.toDouble).getOrElse(0.0)
+          PartitionResult(partId, spec, rc, vc, inv,
+            r.getAs[Long]("sha_checksum"), psi,
+            passed = inv.toDouble / rc <= maxViolationRate && psi <= maxPsi,
+            attempt = done.getOrElse(partId, 0) + 1,
+            completed_at_ms = System.currentTimeMillis())
+        }
+      // empty buckets still need ledger entries (completed, zero rows)
+      val seen = rows.map(_.part_id).toSet
+      val empties = wave.filterNot(seen.contains).map { p =>
+        PartitionResult(p, spec, 0L, 0L, 0L, 0L, 0.0, passed = true,
+          attempt = done.getOrElse(p, 0) + 1,
+          completed_at_ms = System.currentTimeMillis())
+      }
+      val committed = rows.toSeq ++ empties
+      commitWave(outDir, committed)
+      ranAll ++= committed.map(_.part_id)
+      passedAll ++= committed.filter(_.passed).map(_.part_id)
+    }
+    RunReport(buckets,
+      skipped = done.keys.toSeq.sorted,
+      ran = ranAll.sorted,
+      passed = passedAll.sorted,
+      failed = (ranAll.toSet -- passedAll.toSet).toSeq.sorted)
+  }
+
+  /** All committed partition results (latest attempt per partition). */
+  def results(spark: SparkSession, outDir: String): DataFrame = {
+    val dir = ledgerDir(outDir)
+    if (!Files.isDirectory(dir))
+      return spark.emptyDataFrame
+    val files = Files.list(dir).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+    val raw = spark.read.json(files: _*)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("part_id").orderBy(col("attempt").desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Violations of committed partitions only (ledger-gated read — orphan
+   * files from killed waves are invisible). */
+  def violations(spark: SparkSession, outDir: String): DataFrame = {
+    val committed = results(spark, outDir).select("part_id")
+    spark.read.parquet(s"$outDir/violations")
+      .join(committed, Seq("part_id"), "left_semi")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.spec
+
+/**
+ * JSON Schema export — `model_json_schema` parity
+ * (reference: `pydantic/main.py:604-640`, generator
+ * `pydantic/json_schema.py:350-448`, per-kind methods `:620-2196`).
+ *
+ * Pure Scala (no Spark): walks the Spec ADT and emits a draft-2020-12-style
+ * schema document the way pydantic does for the equivalent model. Only the
+ * kinds our engine supports are emitted; Python-runtime-only kinds don't
+ * exist in the ADT.
+ */
+object JsonSchemaGen {
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def obj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
+
+  private def str(s: String): String = s""""${esc(s)}""""
+
+  def toJson(spec: Spec): String = spec match {
+    case s: StrSpec =>
+      obj(Seq("type" -> str("string")) ++
+        s.minLength.map(v => "minLength" -> v.toString) ++
+        s.maxLength.map(v => "maxLength" -> v.toString) ++
+        s.pattern.map(p => "pattern" -> str(p)))
+    case s: IntSpec =>
+      obj(Seq("type" -> str("integer")) ++
+        s.gt.map(v => "exclusiveMinimum" -> v.toString) ++
+        s.ge.map(v => "minimum" -> v.toString) ++
+        s.lt.map(v => "exclusiveMaximum" -> v.toString) ++
+        s.le.map(v => "maximum" -> v.toString) ++
+        s.multipleOf.map(v => "multipleOf" -> v.toString))
+    case s: FloatSpec =>
+      obj(Seq("type" -> str("number")) ++
+        s.gt.map(v => "exclusiveMinimum" -> v.toString) ++
+        s.ge.map(v => "minimum" -> v.toString) ++
+        s.lt.map(v => "exclusiveMaximum" -> v.toString) ++
+        s.le.map(v => "maximum" -> v.toString) ++
+        s.multipleOf.map(v => "multipleOf" -> v.toString))
+    case _: BoolSpec => obj(Seq("type" -> str("boolean")))
+    case s: DecimalSpec =>
+      obj(Seq("anyOf" -> s"[${obj(Seq("type" -> str("number")))}, ${obj(Seq("type" -> str("string")))}]"))
+    case _: DateSpec => obj(Seq("type" -> str("string"), "format" -> str("date")))
+    case _: DatetimeSpec => obj(Seq("type" -> str("string"), "format" -> str("date-time")))
+    case s: BytesSpec =>
+      obj(Seq("type" -> str("string"), "format" -> str("binary")) ++
+        s.minLength.map(v => "minLength" -> v.toString) ++
+        s.maxLength.map(v => "maxLength" -> v.toString))
+    case s: UuidSpec => obj(Seq("type" -> str("string"), "format" -> str("uuid")))
+    case s: UrlSpec =>
+      obj(Seq("type" -> str("string"), "format" -> str("uri"),
+        "minLength" -> "1") ++ s.maxLength.map(v => "maxLength" -> v.toString))
+    case LiteralSpec(vs) =>
+      obj(Seq("enum" -> vs.map(str).mkString("[", ", ", "]")))
+    case EnumSpec(vs) =>
+      obj(Seq("enum" -> vs.map(str).mkString("[", ", ", "]")))
+    case NoneSpec => obj(Seq("type" -> str("null")))
+    case AnySpec => "{}"
+    case NullableSpec(inner) =>
+      obj(Seq("anyOf" -> s"[${toJson(inner)}, ${obj(Seq("type" -> str("null")))}]"))
+    case WithDefaultSpec(inner, default, _) =>
+      // pydantic inlines `default` next to the inner schema
+      val innerJson = toJson(inner)
+      val d = s""""${esc(default)}""""
+      if (innerJson == "{}") obj(Seq("default" -> d))
+      else innerJson.dropRight(1) + s""", "default": $d}"""
+    case ChainSpec(steps) => toJson(steps.last)
+    case CustomErrorSpec(inner, _, _) => toJson(inner)
+    case JsonSpec(_, inner) =>
+      obj(Seq("type" -> str("string"),
+        "contentMediaType" -> str("application/json")))
+    case UnionSpec(choices, _) =>
+      obj(Seq("anyOf" -> choices.map(toJson).mkString("[", ", ", "]")))
+    case TaggedUnionSpec(disc, choices) =>
+      obj(Seq(
+        "oneOf" -> choices.values.map(toJson).mkString("[", ", ", "]"),
+        "discriminator" -> obj(Seq("propertyName" -> str(disc)))))
+    case s: ListSpec =>
+      obj(Seq("type" -> str("array"), "items" -> toJson(s.item)) ++
+        s.minLength.map(v => "minItems" -> v.toString) ++
+        s.maxLength.map(v => "maxItems" -> v.toString))
+    case s: SetSpec =>
+      obj(Seq("type" -> str("array"), "items" -> toJson(s.item),
+        "uniqueItems" -> "true") ++
+        s.minLength.map(v => "minItems" -> v.toString) ++
+        s.maxLength.map(v => "maxItems" -> v.toString))
+    case s: DictSpec =>
+      obj(Seq("type" -> str("object"),
+        "additionalProperties" -> toJson(s.value)))
+    case m: ModelSpec =>
+      val props = m.fields.map(f => s""""${esc(f.name)}": ${toJson(f.spec)}""")
+        .mkString("{", ", ", "}")
+      val req = m.fields.filter(_.required).map(f => str(f.name))
+        .mkString("[", ", ", "]")
+      obj(Seq(
+        "title" -> str(m.name),
+        "type" -> str("object"),
+        "properties" -> props,
+        "required" -> req) ++
+        (if (m.extra == Extra.Forbid) Seq("additionalProperties" -> "false")
+         else Nil))
+  }
+}

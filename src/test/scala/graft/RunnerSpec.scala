@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.data.SourceFilesGen
+import graft.run.Runner
+
+class RunnerSpec extends SparkTestBase {
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft-run").toString
+    d
+  }
+
+  lazy val input = SourceFilesGen.generate(spark, 5000L).cache()
+  val model = Bench.sourceFileModel
+
+  test("run commits every bucket with lineage + metrics") {
+    val out = freshDir()
+    val report = Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 8, waveSize = 3)
+    assert(report.skipped.isEmpty)
+    assert(report.ran.sorted == (0 until 8))
+    val res = Runner.results(spark, out)
+    assert(res.count() == 8)
+    val total = res.agg(sum("row_count")).collect().head.getLong(0)
+    assert(total == 5000L)
+    // violations exist (generator injects them) and are ledger-gated
+    assert(Runner.violations(spark, out).count() > 0)
+    // spec hash recorded on every row
+    assert(res.filter(col("spec_hash") === Runner.specHash(model)).count() == 8)
+  }
+
+  test("resume skips completed partitions; tampered ledger re-runs only the hole") {
+    val out = freshDir()
+    val r1 = Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 8, waveSize = 8)
+    assert(r1.ran.size == 8)
+    // full resume: nothing to do
+    val r2 = Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 8, waveSize = 8)
+    assert(r2.ran.isEmpty && r2.skipped.size == 8)
+    // simulate a killed wave: drop the ledger, keep data files
+    val ledger = Paths.get(out, "ledger")
+    Files.list(ledger).forEach(p => Files.delete(p))
+    val r3 = Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 8, waveSize = 8)
+    assert(r3.ran.size == 8) // all re-validated, attempt bumped
+    val res = Runner.results(spark, out)
+    assert(res.count() == 8)
+  }
+
+  test("sha checksum is deterministic across runs (reference-run invariant)") {
+    val out1 = freshDir(); val out2 = freshDir()
+    Runner.run(spark, input, model, "repo", "content", out1, buckets = 4)
+    Runner.run(spark, input, model, "repo", "content", out2, buckets = 4)
+    val a = Runner.results(spark, out1)
+      .select("part_id", "sha_checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Runner.results(spark, out2)
+      .select("part_id", "sha_checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.size == 4)
+  }
+
+  test("spec change invalidates completed partitions (lineage keyed by spec hash)") {
+    val out = freshDir()
+    Runner.run(spark, input, model, "repo", "content", out, buckets = 4)
+    val changed = model.copy(fields = model.fields.take(3))
+    val r = Runner.run(spark, input, changed, "repo", "content", out, buckets = 4)
+    assert(r.skipped.isEmpty && r.ran.size == 4)
+  }
+}
