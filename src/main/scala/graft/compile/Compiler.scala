@@ -78,6 +78,14 @@ object Compiler {
   private def strictOf(specStrict: Option[Boolean], mode: Mode): Boolean =
     specStrict.getOrElse(mode == Mode.Strict)
 
+  /** Reference list formatting for literal/enum expected values:
+   * "'a', 'b' or 'c'" (`pydantic-core/src/validators/literal.rs:337-360`). */
+  private def expectedRepr(vs: Seq[String]): String = {
+    val q = vs.map("'" + _ + "'")
+    if (q.size <= 1) q.mkString
+    else q.init.mkString(", ") + " or " + q.last
+  }
+
   /**
    * Compile `spec` against `input` (whose static Spark type is `inputType`)
    * at location `loc` (array<string> column).
@@ -142,14 +150,14 @@ object Compiler {
     case LiteralSpec(values) =>
       val bad = when(input.isNotNull && !input.isin(values: _*),
         oneS(loc, T.literalError,
-          s"Input should be ${values.map("'" + _ + "'").mkString(" or ")}",
+          s"Input should be ${expectedRepr(values)}",
           input, Map("expected" -> values.mkString(","))))
       Compiled(when(input.isin(values: _*), input), collect(Seq(bad)), inputType)
 
     case EnumSpec(values) =>
       val bad = when(input.isNotNull && !input.isin(values: _*),
         oneS(loc, T.enumError,
-          s"Input should be ${values.map("'" + _ + "'").mkString(" or ")}",
+          s"Input should be ${expectedRepr(values)}",
           input, Map("expected" -> values.mkString(","))))
       Compiled(when(input.isin(values: _*), input), collect(Seq(bad)), inputType)
 
@@ -188,7 +196,7 @@ object Compiler {
           if (s.asciiOnly)
             Some(when(v1.isNotNull && !v1.rlike("^[\\x00-\\x7F]*$"),
               oneS(loc, T.stringNotAscii,
-                "Input should be ASCII", input)))
+                "String should contain only ASCII characters", input)))
           else None,
           s.minLength.map(n => when(v1.isNotNull && length(v1) < n,
             oneS(loc, T.stringTooShort,
