@@ -183,8 +183,8 @@ object SparkEntry {
 
     // ---- text: language identification (stopword-profile argmax)
     "t_lang_id" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TextOps.langId(col("text"), TextOps.defaultProfiles).as("lang_pred"))
+      TextOps.langIdDf(t(s, dir, "documents"), "doc_id", "text",
+        TextOps.defaultProfiles).withColumnRenamed("id", "doc_id")
     }),
 
     // ---- text: order-sensitive rolling-hash document fingerprint
@@ -195,10 +195,8 @@ object SparkEntry {
 
     // ---- dedup: MinHash signatures (4 permutations, md5-portable)
     "d_minhash_sig" -> ((s, dir) => {
-      val sig = Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 4)
-      t(s, dir, "documents").select(col("doc_id"),
-        element_at(sig, 1).as("m0"), element_at(sig, 2).as("m1"),
-        element_at(sig, 3).as("m2"), element_at(sig, 4).as("m3"))
+      Dedup.minhashSignatureDf(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, shingleN = 3).withColumnRenamed("id", "doc_id")
     }),
 
     // ---- dedup: MinHash-LSH near-dup pairs (12 hashes, 4 bands x 3,
@@ -227,7 +225,7 @@ object SparkEntry {
     "s_ann_brute" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 8), e,
-        "vec_id", "embedding", "vec_id", "embedding", k = 5)
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, dim = 64)
     }),
 
     // ---- similarity: LSH-bucketed approximate top-3 (6 hyperplanes)

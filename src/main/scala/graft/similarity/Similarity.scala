@@ -28,23 +28,22 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** In-order left-fold sum — deterministic, engine-portable (matches
-   * DuckDB's list_reduce order). */
-  private def foldSum(arr: Column): Column =
-    aggregate(arr, lit(0.0d), (acc, x) => acc + x)
+  /** Dot product over a STATIC dimension as a left-associated chain of
+   * element products — bit-identical to an in-order left fold (matches
+   * DuckDB's list_reduce) but, unlike array higher-order functions (which
+   * are CodegenFallback, interpreted per element), stays entirely inside
+   * whole-stage codegen. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map { i =>
+      element_at(a, i + 1).cast(DoubleType) *
+        element_at(b, i + 1).cast(DoubleType)
+    }.reduceLeft(_ + _)
 
-  /** Dot product of two equal-length double arrays, in array order. */
-  def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x * y))
+  def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
-  def norm(a: Column): Column = sqrt(foldSum(transform(a, x => x * x)))
-
-  /** Cosine similarity; inputs cast elementwise to double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, _.cast(DoubleType))
-    val bd = transform(b, _.cast(DoubleType))
-    dot(ad, bd) / (norm(ad) * norm(bd))
-  }
+  /** Cosine similarity; elementwise double arithmetic in array order. */
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
   // ---------------------------------------------------- deterministic planes
 
@@ -65,12 +64,14 @@ object Similarity {
     }
   }
 
-  /** LSH bucket signature: bit p set iff dot(vec, plane_p) > 0. */
+  /** LSH bucket signature: bit p set iff dot(vec, plane_p) > 0. Plane
+   * components are literals, so each dot is a static codegen'd chain. */
   def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column = {
-    val vd = transform(vec, _.cast(DoubleType))
     val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = typedLit(plane.map(_.toDouble))
-      when(dot(vd, planeCol) > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      val d = plane.zipWithIndex.map { case (c, i) =>
+        element_at(vec, i + 1).cast(DoubleType) * lit(c.toDouble)
+      }.reduceLeft(_ + _)
+      when(d > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -87,13 +88,13 @@ object Similarity {
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
-                     k: Int): DataFrame = {
+                     k: Int, dim: Int): DataFrame = {
     val q = broadcast(queries.select(col(qId).as("query_id"),
       col(qVec).as("__qv")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        cosine(col("__qv"), col("__cv"), dim).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -112,6 +113,7 @@ object Similarity {
   def annLsh(queries: DataFrame, corpus: DataFrame,
              qId: String, qVec: String, cId: String, cVec: String,
              k: Int, planes: Seq[Seq[Int]]): DataFrame = {
+    val dim = planes.head.size
     val q = broadcast(queries.select(col(qId).as("query_id"),
       col(qVec).as("__qv"), lshBucket(col(qVec), planes).as("__bucket")))
     val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
@@ -119,7 +121,7 @@ object Similarity {
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv")).as("cos"))
+        cosine(col("__qv"), col("__cv"), dim).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -135,6 +137,7 @@ object Similarity {
    */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Seq[Seq[Int]]): DataFrame = {
+    val dim = planes.head.size
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), planes).as("__bucket"))
     val l = sig.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"))
@@ -142,7 +145,7 @@ object Similarity {
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb")).as("cos"))
+        cosine(col("va"), col("vb"), dim).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -113,7 +113,7 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, Seq(2f, 0f, 0f))))
     val c = df.as("a").crossJoin(df.as("b"))
       .select(col("a.vec_id"), col("b.vec_id"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+        Similarity.cosine(col("a.embedding"), col("b.embedding"), 3).as("c"))
       .as[(Long, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(math.abs(c((1L, 2L))) < 1e-12)      // orthogonal
@@ -125,7 +125,7 @@ class PipelineOpsSpec extends SparkTestBase {
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)),
       (4L, Seq(1f, 0.01f))))
     val top = Similarity.bruteForceTopK(df.filter(col("vec_id") === 1), df,
-      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+      "vec_id", "embedding", "vec_id", "embedding", k = 2, dim = 2)
       .select("rank", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(top == Set((1L, 4L), (2L, 2L))) // nearest = 4, then 2
   }
