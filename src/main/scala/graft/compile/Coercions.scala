@@ -81,5 +81,36 @@ object Coercions {
   def timestampToDateExact(c: Column): Column =
     when(c === date_trunc("DAY", c), c.cast(DateType))
 
+  /** "HH:MM:SS[.ffffff]" -> seconds of day; null when malformed
+   * (speedate time grammar, `validators/time.rs`). */
+  def timeStrToSeconds(c: Column): Column = {
+    val re = "^([01]?\\d|2[0-3]):([0-5]\\d):([0-5]\\d(?:\\.\\d{1,6})?)$"
+    when(c.rlike(re),
+      regexp_extract(c, re, 1).cast(DoubleType) * 3600 +
+        regexp_extract(c, re, 2).cast(DoubleType) * 60 +
+        regexp_extract(c, re, 3).cast(DoubleType))
+  }
+
+  /** Timedelta string -> total seconds; accepts ISO-8601 durations
+   * ("[-]P1DT2H3M4.5S", "PT90S") and "[-]HH:MM:SS[.ffffff]"
+   * (speedate `duration` grammar, `validators/timedelta.rs`). */
+  def timedeltaStrToSeconds(c: Column): Column = {
+    val iso = "^(-)?P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d{1,6})?)S)?)?$"
+    val hms = "^(-)?(\\d+):([0-5]\\d):([0-5]\\d(?:\\.\\d{1,6})?)$"
+    // unmatched groups extract as "" -> try_cast nulls them -> 0.0
+    def g(re: String, i: Int): Column =
+      coalesce(regexp_extract(c, re, i).try_cast(DoubleType), lit(0.0))
+    val isoSecs = g(iso, 2) * 86400 + g(iso, 3) * 3600 + g(iso, 4) * 60 + g(iso, 5)
+    val isoSigned = when(regexp_extract(c, iso, 1) === "-", -isoSecs)
+      .otherwise(isoSecs)
+    val hmsSecs = g(hms, 2) * 3600 + g(hms, 3) * 60 + g(hms, 4)
+    val hmsSigned = when(regexp_extract(c, hms, 1) === "-", -hmsSecs)
+      .otherwise(hmsSecs)
+    // "P" alone (no components) is not a valid duration
+    when(c.rlike(iso) && c =!= "P" && c =!= "-P" && c =!= "PT" && c =!= "-PT",
+      isoSigned)
+      .when(c.rlike(hms), hmsSigned)
+  }
+
   def try_cast(c: Column, to: DataType): Column = c.try_cast(to)
 }

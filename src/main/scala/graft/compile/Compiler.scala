@@ -143,6 +143,8 @@ object Compiler {
     case s: DecimalSpec => compileDecimal(input, inputType, loc, s, mode)
     case s: DateSpec => compileDate(input, inputType, loc, s, mode)
     case s: DatetimeSpec => compileDatetime(input, inputType, loc, s, mode)
+    case s: TimeSpec => compileTime(input, inputType, loc, s, mode)
+    case s: TimedeltaSpec => compileTimedelta(input, inputType, loc, s, mode)
     case s: BytesSpec => compileBytes(input, inputType, loc, s, mode)
     case s: UuidSpec => compileUuid(input, inputType, loc, s, mode)
     case s: UrlSpec => compileUrl(input, inputType, loc, s, mode)
@@ -417,6 +419,60 @@ object Compiler {
     val cs = orderedChecks[String](value, loc, input, s.gt, s.ge, s.lt, s.le,
       None, (b: String) => lit(b).cast(TimestampType))
     Compiled(value, collect(parseChecks ++ nowChecks ++ cs), TimestampType)
+  }
+
+  // ------------------------------------------------------------------- time
+
+  private def compileTime(input: Column, t: DataType, loc: Column,
+                          s: TimeSpec, mode: Mode): Compiled = {
+    if (!t.isInstanceOf[StringType])
+      return typeViolation(loc, T.timeType, "Input should be a valid time",
+        input, DoubleType)
+    val v = Coercions.timeStrToSeconds(trim(input))
+    val parseCheck = when(input.isNotNull && v.isNull,
+      oneS(loc, T.timeParsing,
+        "Input should be in a valid time format, invalid character in hour",
+        input))
+    def bound(b: String): Column = Coercions.timeStrToSeconds(lit(b))
+    val cs = Seq(
+      s.gt.map(b => when(v.isNotNull && !(v > bound(b)),
+        oneS(loc, T.greaterThan, s"Input should be greater than $b", input,
+          Map("gt" -> b)))),
+      s.ge.map(b => when(v.isNotNull && !(v >= bound(b)),
+        oneS(loc, T.greaterThanEqual,
+          s"Input should be greater than or equal to $b", input, Map("ge" -> b)))),
+      s.lt.map(b => when(v.isNotNull && !(v < bound(b)),
+        oneS(loc, T.lessThan, s"Input should be less than $b", input,
+          Map("lt" -> b)))),
+      s.le.map(b => when(v.isNotNull && !(v <= bound(b)),
+        oneS(loc, T.lessThanEqual,
+          s"Input should be less than or equal to $b", input, Map("le" -> b))))
+    ).flatten
+    Compiled(v, collect(parseCheck +: cs), DoubleType)
+  }
+
+  // -------------------------------------------------------------- timedelta
+
+  private def compileTimedelta(input: Column, t: DataType, loc: Column,
+                               s: TimedeltaSpec, mode: Mode): Compiled = {
+    val strict = strictOf(s.strict, mode)
+    val (value, parseChecks): (Column, Seq[Column]) = t match {
+      case _: StringType =>
+        val v = Coercions.timedeltaStrToSeconds(trim(input))
+        (v, Seq(when(input.isNotNull && v.isNull,
+          oneS(loc, T.timeDeltaParsing,
+            "Input should be a valid timedelta, invalid digit in duration",
+            input))))
+      case _ if isNumeric(t) && !strict =>
+        // lax numeric = total seconds (speedate accepts int/float seconds)
+        (input.cast(DoubleType), Nil)
+      case _ =>
+        return typeViolation(loc, T.timeDeltaType,
+          "Input should be a valid timedelta", input, DoubleType)
+    }
+    val cs = orderedChecks[Double](value, loc, input, s.gt, s.ge, s.lt, s.le,
+      None, lit(_))
+    Compiled(value, collect(parseChecks ++ cs), DoubleType)
   }
 
   // ------------------------------------------------------------------ bytes

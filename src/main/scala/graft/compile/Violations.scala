@@ -112,7 +112,10 @@ object Violations {
     val datetimeParsing = "datetime_parsing"
     val datetimePast = "datetime_past"
     val datetimeFuture = "datetime_future"
+    val timeType = "time_type"
+    val timeParsing = "time_parsing"
     val timeDeltaType = "time_delta_type"
+    val timeDeltaParsing = "time_delta_parsing"
     val uuidParsing = "uuid_parsing"
     val uuidVersion = "uuid_version"
     val urlParsing = "url_parsing"

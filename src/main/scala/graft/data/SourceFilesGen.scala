@@ -33,8 +33,13 @@ object SourceFilesGen {
   }
 
   def generate(spark: SparkSession, n: Long, seed: Long = 42L,
-               repoCount: Int = 1000, violationRatePerMille: Int = 20): DataFrame = {
-    val ids = spark.range(n)
+               repoCount: Int = 1000, violationRatePerMille: Int = 20,
+               partitions: Int = 0): DataFrame = {
+    // explicit partition count pins the physical layout WITHOUT a shuffle
+    // (range splits are computed, not moved) — required by the scaling
+    // protocol, which compares two parallelism levels over identical tasks
+    val ids = if (partitions > 0) spark.range(0L, n, 1L, partitions)
+              else spark.range(n)
     val h = xxhash64(col("id"), lit(seed))           // master per-row hash
     val h2 = xxhash64(col("id"), lit(seed + 1))
     val h3 = xxhash64(col("id"), lit(seed + 2))

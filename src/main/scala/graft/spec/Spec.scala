@@ -109,6 +109,29 @@ final case class DatetimeSpec(
     strict: Option[Boolean] = None
 ) extends Spec
 
+/** Time-of-day schema — reference `validators/time.rs`. Values and bounds
+ * are "HH:MM:SS[.ffffff]" strings; compiled value is seconds-of-day
+ * (DoubleType — Spark has no bare time type; documented mapping). */
+final case class TimeSpec(
+    gt: Option[String] = None,
+    ge: Option[String] = None,
+    lt: Option[String] = None,
+    le: Option[String] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Timedelta schema — reference `validators/timedelta.rs` (speedate:
+ * ISO-8601 durations and "[-]HH:MM:SS[.ffffff]"). Compiled value is total
+ * seconds (DoubleType; `DayTimeIntervalType` loses sub-ranges). Bounds in
+ * seconds. */
+final case class TimedeltaSpec(
+    gt: Option[Double] = None,
+    ge: Option[Double] = None,
+    lt: Option[Double] = None,
+    le: Option[Double] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
 sealed trait NowOp extends Serializable
 object NowOp {
   /** value must be strictly before now — error `date_past`/`datetime_past` */
