@@ -276,6 +276,63 @@ object SparkEntry {
           include = Some(Seq("doc_id", "lang", "source", "text")),
           exclude = Set("text"),
           byAlias = Map("source" -> "src")))
+    }),
+
+    // ---- tagged union: O(1) dispatch on event_type, per-branch model
+    // (union.rs:292-352 -> CASE WHEN); unknown tags -> union_tag_invalid
+    "q_tagged_union" -> ((s, dir) => {
+      import graft.compile.Compiler
+      val recType = org.apache.spark.sql.types.DataType.fromDDL(
+        "event_type string, value double, k bigint")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val ev = t(s, dir, "events").select(col("event_id"),
+        struct(col("event_type"), col("value"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("k BIGINT"))
+            .getField("k").as("k")).as("rec"))
+      val spec = TaggedUnionSpec("event_type", Map(
+        "purchase" -> ModelSpec("purchase",
+          Seq(FieldSpec("value", FloatSpec(ge = Some(10.0))))),
+        "click" -> ModelSpec("click",
+          Seq(FieldSpec("k", IntSpec(le = Some(50))))),
+        "signup" -> ModelSpec("signup", Seq(FieldSpec("value", AnySpec))),
+        "error" -> ModelSpec("error", Seq(FieldSpec("value", AnySpec))),
+        "view" -> ModelSpec("view", Seq(FieldSpec("value", AnySpec)))))
+      val c = Compiler.compile(col("rec"), recType, array(lit("rec")),
+        spec, Mode.Lax)
+      ev.select(col("event_id"),
+        size(c.violations).as("n_viol"),
+        try_element_at(c.violations, lit(1)).getField("type").as("vtype"))
+    }),
+
+    // ---- extras: Luhn checksum + card brand (PaymentCardNumber,
+    // pydantic/types.py:1964) over synthesized PANs
+    "x_luhn" -> ((s, dir) => {
+      import graft.functions.Extras
+      val card = concat(lit("4"), lpad(col("doc_id").cast("string"), 15, "0"))
+      t(s, dir, "documents").select(col("doc_id"),
+        Extras.luhnValid(card).as("luhn_ok"),
+        Extras.cardBrand(card).as("brand"))
+    }),
+
+    // ---- extras: email shape check (EmailStr approximation)
+    "x_email" -> ((s, dir) => {
+      import graft.functions.Extras
+      val email = when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("source"), lit(" bad@x")))
+        .otherwise(concat(col("source"), lit("@example.com")))
+      t(s, dir, "documents").select(col("doc_id"),
+        Extras.isEmail(email).as("email_ok"))
+    }),
+
+    // ---- extras: ByteSize parse (pydantic/types.py:2070)
+    "x_bytesize" -> ((s, dir) => {
+      import graft.functions.Extras
+      val unit = element_at(typedLit(Seq("B", "KiB", "MB", "GiB")),
+        pmod(col("doc_id"), lit(4)).cast("int") + 1)
+      val sz = concat(col("n_chars").cast("string"), lit(" "), unit)
+      t(s, dir, "documents").select(col("doc_id"),
+        Extras.parseByteSize(sz).as("bytes"))
     })
   )
 
@@ -447,6 +504,54 @@ object SparkEntry {
 
     "z_dump_proj" ->
       "SELECT doc_id, lang, source AS src FROM documents",
+
+    "q_tagged_union" ->
+      """SELECT event_id,
+        |  CASE WHEN event_type = 'purchase' AND value < 10 THEN 1
+        |       WHEN event_type = 'click'
+        |            AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1
+        |       ELSE 0 END AS n_viol,
+        |  CASE WHEN event_type = 'purchase' AND value < 10 THEN 'greater_than_equal'
+        |       WHEN event_type = 'click'
+        |            AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 'less_than_equal'
+        |       END AS vtype
+        |FROM events""".stripMargin,
+
+    "x_luhn" ->
+      """WITH c AS (SELECT doc_id, '4' || lpad(CAST(doc_id AS VARCHAR), 15, '0') AS card
+        |           FROM documents)
+        |SELECT doc_id,
+        |  regexp_matches(card, '^[0-9]{12,19}$') AND
+        |  list_reduce(list_transform(generate_series(1, length(card)), i ->
+        |    CASE WHEN i % 2 = 0
+        |         THEN CASE WHEN CAST(substr(reverse(card), i, 1) AS INT) * 2 > 9
+        |                   THEN CAST(substr(reverse(card), i, 1) AS INT) * 2 - 9
+        |                   ELSE CAST(substr(reverse(card), i, 1) AS INT) * 2 END
+        |         ELSE CAST(substr(reverse(card), i, 1) AS INT) END),
+        |    (a, b) -> a + b) % 10 = 0 AS luhn_ok,
+        |  CASE WHEN substr(card, 1, 1) = '4' THEN 'visa'
+        |       WHEN substr(card, 1, 2) BETWEEN '51' AND '55' THEN 'mastercard'
+        |       WHEN substr(card, 1, 2) IN ('34', '37') THEN 'amex'
+        |       ELSE 'other' END AS brand
+        |FROM c""".stripMargin,
+
+    "x_email" ->
+      """SELECT doc_id,
+        |  regexp_matches(
+        |    CASE WHEN doc_id % 10 = 0 THEN source || ' bad@x'
+        |         ELSE source || '@example.com' END,
+        |    '^[A-Za-z0-9.!#$%&''*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$'
+        |  ) AS email_ok
+        |FROM documents""".stripMargin,
+
+    "x_bytesize" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN n_chars
+        |    WHEN 1 THEN n_chars * 1024
+        |    WHEN 2 THEN n_chars * 1000000
+        |    ELSE n_chars * 1073741824 END AS BIGINT) AS bytes
+        |FROM documents""".stripMargin,
 
     "s_near_dup" ->
       s"""WITH ${bucketCteSql(lshPlanes4)},

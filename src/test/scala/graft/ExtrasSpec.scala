@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Extras
+
+class ExtrasSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("luhn: known-valid and known-invalid PANs (types.py:1964)") {
+    // 4242424242424242 is the canonical valid test PAN
+    val cases = Seq("4242424242424242", "4242424242424241", "1234", "abcd")
+    val got = cases.toDF("c")
+      .select(Extras.luhnValid(col("c"))).as[Boolean].collect().toSeq
+    assert(got == Seq(true, false, false, false))
+    val brands = Seq("4242424242424242", "5105105105105100", "371449635398431")
+      .toDF("c").select(Extras.cardBrand(col("c"))).as[String].collect().toSeq
+    assert(brands == Seq("visa", "mastercard", "amex"))
+  }
+
+  test("bytesize: decimal vs binary units (types.py:2070)") {
+    val cases = Seq("100", "1KiB", "1.5 KB", "2MiB", "1 GB", "junk")
+    val got = cases.toDF("c")
+      .select(Extras.parseByteSize(col("c"))).as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(100L), Some(1024L), Some(1500L),
+      Some(2097152L), Some(1000000000L), None))
+  }
+
+  test("email + base64 + redaction") {
+    assert(Seq("a.b@ex.com").toDF("c").select(Extras.isEmail(col("c")))
+      .as[Boolean].head())
+    assert(!Seq("a b@ex.com").toDF("c").select(Extras.isEmail(col("c")))
+      .as[Boolean].head())
+    assert(Seq("aGVsbG8=").toDF("c").select(Extras.isBase64(col("c")))
+      .as[Boolean].head())
+    assert(!Seq("a===").toDF("c").select(Extras.isBase64(col("c")))
+      .as[Boolean].head())
+    val red = Seq("hunter2").toDF("c").select(Extras.redact(col("c")))
+      .as[String].head()
+    assert(red == "**********")
+  }
+}
