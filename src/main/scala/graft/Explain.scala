@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit: dump `.explain("formatted")` for representative queries so
+ * scan pruning (ReadSchema), filter pushdown (PushedFilters), broadcast
+ * choices and WholeStageCodegen spans can be reviewed. Findings recorded
+ * in BENCH.md §plan-audit. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("v_verdict", "z_dump_proj", "v_ri_lang", "q_join_agg",
+        "d_minhash_lsh", "v_drift_psi")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    // the headline validation plan over the synthetic generator
+    println("\n========== validation (generated input) ==========")
+    val gen = graft.data.SourceFilesGen.generate(spark, 1000L)
+    graft.compile.ModelValidator.plan(gen, Bench.sourceFileModel)
+      .explain("formatted")
+    spark.stop()
+  }
+}

@@ -49,11 +49,18 @@ object Violations {
       if (ctx.isEmpty) emptyCtx else typedLit(ctx))
 
   /** Collect maybe-violations (null = check passed) into a bundle.
-   * Error paths stay cold: the array is only materialized from whens
-   * (cf. `#[cold]` in `validators/mod.rs:670-683`). */
+   *
+   * Shape matters for performance: `filter(array(...), isNotNull)` reads
+   * naturally but ArrayFilter is a higher-order function — CodegenFallback,
+   * so it would eject the ENTIRE validation projection from whole-stage
+   * codegen (measured: the verdict plan lost its codegen id). Instead each
+   * check contributes a 0/1-element array and Concat (which has array
+   * codegen) merges them; the violation struct is still built only behind
+   * the check's `when` (cold error path, cf. `#[cold]` in
+   * `validators/mod.rs:670-683`). */
   def collect(checks: Seq[Column]): Column =
     if (checks.isEmpty) empty
-    else filter(array(checks: _*), x => x.isNotNull)
+    else concat(checks.map(c => when(c.isNotNull, array(c)).otherwise(empty)): _*)
 
   /** Concatenate bundles (all non-null by construction). */
   def merge(bundles: Seq[Column]): Column = bundles match {
