@@ -583,9 +583,12 @@ object Compiler {
         case itemSpec =>
           // element loc = loc ++ [index] — reference loc paths carry list
           // indices (`errors/location.rs:15-23`).
-          val elemViols = flatten(transform(input, (x, i) =>
+          val allElemViols = flatten(transform(input, (x, i) =>
             compile(x, elemType, concat(loc, array(i.cast(StringType))),
               itemSpec, mode).violations))
+          // fail_fast: keep only the first violation (list.rs:21,113)
+          val elemViols =
+            if (s.failFast) slice(allElemViols, 1, 1) else allElemViols
           val firstCompiled = compile(lit(null).cast(elemType), elemType,
             loc, itemSpec, mode)
           val mapped = transform(input, x =>

@@ -130,6 +130,84 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  // -------------------------------------------------------------------- IVF
+
+  /** IVF coarse quantizer: deterministic sample of corpus vectors as
+   * centroids (every `corpusSize/k`-th id — one tiny collect; real k-means
+   * refinement would iterate the same assignment below). Returns
+   * (centroidId, vector-as-doubles). */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(idCol))
+    val n = corpus.count()
+    val step = math.max(1L, n / k)
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter((col("__rn") - 1) % step === 0)
+      .limit(k)
+      .select(col(vecCol))
+      .collect().toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble).toSeq
+      }
+  }
+
+  /** Nearest-centroid id (argmin squared L2 over literal centroids; static
+   * codegen'd chains). */
+  def ivfAssign(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    centroids.map { case (cid, cvec) =>
+      val d2 = cvec.zipWithIndex.map { case (cv, i) =>
+        val diff = element_at(vec, i + 1).cast(DoubleType) - lit(cv)
+        diff * diff
+      }.reduceLeft(_ + _)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }.reduce { (a, b) =>
+      when(b.getField("d2") < a.getField("d2"), b).otherwise(a)
+    }.getField("cid")
+
+  /** `nprobe` nearest centroid ids, as an array column (for query-side
+   * multi-probe). */
+  def ivfProbes(vec: Column, centroids: Seq[(Int, Seq[Double])],
+                nprobe: Int): Column = {
+    val scored = array(centroids.map { case (cid, cvec) =>
+      val d2 = cvec.zipWithIndex.map { case (cv, i) =>
+        val diff = element_at(vec, i + 1).cast(DoubleType) - lit(cv)
+        diff * diff
+      }.reduceLeft(_ + _)
+      struct(d2.as("d2"), lit(cid).as("cid"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cid"))
+  }
+
+  /**
+   * IVF ANN: corpus partitioned into centroid cells (ONE pass to assign +
+   * one shuffle by cell), queries probe their `nprobe` nearest cells and
+   * rank candidates by exact cosine. Compared to LSH, recall is controlled
+   * directly by nprobe and cells balance better under skewed embedding
+   * distributions (a hot hyperplane bucket has no analog here: cells have
+   * ~|corpus|/k vectors by construction of sampled centroids).
+   */
+  def annIvf(queries: DataFrame, corpus: DataFrame,
+             qId: String, qVec: String, cId: String, cVec: String,
+             k: Int, dim: Int, centroids: Seq[(Int, Seq[Double])],
+             nprobe: Int = 2): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).as("__qv"),
+      explode(ivfProbes(col(qVec), centroids, nprobe)).as("__cell")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      ivfAssign(col(cVec), centroids).as("__cell"))
+    val scored = q.join(c, Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv"), dim).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   /**
    * Embedding-cosine near-duplicate pairs: vectors in the same LSH bucket
    * with cosine >= threshold. The equi-join on bucket keeps the pair count

@@ -242,7 +242,11 @@ final case class JsonSpec(innerDdl: String, inner: Option[ModelSpec] = None)
 final case class ListSpec(
     item: Spec = AnySpec,
     minLength: Option[Int] = None,
-    maxLength: Option[Int] = None
+    maxLength: Option[Int] = None,
+    /** stop at the first element violation — reference `list.rs:21,113`;
+     * columnar analog: the bundle keeps only the first element's
+     * violations (evaluation itself is vectorized either way). */
+    failFast: Boolean = false
 ) extends Spec
 
 /** Set semantics = unique list — reference `validators/set.rs` and the

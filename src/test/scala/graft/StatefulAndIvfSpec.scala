@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.similarity.Similarity
+import graft.spec._
+import graft.streaming.StatefulChecks
+
+class StatefulAndIvfSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  val model = ModelSpec("m", Seq(
+    FieldSpec("score", IntSpec(ge = Some(0)))))
+
+  test("flatMapGroupsWithState: streak alert fires when k consecutive invalids arrive") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("src", "score")
+    val alerts = StatefulChecks.invalidStreakAlerts(stream, model, "src",
+      threshold = 3)
+    val q = alerts.toDF().writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      // one row per microbatch per key -> deterministic streak order;
+      // state carries ACROSS microbatches (the point of GroupState)
+      mem.addData(("a", -1L), ("b", 5L)); q.processAllAvailable()
+      mem.addData(("a", -1L), ("b", -1L)); q.processAllAvailable()
+      assert(spark.table("alerts").count() == 0) // a-streak=2, b-streak=1
+      mem.addData(("a", -1L)); q.processAllAvailable()
+      val rows = spark.table("alerts")
+        .select("key", "streak").as[(String, Long)].collect().toSet
+      assert(rows == Set(("a", 3L)))
+      // valid row resets the streak; next 3 invalids re-alert
+      mem.addData(("a", 1L)); q.processAllAvailable()
+      mem.addData(("a", -1L)); q.processAllAvailable()
+      mem.addData(("a", -1L)); q.processAllAvailable()
+      mem.addData(("a", -1L)); q.processAllAvailable()
+      assert(spark.table("alerts").filter(col("key") === "a").count() == 2)
+    } finally q.stop()
+  }
+
+  test("IVF: assignment picks nearest centroid; probed search finds the neighbor") {
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.95f, 0.05f)), (3L, Seq(0.9f, 0.1f)),
+      (4L, Seq(0f, 1f)), (5L, Seq(0.05f, 0.95f)), (6L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val assigned = df.select(col("vec_id"),
+      Similarity.ivfAssign(col("embedding"), centroids).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(assigned == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1, 6L -> 1))
+    // nprobe=1: query 1 only probes cell 0; rank-1 neighbor is 2
+    val top = Similarity.annIvf(df.filter(col("vec_id") === 1), df,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 2, dim = 2, centroids = centroids, nprobe = 1)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(top == Set((1L, 2L), (2L, 3L)))
+    // nprobe=2 searches both cells: same top-2 here, but candidates include cell 1
+    val top2 = Similarity.annIvf(df.filter(col("vec_id") === 1), df,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, dim = 2, centroids = centroids, nprobe = 2)
+    assert(top2.count() == 5)
+    // centroid sampling is deterministic and returns <= k rows
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 2)
+    assert(cents.size == 2 && cents == Similarity.ivfCentroids(df, "vec_id", "embedding", 2))
+  }
+
+  test("fail_fast list keeps only the first element violation (list.rs:21)") {
+    val spec = ListSpec(IntSpec(ge = Some(0)), failFast = true)
+    val got = run(spec, ArrayType(LongType), Seq(Seq(-1L, -2L, -3L)))
+    assert(got.head._2 == Seq("greater_than_equal")) // one, not three
+    val all = run(ListSpec(IntSpec(ge = Some(0))), ArrayType(LongType),
+      Seq(Seq(-1L, -2L, -3L)))
+    assert(all.head._2.size == 3)
+  }
+}
