@@ -333,6 +333,40 @@ object SparkEntry {
       val sz = concat(col("n_chars").cast("string"), lit(" "), unit)
       t(s, dir, "documents").select(col("doc_id"),
         Extras.parseByteSize(sz).as("bytes"))
+    }),
+
+    // ---- uniqueness, salted two-phase flavor (skew path): must agree
+    // with the plain groupBy — same oracle as v_unique_dups
+    "v_unique_salted" -> ((s, dir) => {
+      TableChecks.duplicateKeysSalted(t(s, dir, "documents"),
+        Seq("lang", "source"), saltBuckets = 16)
+    }),
+
+    // ---- checkpointed runner end-to-end (rows-only driver check: no
+    // ANSI-SQL analog for ledger/resume semantics). Fresh state dir per
+    // invocation; returns the committed per-partition verdict rows.
+    "r_runner" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-verify-runner").toString
+      val docs = t(s, dir, "documents")
+        .withColumn("content", col("text"))
+      graft.run.Runner.run(s, docs, docModel, keyCol = "source",
+        contentCol = "content", outDir = out, buckets = 8, waveSize = 4,
+        histLo = 0, histHi = 600, histBuckets = 20)
+      graft.run.Runner.results(s, out)
+        .select(col("part_id").cast("long").as("part_id"), col("row_count"),
+          col("violation_count"), col("invalid_rows"), col("passed"))
+    }),
+
+    // ---- multimodal plumbing (rows-only): synthetic media -> batch
+    // feature extraction -> per-kind aggregate
+    "m_media_stats" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(Multimodal.synthetic(s, 600L)).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"),
+          sum(col("byte_size")).as("total_bytes"),
+          count(when(col("frame_count") > 0, 1)).as("with_frames"))
     })
   )
 
@@ -597,6 +631,10 @@ object SparkEntry {
         |  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""".stripMargin,
 
     "v_unique_dups" ->
+      """SELECT lang, source, count(*) AS dup_count FROM documents
+        |GROUP BY lang, source HAVING count(*) > 1""".stripMargin,
+
+    "v_unique_salted" ->
       """SELECT lang, source, count(*) AS dup_count FROM documents
         |GROUP BY lang, source HAVING count(*) > 1""".stripMargin,
 

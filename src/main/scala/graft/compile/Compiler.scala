@@ -745,9 +745,14 @@ object Compiler {
       val present = st.fieldNames.toSet
       val fieldResults: Seq[(String, Column, Column, DataType)] =
         m.fields.map { f =>
-          val sourceName = (f.name +: f.aliases).find(present.contains)
+          val hit: Option[(Column, DataType)] =
+            (f.name +: f.aliases).find(present.contains)
+              .map(src => (input.getField(src), st(src).dataType))
+              .orElse(f.aliasPaths.iterator
+                .flatMap(pth => AliasResolver.resolve(st, input.getField, pth))
+                .nextOption())
           val floc = concat(loc, array(lit(f.name)))
-          sourceName match {
+          hit match {
             case None =>
               if (f.required && !hasDefault(f.spec))
                 (f.name, lit(null).cast(StringType),
@@ -758,9 +763,7 @@ object Compiler {
                   f.spec, m.mode)
                 (f.name, c.value, c.violations, c.dataType)
               }
-            case Some(src) =>
-              val col0 = input.getField(src)
-              val ft = st(src).dataType
+            case Some((col0, ft)) =>
               val c = compile(col0, ft, floc, f.spec, m.mode)
               val viols =
                 if (f.required && !isNullTolerant(f.spec))

@@ -30,7 +30,13 @@ object ModelValidator {
     val present = st.fieldNames.toSet
     val results: Seq[(String, Column, Column)] = model.fields.map { f =>
       val floc = array(lit(f.name))
-      (f.name +: f.aliases).find(present.contains) match {
+      val hit: Option[(Column, DataType)] =
+        (f.name +: f.aliases).find(present.contains)
+          .map(src => (col(src), st(src).dataType))
+          .orElse(f.aliasPaths.iterator
+            .flatMap(pth => AliasResolver.resolve(st, col, pth))
+            .nextOption())
+      hit match {
         case None =>
           if (f.required && !nullTolerant(f.spec))
             (f.name, lit(null).cast(StringType),
@@ -40,9 +46,8 @@ object ModelValidator {
               floc, f.spec, model.mode)
             (f.name, c.value, c.violations)
           }
-        case Some(src) =>
-          val col0 = col(src)
-          val c = Compiler.compile(col0, st(src).dataType, floc, f.spec,
+        case Some((col0, srcType)) =>
+          val c = Compiler.compile(col0, srcType, floc, f.spec,
             model.mode)
           val (value, viols) =
             if (f.required && !nullTolerant(f.spec))

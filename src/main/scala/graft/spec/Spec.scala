@@ -274,9 +274,12 @@ final case class FieldSpec(
     name: String,
     spec: Spec,
     required: Boolean = true,
-    /** validation aliases, tried in order — reference `pydantic/aliases.py`,
-     * LookupTree `model_fields.rs:108`. */
-    aliases: Seq[String] = Nil
+    /** validation aliases, tried in order — reference `pydantic/aliases.py`
+     * AliasChoices; LookupTree `model_fields.rs:108`. */
+    aliases: Seq[String] = Nil,
+    /** nested-path aliases — AliasPath('data', 0, 'name') ==
+     * Seq("data", "0", "name"); tried after flat aliases. */
+    aliasPaths: Seq[Seq[String]] = Nil
 ) extends Serializable
 
 /** Extra-field behavior — reference `model_fields.rs:67`. */
