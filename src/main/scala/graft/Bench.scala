@@ -66,6 +66,17 @@ object Bench {
       name -> t
     }
 
+    // ---- north-star composite model (reference test_north_star.py):
+    // UUID/decimal/date/time/datetime + nested discriminated unions from
+    // lax strings — the reference's own flagship benchmark shape
+    val nsRows = 500000L
+    val nsDf = graft.data.NorthStar.generate(spark, nsRows)
+    val nsPlan = ModelValidator.plan(nsDf, graft.data.NorthStar.personSpec)
+    force(ModelValidator.plan(graft.data.NorthStar.generate(spark, 50000L),
+      graft.data.NorthStar.personSpec)) // warm
+    val nsSecs = time { force(nsPlan) }
+    val nsMRows = nsRows / nsSecs / 1e6
+
     // ---- headline: validation throughput on the synthetic source table
     val gen = SourceFilesGen.generate(spark, benchRows)
       .repartition(cpus.toInt * 2)
@@ -79,7 +90,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"validation_mrows_per_sec","value":$mRowsPerSec%.3f,"unit":"Mrows/sec","queries_total_sec":$total%.3f,"queries":$qs%s,"validate_rows":$benchRows%d,"validate_sec":$vSecs%.3f,"sf":"$sfDir%s"}""")
+    println(f"""{"metric":"validation_mrows_per_sec","value":$mRowsPerSec%.3f,"unit":"Mrows/sec","queries_total_sec":$total%.3f,"queries":$qs%s,"validate_rows":$benchRows%d,"validate_sec":$vSecs%.3f,"north_star_mrows":$nsMRows%.3f,"north_star_rows":$nsRows%d,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

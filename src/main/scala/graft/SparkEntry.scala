@@ -367,6 +367,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("byte_size")).as("total_bytes"),
           count(when(col("frame_count") > 0, 1)).as("with_frames"))
+    }),
+
+    // ---- north-star composite model (rows-only): the reference's own
+    // flagship benchmark shape — UUID/decimal/date/time/datetime + a list
+    // of two-level discriminated unions, validated from lax strings
+    "ns_verdict" -> ((s, dir) => {
+      val df = graft.data.NorthStar.generate(s, 5000L)
+      ModelValidator.plan(df, graft.data.NorthStar.personSpec)
+        .select(col("row_id"),
+          size(col(ModelValidator.VIOLATIONS)).as("n_viol"),
+          col(ModelValidator.VALID).as("valid"))
     })
   )
 

@@ -719,8 +719,8 @@ object Compiler {
         val disc = input.getField(s.discriminator)
         // O(1) dispatch == CASE WHEN on the tag (reference `union.rs:336`
         // LiteralLookup; Catalyst case-when short-circuits the same way)
-        val branchViols = s.choices.map { case (tag, model) =>
-          (disc === tag, compileModel(input, st, loc, model, mode).violations)
+        val branchViols = s.choices.map { case (tag, branchSpec) =>
+          (disc === tag, compile(input, st, loc, branchSpec, mode).violations)
         }.toSeq
         val unknown = collect(Seq(oneS(loc, T.unionTagInvalid,
           s"Input tag '{tag}' found using '${s.discriminator}' does not match any of the expected tags: " +

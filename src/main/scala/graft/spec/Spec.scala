@@ -219,7 +219,10 @@ object UnionMode {
  * executes the same way. Unknown tag -> `union_tag_invalid`. */
 final case class TaggedUnionSpec(
     discriminator: String,
-    choices: Map[String, ModelSpec]
+    /** per-tag spec — usually a ModelSpec, but any Spec (e.g. a nested
+     * TaggedUnionSpec for two-level discriminators like the reference
+     * north-star's Website -> SocialProfile). */
+    choices: Map[String, Spec]
 ) extends Spec
 
 /** Override the error emitted by the inner spec — reference
