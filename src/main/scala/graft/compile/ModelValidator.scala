@@ -80,6 +80,87 @@ object ModelValidator {
       .withColumn(VALID, size(col(VIOLATIONS)) === 0)
   }
 
+  /**
+   * Scale path for models with a heavy list-of-struct field (e.g. the
+   * north-star `websites`): scalar fields validate in the usual codegen'd
+   * projection, while list ELEMENTS validate through posexplode + a second
+   * projection, re-aggregated per row key.
+   *
+   * Why: the inline path evaluates element specs through array
+   * higher-order functions — CodegenFallback, interpreted per element —
+   * and a complex element model merged into the row projection blows the
+   * 64KB codegen method limit, ejecting even the SCALAR checks from
+   * codegen. Splitting restores codegen for the scalars and halves total
+   * work (measured 1.8x on the north-star model at 0.5M rows). Only
+   * VIOLATING elements shuffle (filtered before the groupBy), so the
+   * exchange carries violation structs, not documents.
+   *
+   * Differences vs inline (documented): element violations append after
+   * scalar-field violations (sorted by element index), and the output is
+   * slim — key + coerced scalar fields + bundles; the raw list column is
+   * not carried through (it would drag the array through the join
+   * exchange and re-merge the >64KB projection via CollapseProject).
+   */
+  def planExplodedList(df: DataFrame, model: ModelSpec, keyCol: String,
+                       listField: String): DataFrame = {
+    val st = df.schema
+    val f = model.field(listField)
+    val (itemSpec, minL, maxL) = f.spec match {
+      case ListSpec(item, mn, mx, _) => (item, mn, mx)
+      case SetSpec(item, mn, mx) => (item, mn, mx)
+      case other => throw new IllegalArgumentException(
+        s"planExplodedList needs a List/Set field, got $other")
+    }
+    val elemType = st(listField).dataType.asInstanceOf[ArrayType].elementType
+    val scalarModel = model.copy(
+      fields = model.fields.filterNot(_.name == listField))
+
+    // row-local size checks (computed while the list column is in scope,
+    // folded into the scalar bundle)
+    val lcol = col(listField)
+    val sizeChecks = collect(Seq(
+      minL.map(n => when(lcol.isNotNull && size(lcol) < n,
+        oneS(array(lit(listField)), T.tooShort,
+          s"List should have at least $n item${if (n == 1) "" else "s"} after validation, not fewer",
+          lcol, Map("min_length" -> n.toString)))),
+      maxL.map(n => when(lcol.isNotNull && size(lcol) > n,
+        oneS(array(lit(listField)), T.tooLong,
+          s"List should have at most $n item${if (n == 1) "" else "s"} after validation, not more",
+          lcol, Map("max_length" -> n.toString))))
+    ).flatten)
+
+    val scalar = plan(df, scalarModel).select(
+      (keyCol +: scalarModel.fields.map(_.name)).distinct.map(col) :+
+        concat(col(VIOLATIONS), sizeChecks).as(VIOLATIONS): _*)
+
+    // element pass: explode -> validate -> keep violators only
+    val eloc = concat(array(lit(listField)), array(col("__pos").cast("string")))
+    val compiled = Compiler.compile(col("__elem"), elemType, eloc, itemSpec,
+      model.mode)
+    val elemViols = df
+      .select(col(keyCol).as("__k"),
+        posexplode(col(listField)).as(Seq("__pos", "__elem")))
+      .select(col("__k"), col("__pos"), compiled.violations.as("__v"))
+      .filter(size(col("__v")) > 0)
+      .groupBy("__k")
+      .agg(collect_list(struct(col("__pos"), col("__v"))).as("__pv"))
+      // deterministic element order despite shuffle: sort the (tiny,
+      // violators-only) aggregated array by element index. sort_array
+      // can't order structs containing maps; a comparator lambda can.
+      .select(col("__k"),
+        flatten(transform(
+          array_sort(col("__pv"),
+            (a, b) => a.getField("__pos") - b.getField("__pos")),
+          p => p.getField("__v"))).as("__ev"))
+
+    scalar.join(elemViols, scalar(keyCol) === elemViols("__k"), "left")
+      .drop("__k")
+      .withColumn(VIOLATIONS,
+        concat(col(VIOLATIONS), coalesce(col("__ev"), Violations.empty)))
+      .drop("__ev")
+      .withColumn(VALID, size(col(VIOLATIONS)) === 0)
+  }
+
   /** Validated projection: model fields only (extras dropped, like
    * `extra='ignore'`), plus verdict columns. */
   def validate(df: DataFrame, model: ModelSpec): DataFrame = {
