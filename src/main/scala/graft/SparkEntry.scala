@@ -460,18 +460,24 @@ object SparkEntry {
         |FROM tk""".stripMargin,
 
     "d_minhash_sig" ->
-      s"""WITH $shinglesCteSql
+      s"""WITH $shinglesCteSql,
+         |hh AS (SELECT doc_id, list_transform(sh, x ->
+         |  [CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 1000000007,
+         |   CAST(concat('0x', substr(md5(x), 17, 15)) AS BIGINT) % 1000000007]) hs FROM s)
          |SELECT doc_id,
-         |  list_min(list_transform(sh, x -> md5('0:' || x))) AS m0,
-         |  list_min(list_transform(sh, x -> md5('1:' || x))) AS m1,
-         |  list_min(list_transform(sh, x -> md5('2:' || x))) AS m2,
-         |  list_min(list_transform(sh, x -> md5('3:' || x))) AS m3
-         |FROM s""".stripMargin,
+         |  list_min(list_transform(hs, h -> (h[1] + 0 * h[2]) % 1000000007)) AS m0,
+         |  list_min(list_transform(hs, h -> (h[1] + 1 * h[2]) % 1000000007)) AS m1,
+         |  list_min(list_transform(hs, h -> (h[1] + 2 * h[2]) % 1000000007)) AS m2,
+         |  list_min(list_transform(hs, h -> (h[1] + 3 * h[2]) % 1000000007)) AS m3
+         |FROM hh""".stripMargin,
 
     "d_minhash_lsh" ->
       s"""WITH $shinglesCteSql,
+         |hh AS (SELECT doc_id, sh, list_transform(sh, x ->
+         |  [CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) % 1000000007,
+         |   CAST(concat('0x', substr(md5(x), 17, 15)) AS BIGINT) % 1000000007]) hs FROM s),
          |sig AS (SELECT doc_id, sh, list_transform(generate_series(0, 11),
-         |  j -> list_min(list_transform(sh, x -> md5(CAST(j AS VARCHAR) || ':' || x)))) sg FROM s),
+         |  j -> CAST(list_min(list_transform(hs, h -> (h[1] + j * h[2]) % 1000000007)) AS VARCHAR)) sg FROM hh),
          |bands AS (SELECT doc_id, sh, g.b, md5(array_to_string(sg[g.b*3+1:g.b*3+3], '|')) bh
          |          FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) b) g),
          |pairs AS (SELECT x.doc_id ia, y.doc_id ib,

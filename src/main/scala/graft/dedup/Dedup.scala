@@ -52,17 +52,30 @@ object Dedup {
       array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))
     }: _*)
 
-  /** Codegen'd signature computation: explode shingles, then ONE hash
-   * aggregation with k min(md5) aggregates — the md5s and mins run inside
-   * whole-stage codegen with map-side partial aggregation, so the shuffle
-   * carries k×32-byte partial signatures per doc, not shingles.
-   * Returns (id, m0..m{k-1}). */
+  /** Carter-Wegman minhash prime (fits j·h2 sums in a long for j < 12). */
+  val MinhashP = 1000000007L
+
+  /** Codegen'd signature computation: explode shingles, hash each shingle
+   * ONCE (md5 split into two 60-bit halves), then derive the k
+   * permutations as (h1 + j·h2) mod p (Carter-Wegman universal hashing) —
+   * k min-aggregates of pure integer arithmetic instead of k md5 calls
+   * per shingle (4x less hashing at k=12). Map-side partial aggregation:
+   * the shuffle carries k longs per doc, not shingles.
+   * Engine-portable: DuckDB computes the identical values.
+   * Returns (id, m0..m{k-1}) as longs. */
   def minhashSignatureDf(df: DataFrame, idCol: String, textCol: String,
                          k: Int, shingleN: Int): DataFrame = {
+    require(k <= 12, s"k=$k would overflow j*h2 sums (p=$MinhashP)")
     val exploded = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col("id"), md5(col("sh")).as("hx"))
+      .select(col("id"),
+        (conv(substring(col("hx"), 1, 15), 16, 10).cast(LongType) % MinhashP)
+          .as("h1"),
+        (conv(substring(col("hx"), 17, 15), 16, 10).cast(LongType) % MinhashP)
+          .as("h2"))
     val aggs = (0 until k).map { j =>
-      min(md5(concat(lit(s"$j:"), col("sh")))).as(s"m$j")
+      min((col("h1") + lit(j.toLong) * col("h2")) % MinhashP).as(s"m$j")
     }
     exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
@@ -106,7 +119,8 @@ object Dedup {
     //    over 32-char strings — no shingle recomputation anywhere above)
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+        (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").cast("string")): _*))
     }
     val buckets = sig.select(col("id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bhash")))
