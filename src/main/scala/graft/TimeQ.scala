@@ -6,7 +6,7 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       Bench.force(fn(spark, dir)) // warm

@@ -38,6 +38,30 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /**
+   * Shingle ROWS (id, sh) via posexplode + window lead — the fully
+   * codegen'd form of [[shingles]] (whose array lambda is interpreted and
+   * dominated the signature pipeline: measured ~2s of 3.3s at 5000 docs).
+   * One shuffle (window by id), every expression codegen'd. May emit
+   * duplicate shingles per doc — harmless for min-aggregates and for
+   * set-operation consumers (array_intersect/union dedupe). Documents
+   * shorter than n tokens contribute their full token string (the pos-0
+   * partial window), matching [[shingles]]' fallback.
+   */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__p", "__t")))
+    val w = Window.partitionBy("id").orderBy("__p")
+    val tails = (1 until n).map(i => lead(col("__t"), i).over(w))
+    toks.select(col("id"),
+      concat_ws(" ", (col("__t") +: tails): _*).as("sh"),
+      tails.last.isNotNull.as("__full"), col("__p"))
+      .filter(col("__full") || col("__p") === 0)
+      .select(col("id"), col("sh"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** k-permutation MinHash signature over a shingle array: element j is
@@ -66,8 +90,7 @@ object Dedup {
   def minhashSignatureDf(df: DataFrame, idCol: String, textCol: String,
                          k: Int, shingleN: Int): DataFrame = {
     require(k <= 12, s"k=$k would overflow j*h2 sums (p=$MinhashP)")
-    val exploded = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("sh"))
+    val exploded = shingleRows(df, idCol, textCol, shingleN)
       .select(col("id"), md5(col("sh")).as("hx"))
       .select(col("id"),
         (conv(substring(col("hx"), 1, 15), 16, 10).cast(LongType) % MinhashP)
@@ -139,9 +162,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // 4. verify with exact Jaccard: candidates are few, so Spark broadcasts
-    //    them and the shingle arrays never shuffle
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+    //    them and the shingle arrays never shuffle. Shingle sets come from
+    //    the codegen'd row form + collect_set (order-irrelevant for the
+    //    set ops in jaccard).
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
