@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: `runMain graft.Bench` must emit ONE clean JSON line on
+// stdout. sbt's default LoggedOutput prefixes forked stdout with "[info] "
+// (and stderr with "[error] "), which made the round-1 bench line
+// unparseable (BENCH_r01.json parsed:null). StdoutOutput passes the forked
+// process's streams through verbatim; showSuccess drops the trailing
+// "[success] Total time" line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
