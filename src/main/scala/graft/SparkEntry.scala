@@ -228,17 +228,24 @@ object SparkEntry {
         "vec_id", "embedding", "vec_id", "embedding", k = 5, dim = 64)
     }),
 
-    // ---- similarity: LSH-bucketed approximate top-3 (6 hyperplanes)
+    // ---- similarity: LSH-bucketed approximate top-3. Plane count scales
+    // with the corpus (~32 vectors/bucket), degenerate buckets dropped,
+    // vectors pre-normalized so each candidate costs one dot product.
     "s_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      val planes = Similarity.portablePlanes(
+        Similarity.planesForCount(e.count(), targetLoad = annTargetLoad), 64)
       Similarity.annLsh(e, e, "vec_id", "embedding", "vec_id", "embedding",
-        k = 3, planes = lshPlanes6)
+        k = 3, planes = planes, maxBucket = simMaxBucket)
     }),
 
-    // ---- similarity: embedding-cosine near-dup pairs (4 planes, cos>=0.4)
+    // ---- similarity: embedding-cosine near-dup pairs (cos>=0.4), plane
+    // count scaled to ~8 vectors/bucket — candidate pairs stay ~n·load at
+    // any corpus size (round-1 used a FIXED 4 planes: O(n²/16))
     "s_near_dup" -> ((s, dir) => {
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, planes = lshPlanes4)
+      Similarity.nearDupPairsAuto(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, dim = 64,
+        targetLoad = ndTargetLoad, maxBucket = simMaxBucket)
     }),
 
     // ---- partition verdicts: per-partition pass/fail from violation rate
@@ -381,33 +388,46 @@ object SparkEntry {
     })
   )
 
-  /** Deterministic md5-derived hyperplanes shared verbatim with the oracle
-   * SQL (integer components — both engines compute identical dot signs). */
-  val lshPlanes6: Seq[Seq[Int]] = Similarity.portablePlanes(6, 64)
-  val lshPlanes4: Seq[Seq[Int]] = Similarity.portablePlanes(4, 64)
+  /** Similarity tuning shared between the Spark queries and the oracle
+   * SQL: target bucket loads and the degenerate-bucket guard. */
+  private val ndTargetLoad = 8.0
+  private val annTargetLoad = 32.0
+  private val simMaxBucket = 1000L
 
   // ---- shared DuckDB fragments (each replays the engine's exact
   // arithmetic: in-order double folds, md5-derived hashes)
 
-  /** In-order-fold cosine over two list<float> exprs — bit-identical to
-   * [[Similarity.cosine]] (same casts, same fold order). */
-  private def cosSql(a: String, b: String): String = {
-    def dotS(x: String, y: String) =
-      s"list_reduce(list_transform(generate_series(1,64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (u,w) -> u + w)"
-    s"${dotS(a, b)} / (sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
-  }
+  /** In-order-fold dot product over two pre-normalized list<double> exprs —
+   * bit-identical to [[Similarity.dot]] over [[Similarity.withNormalized]]
+   * columns (same casts, same fold order). */
+  private def ndotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1,64), i -> $a[i] * $b[i]), (u,w) -> u + w)"
 
-  /** CTEs `pl` (hyperplane literals — the same integers the Spark side
-   * embeds) and `bk` (vec_id -> LSH bucket). */
-  private def bucketCteSql(planes: Seq[Seq[Int]]): String = {
-    val values = planes.zipWithIndex
-      .map { case (p, i) => s"($i, [${p.mkString(",")}])" }.mkString(", ")
-    s"""pl(p, v) AS (SELECT * FROM (VALUES $values) t(p, v)),
+  /** CTEs `nrm`/`nv`: vec_id -> pre-normalized embedding as list<double>,
+   * replaying [[Similarity.withNormalized]] bit-for-bit (norm = sqrt of the
+   * in-order self-dot; each component divided by it once). */
+  private val normCteSql =
+    """nrm AS (SELECT vec_id, sqrt(list_reduce(list_transform(generate_series(1,64),
+      |    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (u,w) -> u + w)) AS nm
+      |  FROM embeddings),
+      |nv AS (SELECT e.vec_id, list_transform(generate_series(1,64),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) / r.nm) AS v
+      |  FROM embeddings e JOIN nrm r USING (vec_id))""".stripMargin
+
+  /** CTEs `np` (corpus-scaled plane count — the formula in
+   * [[Similarity.planesForCount]]), `pl` (md5-derived hyperplanes, the same
+   * integers [[Similarity.portablePlanes]] emits) and `bk` (vec_id -> LSH
+   * bucket over the RAW embedding, matching [[Similarity.lshBucket]]). */
+  private def autoBucketCteSql(targetLoad: Double): String =
+    s"""np AS (SELECT CAST(greatest(4, least(30,
+       |    ceil(log2((count(*) + 0.5) / $targetLoad)))) AS INT) AS n FROM embeddings),
+       |pl AS (SELECT p, list_transform(generate_series(1, 64),
+       |    d -> CAST(concat('0x', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS pv
+       |  FROM (SELECT unnest(generate_series(0, (SELECT n FROM np) - 1)) AS p)),
        |bk AS (SELECT vec_id, CAST(sum(CASE WHEN
-       |    list_reduce(list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * v[i]), (u,w) -> u + w) > 0
+       |    list_reduce(list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)), (u,w) -> u + w) > 0
        |  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM embeddings CROSS JOIN pl GROUP BY vec_id)""".stripMargin
-  }
 
   /** CTEs tk (tokens) and s (distinct 3-gram shingles) over documents. */
   private val shinglesCteSql =
@@ -498,9 +518,10 @@ object SparkEntry {
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
 
     "s_ann_brute" ->
-      s"""WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 8),
-         |c AS (SELECT vec_id neighbor_id, embedding cv FROM embeddings),
-         |sc AS (SELECT query_id, neighbor_id, ${cosSql("qv", "cv")} AS cos
+      s"""WITH $normCteSql,
+         |q AS (SELECT vec_id query_id, v qv FROM nv WHERE vec_id < 8),
+         |c AS (SELECT vec_id neighbor_id, v cv FROM nv),
+         |sc AS (SELECT query_id, neighbor_id, ${ndotSql("qv", "cv")} AS cos
          |       FROM q JOIN c ON query_id <> neighbor_id)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
          |FROM (SELECT query_id, neighbor_id, cos,
@@ -509,11 +530,13 @@ object SparkEntry {
          |WHERE rank <= 5""".stripMargin,
 
     "s_ann_lsh" ->
-      s"""WITH ${bucketCteSql(lshPlanes6)},
-         |eb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id)),
+      s"""WITH ${autoBucketCteSql(annTargetLoad)},
+         |$normCteSql,
+         |eb AS (SELECT n.vec_id, n.v, bk.bucket FROM nv n JOIN bk USING (vec_id)),
+         |gd AS (SELECT * FROM eb QUALIFY count(*) OVER (PARTITION BY bucket) <= $simMaxBucket),
          |sc AS (SELECT x.vec_id query_id, y.vec_id neighbor_id,
-         |         ${cosSql("x.embedding", "y.embedding")} AS cos
-         |       FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         |         ${ndotSql("x.v", "y.v")} AS cos
+         |       FROM eb x JOIN gd y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
          |FROM (SELECT query_id, neighbor_id, cos,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
@@ -605,12 +628,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "s_near_dup" ->
-      s"""WITH ${bucketCteSql(lshPlanes4)},
-         |eb AS (SELECT e.vec_id, e.embedding, bk.bucket FROM embeddings e JOIN bk USING (vec_id))
+      s"""WITH ${autoBucketCteSql(ndTargetLoad)},
+         |$normCteSql,
+         |eb AS (SELECT n.vec_id, n.v, bk.bucket FROM nv n JOIN bk USING (vec_id)),
+         |gd AS (SELECT * FROM eb QUALIFY count(*) OVER (PARTITION BY bucket) <= $simMaxBucket)
          |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-         |  ${cosSql("x.embedding", "y.embedding")} AS cos
-         |FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE ${cosSql("x.embedding", "y.embedding")} >= 0.4""".stripMargin,
+         |  ${ndotSql("x.v", "y.v")} AS cos
+         |FROM gd x JOIN gd y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${ndotSql("x.v", "y.v")} >= 0.4""".stripMargin,
 
 
     "v_verdict" ->

@@ -700,10 +700,17 @@ object Compiler {
     val anyOk = compiled
       .map(c => size(c.violations) === 0)
       .reduce(_ || _)
-    // on total failure emit every branch's violations (reference emits all
-    // branch errors, `union.rs:190-191`)
-    val dedupBranches = s.choices.map(c => compile(input, t, loc, c, mode))
-    val failViols = merge(dedupBranches.map(_.violations))
+    // On total failure emit every branch's violations (reference emits all
+    // branch errors, `union.rs:190-191`). REUSE the already-compiled
+    // branches (for Smart that is the lax tail — the error dialect the
+    // reference reports) instead of compiling a third copy: a wide union
+    // over a complex model would otherwise triple its expression-tree size
+    // and push the projection toward the 64KB codegen cliff.
+    val failBranches = s.mode match {
+      case UnionMode.LeftToRight => compiled
+      case UnionMode.Smart => compiled.drop(s.choices.size) // the lax pass
+    }
+    val failViols = merge(failBranches.map(_.violations))
     Compiled(
       when(input.isNotNull, coalesce(tryVals: _*)),
       when(input.isNull || anyOk, empty).otherwise(failViols),
@@ -722,10 +729,30 @@ object Compiler {
         val branchViols = s.choices.map { case (tag, branchSpec) =>
           (disc === tag, compile(input, st, loc, branchSpec, mode).violations)
         }.toSeq
-        val unknown = collect(Seq(oneS(loc, T.unionTagInvalid,
-          s"Input tag '{tag}' found using '${s.discriminator}' does not match any of the expected tags: " +
-            s.choices.keys.map("'" + _ + "'").mkString(", "),
-          disc, Map("discriminator" -> s.discriminator))))
+        // Render the actual tag into the message like the reference does
+        // (`errors/types.rs` UnionTagInvalid: "Input tag '{tag}' found using
+        // '{discriminator}' does not match any of the expected tags:
+        // {expected_tags}") and carry tag/expected_tags in ctx. Tag order is
+        // sorted — Scala's HashMap iteration order is nondeterministic above
+        // 4 entries (documented deviation from insertion order).
+        val expectedTags = s.choices.keys.toSeq.sorted
+          .map("'" + _ + "'").mkString(", ")
+        val unknownMsg = concat(
+          lit("Input tag '"), coalesce(disc.cast(StringType), lit("None")),
+          lit(s"' found using '${s.discriminator}' does not match any of " +
+            s"the expected tags: $expectedTags"))
+        val unknownCtx = map(
+          lit("discriminator"), lit(s.discriminator),
+          lit("tag"), coalesce(disc.cast(StringType), lit("None")),
+          lit("expected_tags"), lit(expectedTags))
+        // null/absent tag -> union_tag_not_found (`union.rs:302-318`),
+        // unknown non-null tag -> union_tag_invalid
+        val notFound = oneS(loc, T.unionTagNotFound,
+          s"Unable to extract tag using discriminator '${s.discriminator}'",
+          input, Map("discriminator" -> s.discriminator))
+        val unknown = when(disc.isNull, collect(Seq(notFound)))
+          .otherwise(collect(Seq(
+            one(loc, T.unionTagInvalid, unknownMsg, disc, unknownCtx))))
         val viols = branchViols.foldRight(unknown) { case ((cond, v), els) =>
           when(cond, v).otherwise(els)
         }

@@ -112,13 +112,26 @@ object ModelValidator {
         s"planExplodedList needs a List/Set field, got $other")
     }
     val elemType = st(listField).dataType.asInstanceOf[ArrayType].elementType
-    val scalarModel = model.copy(
-      fields = model.fields.filterNot(_.name == listField))
+    // Keep a stub entry for the list field (AnySpec, not required) so that
+    // under Extra.Forbid the still-present list column counts as a KNOWN
+    // field, not extra_forbidden; its real checks live below. The stub's
+    // value column is immediately projected away, so Catalyst never carries
+    // the array past this select.
+    val scalarModel = model.copy(fields = model.fields.map(f0 =>
+      if (f0.name == listField) f0.copy(spec = AnySpec, required = false)
+      else f0))
+    val scalarFieldNames =
+      scalarModel.fields.map(_.name).filterNot(_ == listField)
 
-    // row-local size checks (computed while the list column is in scope,
-    // folded into the scalar bundle)
+    // row-local list checks (computed while the list column is in scope,
+    // folded into the scalar bundle): required/missing — same semantics as
+    // the inline plan() path — plus min/max size.
     val lcol = col(listField)
     val sizeChecks = collect(Seq(
+      (if (f.required)
+        Some(when(lcol.isNull,
+          oneS(array(lit(listField)), T.missing, "Field required", lit(null))))
+      else None),
       minL.map(n => when(lcol.isNotNull && size(lcol) < n,
         oneS(array(lit(listField)), T.tooShort,
           s"List should have at least $n item${if (n == 1) "" else "s"} after validation, not fewer",
@@ -130,7 +143,7 @@ object ModelValidator {
     ).flatten)
 
     val scalar = plan(df, scalarModel).select(
-      (keyCol +: scalarModel.fields.map(_.name)).distinct.map(col) :+
+      (keyCol +: scalarFieldNames).distinct.map(col) :+
         concat(col(VIOLATIONS), sizeChecks).as(VIOLATIONS): _*)
 
     // element pass: explode -> validate -> keep violators only

@@ -161,16 +161,33 @@ object Runner {
         .withColumn("__sha60",
           coalesce(graft.text.TextOps.hash60(col("__sha")), lit(0L)))
 
-      // violations sink for the wave, committed per part_id directory
+      // Violations sink for the wave, keyed by (spec_hash, part_id) so runs
+      // under different specs never collide. Dynamic partition overwrite
+      // only rewrites partitions that produce >=1 violation row, so a
+      // re-run bucket whose new result is CLEAN would leave stale rows from
+      // a previous (possibly killed) attempt — wipe this wave's partition
+      // dirs first. Deleting before the ledger commit is safe: a partition
+      // without a ledger entry is untrusted and will be re-run anyway.
+      wave.foreach { p =>
+        val partDir = Paths.get(outDir, "violations",
+          s"spec_hash=$spec", s"part_id=$p")
+        if (Files.isDirectory(partDir)) {
+          def rm(fl: java.io.File): Unit = {
+            Option(fl.listFiles()).foreach(_.foreach(rm)); fl.delete(); ()
+          }
+          rm(partDir.toFile)
+        }
+      }
       planned.filter(size(col(ModelValidator.VIOLATIONS)) > 0)
-        .select(col("__part").as("part_id"), col(keyCol).as("key"),
+        .select(lit(spec).as("spec_hash"),
+          col("__part").as("part_id"), col(keyCol).as("key"),
           explode(col(ModelValidator.VIOLATIONS)).as("v"))
-        .select(col("part_id"), col("key"),
+        .select(col("spec_hash"), col("part_id"), col("key"),
           col("v.loc").as("loc"), col("v.type").as("type"),
           col("v.msg").as("msg"), col("v.input").as("input"))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_id")
+        .partitionBy("spec_hash", "part_id")
         .parquet(s"$outDir/violations")
 
       // per-partition metrics: ONE aggregation pass (partial+final)
@@ -223,14 +240,19 @@ object Runner {
       failed = (ranAll.toSet -- passedAll.toSet).toSeq.sorted)
   }
 
-  /** All committed partition results (latest attempt per partition). */
-  def results(spark: SparkSession, outDir: String): DataFrame = {
+  /** All committed partition results (latest attempt per partition).
+   * `specHash` filters the ledger to one spec lineage — pass it whenever
+   * the state dir may hold runs under more than one spec, otherwise an
+   * old-spec commit would gate reads of the current run. */
+  def results(spark: SparkSession, outDir: String,
+              specHash: Option[String] = None): DataFrame = {
     val dir = ledgerDir(outDir)
     if (!Files.isDirectory(dir))
       return spark.emptyDataFrame
     val files = Files.list(dir).toArray.map(_.toString)
       .filter(_.endsWith(".json"))
-    val raw = spark.read.json(files: _*)
+    val raw0 = spark.read.json(files: _*)
+    val raw = specHash.fold(raw0)(h => raw0.filter(col("spec_hash") === h))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("part_id").orderBy(col("attempt").desc)
     raw.withColumn("__rn", row_number().over(w))
@@ -238,10 +260,13 @@ object Runner {
   }
 
   /** Violations of committed partitions only (ledger-gated read — orphan
-   * files from killed waves are invisible). */
-  def violations(spark: SparkSession, outDir: String): DataFrame = {
-    val committed = results(spark, outDir).select("part_id")
+   * files from killed waves are invisible). The gate joins on
+   * (spec_hash, part_id), matching the sink layout. */
+  def violations(spark: SparkSession, outDir: String,
+                 specHash: Option[String] = None): DataFrame = {
+    val committed = results(spark, outDir, specHash)
+      .select("spec_hash", "part_id")
     spark.read.parquet(s"$outDir/violations")
-      .join(committed, Seq("part_id"), "left_semi")
+      .join(committed, Seq("spec_hash", "part_id"), "left_semi")
   }
 }

@@ -11,18 +11,22 @@ import org.apache.spark.sql.types._
 /**
  * Similarity search over embedding columns (`array<float>`): brute-force
  * cosine top-k as the exact baseline, random-hyperplane LSH bucketing as
- * the scale path, and embedding-cosine near-duplicate pairs.
+ * the scale path, IVF cells as the balanced-partition path, and
+ * embedding-cosine near-duplicate pairs.
  *
  * Reference anchor: none in pydantic (it has no vector ops) — this is the
  * training-data-pipeline extension mandated by the build brief.
  *
- * Scale design:
- *  - Brute force is exact but O(|Q|·|C|): only usable when the query side
- *    is broadcastable. The query set is broadcast so the corpus is a single
- *    map-only pass (no corpus shuffle), with per-partition top-k partial
- *    aggregation before the final k-merge.
- *  - LSH replaces the cross product with an equi-join on bucket signatures:
- *    corpus shuffles once by bucket; recall is tuned by (planes, tables).
+ * Scale design (round-2 revision after the round-1 audit):
+ *  - Vectors are L2-NORMALIZED ONCE PER ROW before any join, so a pair's
+ *    cosine is a single dot product (the round-1 code recomputed both norms
+ *    per PAIR — 3x the arithmetic on the quadratic side of the join).
+ *  - LSH plane count SCALES WITH CORPUS SIZE ([[planesForCount]]): buckets
+ *    ~ n/targetLoad, so candidate pairs stay ~n·targetLoad instead of
+ *    O(n²/2^planes) with a fixed plane count.
+ *  - Degenerate buckets (boilerplate/zero vectors) are dropped by a
+ *    `maxBucket` guard before the self-join, mirroring
+ *    [[graft.dedup.Dedup.minhashLshPairs]].
  *  - All arithmetic is in-order double folds so results are bit-identical
  *    across engines (the DuckDB oracle replays the same plan).
  */
@@ -41,9 +45,26 @@ object Similarity {
 
   def norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
-  /** Cosine similarity; elementwise double arithmetic in array order. */
+  /** Cosine similarity; elementwise double arithmetic in array order.
+   * Prefer pre-normalizing with [[withNormalized]] + [[dot]] when the same
+   * vector participates in many pairs. */
   def cosine(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+  /**
+   * Add an `array<double>` column `out` = vec/‖vec‖, computed in TWO
+   * projections (norm first, then the divides). Deliberately not one
+   * expression: inlining the norm into each of the `dim` divides would
+   * duplicate the 64-term dot chain 64 times; with a separate column,
+   * CollapseProject keeps the projections apart (it refuses to duplicate
+   * non-cheap expressions) and both stay in whole-stage codegen.
+   */
+  def withNormalized(df: DataFrame, vecCol: String, out: String,
+                     dim: Int): DataFrame =
+    df.withColumn("__nrm", norm(col(vecCol), dim))
+      .withColumn(out, array((0 until dim).map(i =>
+        element_at(col(vecCol), i + 1).cast(DoubleType) / col("__nrm")): _*))
+      .drop("__nrm")
 
   // ---------------------------------------------------- deterministic planes
 
@@ -64,8 +85,23 @@ object Similarity {
     }
   }
 
+  /**
+   * Plane count scaled to the corpus: 2^p buckets ≈ n/targetLoad, so the
+   * expected bucket load (and with it the per-row candidate count) stays
+   * CONSTANT as the corpus grows — the round-1 fixed-plane design degraded
+   * quadratically. `+0.5` nudges the log2 argument off exact integers so
+   * Spark's log/DuckDB's log2 can't disagree at a ceil boundary.
+   * Clamped to [4, 30] (16 buckets to ~10^9 buckets).
+   */
+  def planesForCount(n: Long, targetLoad: Double = 8.0): Int = {
+    val raw = math.ceil(
+      math.log((n + 0.5) / targetLoad) / math.log(2.0)).toInt
+    math.max(4, math.min(30, raw))
+  }
+
   /** LSH bucket signature: bit p set iff dot(vec, plane_p) > 0. Plane
-   * components are literals, so each dot is a static codegen'd chain. */
+   * components are literals, so each dot is a static codegen'd chain.
+   * Scale-invariant: normalized and raw vectors land in the same bucket. */
   def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
       val d = plane.zipWithIndex.map { case (c, i) =>
@@ -76,25 +112,37 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Drop rows in buckets larger than `maxBucket` (window count — the
+   * bucket census never hits the driver). A bucket with 10^6 vectors is a
+   * degenerate plane cut (zero/boilerplate embeddings), and self-joining it
+   * would emit 10^12 pairs. */
+  private def guardBuckets(df: DataFrame, bucketCol: String,
+                           maxBucket: Long): DataFrame = {
+    val w = Window.partitionBy(bucketCol)
+    df.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+  }
+
   // ------------------------------------------------------------ brute force
 
   /**
    * Exact cosine top-k: every query row against the whole corpus.
-   * `queries` is broadcast (must be small); the corpus side never shuffles —
-   * the only shuffle is the final per-query top-k window over
-   * |Q|·|C| candidate rows reduced map-side by nothing... so for large
-   * corpora prefer [[annLsh]]. Deterministic total order:
-   * (cosine desc, corpus id asc).
+   * `queries` is broadcast (must be small); the corpus side never shuffles.
+   * Both sides pre-normalized, so each of the |Q|·|C| candidates costs ONE
+   * dot product. Deterministic total order: (cosine desc, corpus id asc).
+   * For large corpora prefer [[annLsh]]/[[annIvf]].
    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int, dim: Int): DataFrame = {
-    val q = broadcast(queries.select(col(qId).as("query_id"),
-      col(qVec).as("__qv")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val q = broadcast(
+      withNormalized(queries.select(col(qId).as("query_id"),
+        col(qVec).as("__qv")), "__qv", "__qn", dim).drop("__qv"))
+    val c = withNormalized(corpus.select(col(cId).as("neighbor_id"),
+      col(cVec).as("__cv")), "__cv", "__cn", dim).drop("__cv")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv"), dim).as("cos"))
+        dot(col("__qn"), col("__cn"), dim).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -105,23 +153,31 @@ object Similarity {
 
   /**
    * LSH-bucketed approximate top-k: candidates are corpus rows sharing the
-   * query's bucket signature; exact cosine + top-k within candidates.
-   * One corpus shuffle on the bucket key; query side broadcast. Recall
+   * query's bucket signature; exact cosine (one dot — pre-normalized) +
+   * top-k within candidates. One corpus shuffle on the bucket key; query
+   * side broadcast; degenerate buckets dropped by `maxBucket`. Recall
    * rises with fewer planes (bigger buckets) or more tables (union of
    * several plane sets).
    */
   def annLsh(queries: DataFrame, corpus: DataFrame,
              qId: String, qVec: String, cId: String, cVec: String,
-             k: Int, planes: Seq[Seq[Int]]): DataFrame = {
+             k: Int, planes: Seq[Seq[Int]],
+             maxBucket: Long = 100000L): DataFrame = {
     val dim = planes.head.size
-    val q = broadcast(queries.select(col(qId).as("query_id"),
-      col(qVec).as("__qv"), lshBucket(col(qVec), planes).as("__bucket")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
-      lshBucket(col(cVec), planes).as("__bucket"))
+    val q = broadcast(
+      withNormalized(queries.select(col(qId).as("query_id"),
+        col(qVec).as("__qv")), "__qv", "__qn", dim)
+        .select(col("query_id"), col("__qn"),
+          lshBucket(col("__qv"), planes).as("__bucket")))
+    val c0 = withNormalized(corpus.select(col(cId).as("neighbor_id"),
+      col(cVec).as("__cv")), "__cv", "__cn", dim)
+      .select(col("neighbor_id"), col("__cn"),
+        lshBucket(col("__cv"), planes).as("__bucket"))
+    val c = guardBuckets(c0, "__bucket", maxBucket)
     val scored = q.join(c, Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv"), dim).as("cos"))
+        dot(col("__qn"), col("__cn"), dim).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -132,24 +188,41 @@ object Similarity {
 
   // -------------------------------------------------------------------- IVF
 
-  /** IVF coarse quantizer: deterministic sample of corpus vectors as
-   * centroids (every `corpusSize/k`-th id — one tiny collect; real k-means
-   * refinement would iterate the same assignment below). Returns
-   * (centroidId, vector-as-doubles). */
+  /** IVF coarse quantizer: k deterministic pseudo-random corpus vectors as
+   * centroids — the k smallest xxhash64(id) via a distributed top-k
+   * (TakeOrderedAndProject: per-partition heaps, driver merges k rows).
+   * No count() pass, no global window, no sorted collect — the round-1
+   * version pushed the whole corpus through one task. Returns
+   * (centroidId, vector-as-doubles); refine with [[ivfRefine]]. */
   def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                   k: Int): Seq[(Int, Seq[Double])] = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(idCol))
-    val n = corpus.count()
-    val step = math.max(1L, n / k)
-    corpus.select(col(idCol), col(vecCol))
-      .withColumn("__rn", row_number().over(w))
-      .filter((col("__rn") - 1) % step === 0)
+                   k: Int): Seq[(Int, Seq[Double])] =
+    corpus.select(col(vecCol).as("__v"), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h"))
       .limit(k)
-      .select(col(vecCol))
+      .select(col("__v"))
       .collect().toIndexedSeq.zipWithIndex.map { case (r, i) =>
         i -> r.getSeq[Float](0).map(_.toDouble).toSeq
       }
+
+  /** One Lloyd (k-means) refinement pass: assign every vector to its
+   * nearest centroid, recompute each cell's mean — ONE map-side-combined
+   * aggregation (dim avg-aggregates per cell, no shuffle of vectors beyond
+   * the k·dim partial sums). Cells that captured no vectors keep their old
+   * centroid. Call 1-3 times for balanced cells; each pass is one job. */
+  def ivfRefine(corpus: DataFrame, vecCol: String,
+                centroids: Seq[(Int, Seq[Double])], dim: Int)
+      : Seq[(Int, Seq[Double])] = {
+    val assigned = corpus.select(col(vecCol).as("__v"))
+      .withColumn("__cell", ivfAssign(col("__v"), centroids))
+    val avgs = (0 until dim).map(i =>
+      avg(element_at(col("__v"), i + 1).cast(DoubleType)).as(s"c$i"))
+    val means = assigned.groupBy("__cell").agg(avgs.head, avgs.tail: _*)
+      .collect().map { r =>
+        r.getInt(0) -> (0 until dim).map(i => r.getDouble(i + 1))
+      }.toMap
+    centroids.map { case (cid, old) =>
+      cid -> means.getOrElse(cid, old).toSeq
+    }
   }
 
   /** Nearest-centroid id (argmin squared L2 over literal centroids; static
@@ -182,24 +255,28 @@ object Similarity {
   /**
    * IVF ANN: corpus partitioned into centroid cells (ONE pass to assign +
    * one shuffle by cell), queries probe their `nprobe` nearest cells and
-   * rank candidates by exact cosine. Compared to LSH, recall is controlled
-   * directly by nprobe and cells balance better under skewed embedding
-   * distributions (a hot hyperplane bucket has no analog here: cells have
-   * ~|corpus|/k vectors by construction of sampled centroids).
+   * rank candidates by exact cosine (one dot — pre-normalized). Compared
+   * to LSH, recall is controlled directly by nprobe and cells balance
+   * better under skewed embedding distributions; [[ivfRefine]] passes
+   * tighten the balance further.
    */
   def annIvf(queries: DataFrame, corpus: DataFrame,
              qId: String, qVec: String, cId: String, cVec: String,
              k: Int, dim: Int, centroids: Seq[(Int, Seq[Double])],
              nprobe: Int = 2): DataFrame = {
-    val q = broadcast(queries.select(col(qId).as("query_id"),
-      col(qVec).as("__qv"),
-      explode(ivfProbes(col(qVec), centroids, nprobe)).as("__cell")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
-      ivfAssign(col(cVec), centroids).as("__cell"))
+    val q = broadcast(
+      withNormalized(queries.select(col(qId).as("query_id"),
+        col(qVec).as("__qv")), "__qv", "__qn", dim)
+        .select(col("query_id"), col("__qn"),
+          explode(ivfProbes(col("__qv"), centroids, nprobe)).as("__cell")))
+    val c = withNormalized(corpus.select(col(cId).as("neighbor_id"),
+      col(cVec).as("__cv")), "__cv", "__cn", dim)
+      .select(col("neighbor_id"), col("__cn"),
+        ivfAssign(col("__cv"), centroids).as("__cell"))
     val scored = q.join(c, Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__qv"), col("__cv"), dim).as("cos"))
+        dot(col("__qn"), col("__cn"), dim).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -211,19 +288,36 @@ object Similarity {
   /**
    * Embedding-cosine near-duplicate pairs: vectors in the same LSH bucket
    * with cosine >= threshold. The equi-join on bucket keeps the pair count
-   * ~|corpus|·bucket_load instead of |corpus|²; exactness within a bucket.
+   * ~|corpus|·bucket_load instead of |corpus|²; buckets above `maxBucket`
+   * are dropped (degenerate cuts); each surviving pair costs ONE dot
+   * product over the pre-normalized vectors.
    */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, planes: Seq[Seq[Int]]): DataFrame = {
+                   threshold: Double, planes: Seq[Seq[Int]],
+                   maxBucket: Long = 100000L): DataFrame = {
     val dim = planes.head.size
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("__bucket"))
-    val l = sig.select(col("__bucket"), col("id").as("id_a"), col("v").as("va"))
-    val r = sig.select(col("__bucket"), col("id").as("id_b"), col("v").as("vb"))
+    val sig0 = withNormalized(
+      df.select(col(idCol).as("id"), col(vecCol).as("__v")),
+      "__v", "nv", dim)
+      .select(col("id"), col("nv"), lshBucket(col("__v"), planes).as("__bucket"))
+    val sig = guardBuckets(sig0, "__bucket", maxBucket)
+    val l = sig.select(col("__bucket"), col("id").as("id_a"), col("nv").as("va"))
+    val r = sig.select(col("__bucket"), col("id").as("id_b"), col("nv").as("vb"))
     l.join(r, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        cosine(col("va"), col("vb"), dim).as("cos"))
+        dot(col("va"), col("vb"), dim).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** [[nearDupPairs]] with the plane count derived from the corpus size
+   * (see [[planesForCount]]). The count() is a parquet-metadata read on
+   * file sources — not a data scan. */
+  def nearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, dim: Int,
+                       targetLoad: Double = 8.0,
+                       maxBucket: Long = 100000L): DataFrame = {
+    val planes = portablePlanes(planesForCount(df.count(), targetLoad), dim)
+    nearDupPairs(df, idCol, vecCol, threshold, planes, maxBucket)
   }
 }
