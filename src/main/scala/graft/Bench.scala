@@ -87,10 +87,11 @@ object Bench {
     // UUID/decimal/date/time/datetime + nested discriminated unions from
     // lax strings — the reference's own flagship benchmark shape
     val nsRows = 500000L
-    // exploded-list scale path: codegen'd scalars + vectorized element pass
-    def nsPlan(n: Long) = ModelValidator.planExplodedList(
+    // planAuto routes the heavy websites list to the exploded scale path
+    // (codegen'd scalars + vectorized element pass) by weight heuristic
+    def nsPlan(n: Long) = ModelValidator.planAuto(
       graft.data.NorthStar.generate(spark, n),
-      graft.data.NorthStar.personSpec, "row_id", "websites")
+      graft.data.NorthStar.personSpec, "row_id")
     force(nsPlan(50000L)) // warm
     System.gc()
     val nsSecs = Seq(time(force(nsPlan(nsRows))), time(force(nsPlan(nsRows)))).min

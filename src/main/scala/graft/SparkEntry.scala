@@ -64,19 +64,26 @@ object SparkEntry {
           col("type").as("vtype"))
     }),
 
-    // ---- per-column stats (exact flavor for oracle parity; the HLL++/
-    // approx_percentile flavor is TableChecks.columnStats, bench-only)
+    // ---- per-column stats, exact flavor for oracle parity in ONE scan:
+    // a single aggregation computes every column's stats (the exact
+    // countDistincts expand the input 3x but read it once — round 1 ran
+    // three separate full scans), then explode unpivots to one row per
+    // column. The HLL++/approx_percentile flavor for 100TB runs is
+    // TableChecks.columnStats (bench + Runner path).
     "v_col_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val one = (c: String) => d.agg(
-        count(lit(1)).as("row_count"),
-        count(col(c)).as("nonnull_count"),
-        countDistinct(col(c)).as("distinct_ct"),
-        min(col(c)).cast("string").as("min_value"),
-        max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("col_name"), col("row_count"), col("nonnull_count"),
-          col("distinct_ct"), col("min_value"), col("max_value"))
-      one("lang").unionAll(one("source")).unionAll(one("n_chars"))
+      val cols = Seq("lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("row_count") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"dc_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c")))
+      val agg = d.agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map(c => struct(
+        lit(c).as("col_name"), col("row_count"),
+        col(s"nn_$c").as("nonnull_count"), col(s"dc_$c").as("distinct_ct"),
+        col(s"mn_$c").as("min_value"), col(s"mx_$c").as("max_value")))
+      agg.select(explode(array(rows: _*)).as("r")).select("r.*")
     }),
 
     // ---- uniqueness (set semantics at table level): duplicated keys
@@ -376,17 +383,73 @@ object SparkEntry {
           count(when(col("frame_count") > 0, 1)).as("with_frames"))
     }),
 
-    // ---- north-star composite model (rows-only): the reference's own
-    // flagship benchmark shape — UUID/decimal/date/time/datetime + a list
-    // of two-level discriminated unions, validated from lax strings
+    // ---- function/custom validators: AfterValidator transform, named
+    // predicate (predicate_failed), pipeline in_ check (value_error) —
+    // the reference's functional_validators.py surface, columnar
+    "f_validator" -> ((s, dir) => {
+      import graft.compile.Compiler
+      val d = t(s, dir, "documents")
+      val st = d.schema
+      val after = FunctionAfterSpec(IntSpec(ge = Some(0)), _ * 2)
+      val even = ChainSpec(Seq(IntSpec(),
+        PredicateSpec(c => c % 2 === 0, "is_even")))
+      val inChk = ChainSpec(Seq(StrSpec(),
+        CheckSpec(c => c.isin("en", "de"), "in ['en', 'de']")))
+      val cAfter = Compiler.compile(col("n_chars"), st("n_chars").dataType,
+        array(lit("n_chars")), after, Mode.Lax)
+      val cEven = Compiler.compile(col("doc_id"), st("doc_id").dataType,
+        array(lit("doc_id")), even, Mode.Lax)
+      val cIn = Compiler.compile(col("lang"), st("lang").dataType,
+        array(lit("lang")), inChk, Mode.Lax)
+      d.select(col("doc_id"),
+        cAfter.value.as("doubled"),
+        (size(cEven.violations) === 0).as("even_ok"),
+        (size(cIn.violations) === 0).as("in_ok"),
+        try_element_at(cIn.violations, lit(1)).getField("type").as("in_vtype"))
+    }),
+
+    // ---- tuple: positional heterogeneous validation over an array —
+    // ge/enum/le per position plus a missing violation when the tuple is
+    // truncated (doc_id % 7 == 0 drops position 2)
+    "q_tuple" -> ((s, dir) => {
+      import graft.compile.Compiler
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val d = t(s, dir, "documents")
+      val arr = array(col("doc_id").cast("string"), col("lang"),
+        col("n_chars").cast("string"))
+      val tup = when(pmod(col("doc_id"), lit(7)) === 0, slice(arr, 1, 2))
+        .otherwise(arr)
+      val spec = TupleSpec(Seq(
+        IntSpec(ge = Some(0)),
+        EnumSpec(Seq("en", "de", "fr")),
+        IntSpec(le = Some(1000))))
+      val c = Compiler.compile(tup, ArrayType(StringType), array(lit("tup")),
+        spec, Mode.Lax)
+      d.select(col("doc_id"),
+        size(c.violations).as("n_viol"),
+        try_element_at(c.violations, lit(1)).getField("type").as("vtype"))
+    }),
+
+    // ---- north-star composite model: the reference's own flagship
+    // benchmark shape — UUID/decimal/date/time/datetime + a list of
+    // two-level discriminated unions, validated from lax strings. The
+    // generated input is ALSO written to a fixed path so the DuckDB oracle
+    // can replay the validation over the exact same rows.
     "ns_verdict" -> ((s, dir) => {
-      val df = graft.data.NorthStar.generate(s, 5000L)
-      ModelValidator.plan(df, graft.data.NorthStar.personSpec)
+      graft.data.NorthStar.generate(s, 5000L)
+        .write.mode("overwrite").parquet(nsInputPath)
+      val df = s.read.parquet(nsInputPath)
+      // planAuto -> exploded scale path for websites; the oracle's exact
+      // n_viol equality now gates the EXPLODED path, not just the inline one
+      ModelValidator.planAuto(df, graft.data.NorthStar.personSpec, "row_id")
         .select(col("row_id"),
           size(col(ModelValidator.VIOLATIONS)).as("n_viol"),
           col(ModelValidator.VALID).as("valid"))
     })
   )
+
+  /** Where ns_verdict persists its generated input for the oracle. */
+  private val nsInputPath = "/tmp/graft_ns_input"
 
   /** Similarity tuning shared between the Spark queries and the oracle
    * SQL: target bucket loads and the degenerate-bucket guard. */
@@ -451,6 +514,60 @@ object SparkEntry {
     s"len(list_filter(tk, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk)"
 
   def oracleSql: Map[String, String] = Map(
+
+    "f_validator" ->
+      """SELECT doc_id,
+        |  n_chars * 2 AS doubled,
+        |  doc_id IS NULL OR doc_id % 2 = 0 AS even_ok,
+        |  lang IS NULL OR lang IN ('en', 'de') AS in_ok,
+        |  CASE WHEN lang IS NOT NULL AND lang NOT IN ('en', 'de')
+        |       THEN 'value_error' END AS in_vtype
+        |FROM documents""".stripMargin,
+
+    // The only checks the generator can trip are: uuid shape on id, blog
+    // avg_post_rating le 5, profile username min length, linkedin
+    // connections le 500 — every other generated value is valid by
+    // construction, and the oracle's exact n_viol/valid equality asserts
+    // the engine emits NOTHING else (a spurious violation anywhere in the
+    // two-level union breaks the match).
+    "ns_verdict" ->
+      s"""WITH p AS (SELECT * FROM read_parquet('$nsInputPath/*.parquet')),
+         |v AS (SELECT row_id,
+         |  CAST(CASE WHEN NOT regexp_matches(id,
+         |      '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$$') THEN 1 ELSE 0 END
+         |  + len(list_filter(websites, w -> struct_extract(w, 'type') = 'blog'
+         |      AND CAST(struct_extract(w, 'avg_post_rating') AS DOUBLE) > 5.0))
+         |  + len(list_filter(websites, w -> struct_extract(w, 'type') = 'profile'
+         |      AND length(struct_extract(w, 'username')) < 1))
+         |  + len(list_filter(websites, w -> struct_extract(w, 'type') = 'profile'
+         |      AND struct_extract(w, 'network') = 'linkedin'
+         |      AND CAST(struct_extract(w, 'connections') AS BIGINT) > 500)) AS INT) AS n_viol
+         | FROM p)
+         |SELECT row_id, n_viol, n_viol = 0 AS valid FROM v""".stripMargin,
+
+    // the synthetic generator is pure integer arithmetic over id — the
+    // oracle recomputes byte sizes and kinds from the same formulas
+    "m_media_stats" ->
+      """WITH m AS (SELECT
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    64 + (id * 2654435761) % 4096 AS len
+        |  FROM generate_series(0, 599) t(id))
+        |SELECT kind, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_bytes,
+        |  count(CASE WHEN kind = 'video' THEN 1 END) AS with_frames
+        |FROM m GROUP BY kind""".stripMargin,
+
+    "q_tuple" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id < 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END
+        |    + CASE WHEN coalesce(doc_id % 7 = 0, FALSE) THEN 1
+        |           WHEN n_chars > 1000 THEN 1 ELSE 0 END AS INT) AS n_viol,
+        |  CASE WHEN doc_id < 0 THEN 'greater_than_equal'
+        |       WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 'enum'
+        |       WHEN coalesce(doc_id % 7 = 0, FALSE) THEN 'missing'
+        |       WHEN n_chars > 1000 THEN 'less_than_equal' END AS vtype
+        |FROM documents""".stripMargin,
 
     "t_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe

@@ -120,6 +120,11 @@ object Compiler {
           // the inner error and substitutes the default value.
           Compiled(when(size(viols0) > 0, defaultCol).otherwise(value0),
             empty, c.dataType)
+        case OnError.Omit =>
+          // on_error=omit: error swallowed, value omitted (null here; a
+          // containing list filters the nulls out — compileList)
+          Compiled(when(size(viols0) > 0, lit(null).cast(c.dataType))
+            .otherwise(value0), empty, c.dataType)
       }
 
     case ChainSpec(steps) =>
@@ -164,6 +169,7 @@ object Compiler {
       Compiled(when(input.isin(values: _*), input), collect(Seq(bad)), inputType)
 
     case s: ListSpec => compileList(input, inputType, loc, s, mode)
+    case s: TupleSpec => compileTuple(input, inputType, loc, s, mode)
     case s: SetSpec => compileSet(input, inputType, loc, s, mode)
     case s: DictSpec => compileDict(input, inputType, loc, s, mode)
     case s: JsonSpec => compileJson(input, inputType, loc, s, mode)
@@ -172,6 +178,50 @@ object Compiler {
     case s: TaggedUnionSpec => compileTaggedUnion(input, inputType, loc, s, mode)
 
     case m: ModelSpec => compileModel(input, inputType, loc, m, mode)
+
+    // ---- function (custom) validators — reference function.rs; columnar
+    // mapping documented in spec/FunctionSpecs.scala
+
+    case FunctionBeforeSpec(fn, inner, outDdl) =>
+      // transform the raw input, then validate the result (`function.rs`
+      // FunctionBeforeValidator: call the function, feed its output to the
+      // wrapped validator)
+      val out = fn(input)
+      compile(out, outDdl.map(DataType.fromDDL).getOrElse(inputType), loc,
+        inner, mode)
+
+    case FunctionAfterSpec(inner, fn) =>
+      // validate, then transform the validated value; violations unchanged
+      val c = compile(input, inputType, loc, inner, mode)
+      Compiled(fn(c.value), c.violations, c.dataType)
+
+    case FunctionPlainSpec(fn, outDdl) =>
+      ok(fn(input), DataType.fromDDL(outDdl))
+
+    case FunctionWrapSpec(inner, fn) =>
+      val c = compile(input, inputType, loc, inner, mode)
+      val (v, viols) = fn(WrapCtx(input, c.value, c.violations, loc))
+      Compiled(v, viols, c.dataType)
+
+    case PredicateSpec(pred, name) =>
+      // pipeline.py:605-621: PydanticCustomError('predicate_failed',
+      // f"Predicate {name!r} failed"). Null input passes; null predicate
+      // result counts as failed (three-valued logic would silently pass).
+      val failed = input.isNotNull && !coalesce(pred(input), lit(false))
+      Compiled(when(!failed, input),
+        collect(Seq(when(failed,
+          oneS(loc, "predicate_failed", s"Predicate '$name' failed", input)))),
+        inputType)
+
+    case CheckSpec(pred, desc) =>
+      // pipeline.py:405-415 _check_func: ValueError(f'Expected {desc}') ->
+      // value_error, rendered "Value error, {error}" (errors/types.rs:559)
+      val failed = input.isNotNull && !coalesce(pred(input), lit(false))
+      Compiled(when(!failed, input),
+        collect(Seq(when(failed,
+          oneS(loc, T.valueError, s"Value error, Expected $desc", input,
+            Map("error" -> s"Expected $desc"))))),
+        inputType)
   }
 
   // -------------------------------------------------------------------- str
@@ -390,17 +440,46 @@ object Compiler {
 
   // --------------------------------------------------------------- datetime
 
+  /** Trailing UTC-offset suffix of an ISO datetime string (Z / ±HH[:]MM). */
+  private val tzSuffixRe = "(?:[Zz]|[+-]\\d{2}:?\\d{2})$"
+
   private def compileDatetime(input: Column, t: DataType, loc: Column,
                               s: DatetimeSpec, mode: Mode): Compiled = {
     val strict = strictOf(s.strict, mode)
+    // string-input fraction handling — speedate MicrosecondsPrecision
+    // (datetime.rs:26): Truncate keeps 6 digits, Error rejects
+    val fracTooLong = trim(input).rlike("\\.\\d{7}")
     val (value, parseChecks): (Column, Seq[Column]) = t match {
       case _: TimestampType => (input, Nil)
       case _: DateType if !strict =>
         // lax date->datetime at midnight (`datetime.rs:74-77`)
         (input.cast(TimestampType), Nil)
       case _: StringType if !strict =>
-        val v = Coercions.strToTimestamp(input)
-        (v, Seq(when(input.isNotNull && v.isNull,
+        val normalized = s.microsecondsPrecision match {
+          case MicrosecondsPrecision.Truncate =>
+            regexp_replace(input, "(\\.\\d{6})\\d+", "$1")
+          case MicrosecondsPrecision.Error => input
+        }
+        val v0 = Coercions.strToTimestamp(normalized)
+        val v = s.microsecondsPrecision match {
+          case MicrosecondsPrecision.Error => when(!fracTooLong, v0)
+          case _ => v0
+        }
+        val precisionCheck = s.microsecondsPrecision match {
+          case MicrosecondsPrecision.Error =>
+            // v2 string path tries date-then-datetime, so an over-long
+            // fraction surfaces as datetime_from_date_parsing (observed
+            // against pydantic-core 2.41/2.48)
+            Seq(when(input.isNotNull && fracTooLong,
+              oneS(loc, "datetime_from_date_parsing",
+                "Input should be a valid datetime or date, unexpected extra characters at the end of the input",
+                input,
+                Map("error" -> "unexpected extra characters at the end of the input"))))
+          case _ => Nil
+        }
+        (v, precisionCheck ++ Seq(when(
+          input.isNotNull && v.isNull && !(fracTooLong &&
+            (s.microsecondsPrecision == MicrosecondsPrecision.Error)),
           oneS(loc, T.datetimeParsing,
             "Input should be a valid datetime, invalid datetime separator",
             input))))
@@ -410,6 +489,51 @@ object Compiler {
         return typeViolation(loc, T.datetimeType,
           "Input should be a valid datetime", input, TimestampType)
     }
+    // tz_constraint (datetime.rs:30-42; errors types.rs:368-374,583)
+    val tzChecks: Seq[Column] = s.tz match {
+      case None => Nil
+      case Some(cons) =>
+        // aware <=> the raw string carries an offset suffix; TimestampType
+        // inputs are aware UTC instants, TimestampNTZ/date are naive
+        val (isAware, actualOffset): (Column, Column) = t match {
+          case _: StringType =>
+            val raw = trim(input)
+            val hasTz = raw.rlike(tzSuffixRe)
+            val z = raw.rlike("[Zz]$")
+            val sign = when(raw.rlike("\\+\\d{2}:?\\d{2}$"), 1)
+              .when(raw.rlike("-\\d{2}:?\\d{2}$"), -1).otherwise(0)
+            val hh = regexp_extract(raw, "([+-])(\\d{2}):?(\\d{2})$", 2)
+            val mm = regexp_extract(raw, "([+-])(\\d{2}):?(\\d{2})$", 3)
+            val off = when(z, lit(0)).otherwise(
+              sign * (coalesce(hh.try_cast(IntegerType), lit(0)) * 3600 +
+                coalesce(mm.try_cast(IntegerType), lit(0)) * 60))
+            (hasTz, off)
+          case _: TimestampType => (lit(true), lit(0))
+          case _ => (lit(false), lit(null).cast(IntegerType))
+        }
+        cons match {
+          case TzConstraint.Aware => Seq(
+            when(value.isNotNull && !isAware,
+              oneS(loc, "timezone_aware", "Input should have timezone info",
+                input)))
+          case TzConstraint.Naive => Seq(
+            when(value.isNotNull && isAware,
+              oneS(loc, "timezone_naive",
+                "Input should not have timezone info", input)))
+          case TzConstraint.Offset(exp) => Seq(
+            // naive input under an offset constraint -> timezone_aware
+            when(value.isNotNull && !isAware,
+              oneS(loc, "timezone_aware", "Input should have timezone info",
+                input)),
+            when(value.isNotNull && isAware && actualOffset =!= exp,
+              one(loc, "timezone_offset",
+                concat(lit(s"Timezone offset of $exp required, got "),
+                  actualOffset.cast(StringType)),
+                input,
+                map(lit("tz_expected"), lit(exp.toString),
+                  lit("tz_actual"), actualOffset.cast(StringType)))))
+        }
+    }
     val nowChecks = s.nowOp.toSeq.map {
       case NowOp.Past => when(value.isNotNull && !(value < current_timestamp()),
         oneS(loc, T.datetimePast, "Input should be in the past", input))
@@ -418,7 +542,8 @@ object Compiler {
     }
     val cs = orderedChecks[String](value, loc, input, s.gt, s.ge, s.lt, s.le,
       None, (b: String) => lit(b).cast(TimestampType))
-    Compiled(value, collect(parseChecks ++ nowChecks ++ cs), TimestampType)
+    Compiled(value, collect(parseChecks ++ tzChecks ++ nowChecks ++ cs),
+      TimestampType)
   }
 
   // ------------------------------------------------------------------- time
@@ -480,9 +605,30 @@ object Compiler {
   private def compileBytes(input: Column, t: DataType, loc: Column,
                            s: BytesSpec, mode: Mode): Compiled = {
     val strict = strictOf(s.strict, mode)
-    val value: Column = t match {
-      case _: BinaryType => input
-      case _: StringType if !strict => input.cast(BinaryType)
+    val (value, encChecks): (Column, Seq[Column]) = t match {
+      case _: BinaryType => (input, Nil)
+      case _: StringType if !strict => s.mode match {
+        case BytesEncoding.Utf8 => (input.cast(BinaryType), Nil)
+        case BytesEncoding.Base64 =>
+          // unpadded accepted like the Rust base64 crate (general purpose,
+          // lenient padding); length ≡ 1 (mod 4) is never decodable
+          val ok = input.rlike("^[A-Za-z0-9+/]*={0,2}$") &&
+            length(regexp_replace(input, "=", "")) % 4 =!= 1
+          (when(ok, unbase64(input)),
+            Seq(when(input.isNotNull && !ok,
+              oneS(loc, "bytes_invalid_encoding",
+                "Data should be valid base64: invalid base64", input,
+                Map("encoding" -> "base64",
+                  "encoding_error" -> "invalid base64")))))
+        case BytesEncoding.Hex =>
+          val ok = input.rlike("^([0-9a-fA-F]{2})*$")
+          (when(ok, unhex(input)),
+            Seq(when(input.isNotNull && !ok,
+              oneS(loc, "bytes_invalid_encoding",
+                "Data should be valid hex: invalid hex", input,
+                Map("encoding" -> "hex",
+                  "encoding_error" -> "invalid hex")))))
+      }
       case _ =>
         return typeViolation(loc, T.bytesType, "Input should be a valid bytes",
           input, BinaryType)
@@ -498,7 +644,7 @@ object Compiler {
           s"Data should have at most $n bytes", input,
           Map("max_length" -> n.toString))))
     ).flatten
-    Compiled(value, collect(checks), BinaryType)
+    Compiled(value, collect(encChecks ++ checks), BinaryType)
   }
 
   // ------------------------------------------------------------------- uuid
@@ -591,8 +737,15 @@ object Compiler {
             if (s.failFast) slice(allElemViols, 1, 1) else allElemViols
           val firstCompiled = compile(lit(null).cast(elemType), elemType,
             loc, itemSpec, mode)
-          val mapped = transform(input, x =>
+          val mapped0 = transform(input, x =>
             compile(x, elemType, loc, itemSpec, mode).value)
+          // on_error=omit items: drop the omitted (nulled) elements from
+          // the coerced array (HOF — acceptable, omit is opt-in)
+          val mapped = itemSpec match {
+            case WithDefaultSpec(_, _, OnError.Omit) =>
+              filter(mapped0, x => x.isNotNull)
+            case _ => mapped0
+          }
           Compiled(mapped,
             merge(Seq(collect(sizeChecks),
               when(input.isNull, empty).otherwise(elemViols))),
@@ -601,6 +754,110 @@ object Compiler {
     case _ =>
       typeViolation(loc, "list_type", "Input should be a valid list", input,
         ArrayType(StringType))
+  }
+
+  // ------------------------------------------------------------------ tuple
+
+  /** Positional tuple — reference `validators/tuple.rs`. Output is a
+   * struct `_0.._{n-1}` of per-position coerced values (+ `rest`
+   * array<variadic> when present): Spark's closest analog of a
+   * heterogeneous tuple. Head positions are static expressions (fully
+   * codegen'd); only the variadic tail uses array HOFs. */
+  private def compileTuple(input: Column, t: DataType, loc: Column,
+                           s: TupleSpec, mode: Mode): Compiled = {
+    val n = s.items.size
+    def elemLoc(i: Column) = concat(loc, array(i.cast(StringType)))
+
+    /** Shared logic once positions are exposed as (present, elem, type). */
+    def build(len: Column, headElem: Int => Column, elemType: Int => DataType,
+              tailViols: Option[Spec] => Seq[Column],
+              restValue: Option[(Column, DataType)]): Compiled = {
+      val head = s.items.zipWithIndex.map { case (item, i) =>
+        val present = len > i
+        val c = compile(headElem(i), elemType(i), elemLoc(lit(i)), item, mode)
+        val viols =
+          if (hasDefault(item)) c.violations // absent -> default (tuple.rs:90)
+          else when(present, c.violations).otherwise(collect(Seq(
+            oneS(elemLoc(lit(i)), T.missing, "Field required", lit(null)))))
+        (c.value, viols, c.dataType)
+      }
+      val sizeChecks = Seq(
+        (if (s.variadic.isEmpty)
+          Some(when(len > n, oneS(loc, T.tooLong,
+            s"Tuple should have at most $n item${if (n == 1) "" else "s"} after validation, not more",
+            input, Map("max_length" -> n.toString))))
+        else None),
+        s.minLength.map(m => when(len < m, oneS(loc, T.tooShort,
+          s"Tuple should have at least $m item${if (m == 1) "" else "s"} after validation, not fewer",
+          input, Map("min_length" -> m.toString)))),
+        s.maxLength.map(m => when(len > m, oneS(loc, T.tooLong,
+          s"Tuple should have at most $m item${if (m == 1) "" else "s"} after validation, not more",
+          input, Map("max_length" -> m.toString))))
+      ).flatten
+      val all = merge(head.map(_._2) ++
+        Seq(collect(sizeChecks)) ++ tailViols(s.variadic))
+      val gated0 = when(input.isNull, empty).otherwise(all)
+      val gated = if (s.failFast) slice(gated0, 1, 1) else gated0
+      val fields = head.zipWithIndex.map { case ((v, _, _), i) => v.as(s"_$i") }
+      val value = struct(fields ++ restValue.map(_._1.as("rest")): _*)
+      val dt = StructType(
+        head.zipWithIndex.map { case ((_, _, d), i) => StructField(s"_$i", d) } ++
+          restValue.map { case (_, rdt) => StructField("rest", ArrayType(rdt)) })
+      Compiled(when(input.isNotNull, value), gated, dt)
+    }
+
+    t match {
+      case ArrayType(elemType, _) =>
+        val len = size(input)
+        val tailViols = (variadic: Option[Spec]) => variadic.toSeq.map { v =>
+          // variadic tail via HOF (interpreted — acceptable: tuples are not
+          // the hot path; heavy homogeneous tails belong in ListSpec +
+          // planExplodedList)
+          val tail = slice(input, lit(n + 1), greatest(len - n, lit(0)))
+          when(input.isNull, empty).otherwise(
+            flatten(transform(tail, (x, i) =>
+              compile(x, elemType, elemLoc(i + n), v, mode).violations)))
+        }
+        val restValue = s.variadic.map { v =>
+          val tail = slice(input, lit(n + 1), greatest(len - n, lit(0)))
+          (transform(tail, x => compile(x, elemType, loc, v, mode).value),
+            compile(lit(null).cast(elemType), elemType, loc, v, mode).dataType)
+        }
+        build(coalesce(len, lit(0)), i => try_element_at(input, lit(i + 1)),
+          _ => elemType, tailViols, restValue)
+
+      case st: StructType =>
+        // struct input: fields in declaration order are the positions —
+        // everything static, fully codegen'd
+        val fieldsN = st.fields.length
+        val len = when(input.isNotNull, lit(fieldsN)).otherwise(lit(0))
+        val tailViols = (variadic: Option[Spec]) => variadic.toSeq.flatMap { v =>
+          (n until fieldsN).map { i =>
+            when(input.isNull, empty).otherwise(
+              compile(input.getField(st.fieldNames(i)), st.fields(i).dataType,
+                elemLoc(lit(i)), v, mode).violations)
+          }
+        }
+        val restValue = s.variadic.map { v =>
+          // struct tails may mix Spark types per position — unify as string
+          val restCols = (n until fieldsN).map { i =>
+            compile(input.getField(st.fieldNames(i)), st.fields(i).dataType,
+              loc, v, mode).value.cast(StringType)
+          }
+          (if (restCols.isEmpty) array().cast(ArrayType(StringType))
+           else array(restCols: _*), StringType: DataType)
+        }
+        build(len,
+          i => if (i < fieldsN) input.getField(st.fieldNames(i))
+               else lit(null).cast(StringType),
+          i => if (i < fieldsN) st.fields(i).dataType else StringType,
+          tailViols, restValue)
+
+      case _ =>
+        typeViolation(loc, "tuple_type", "Input should be a valid tuple",
+          input, StructType(s.items.indices.map(i =>
+            StructField(s"_$i", StringType))))
+    }
   }
 
   private def compileSet(input: Column, t: DataType, loc: Column,

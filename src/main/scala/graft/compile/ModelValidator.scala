@@ -174,6 +174,58 @@ object ModelValidator {
       .withColumn(VALID, size(col(VIOLATIONS)) === 0)
   }
 
+  /** Rough expression-weight of a spec tree — how many compiled nodes it
+   * expands to. Used to decide when a list field's element spec is heavy
+   * enough that the inline HOF path would (a) run interpreted and (b) push
+   * the row projection over the 64KB codegen method limit. */
+  def specWeight(s: Spec): Int = s match {
+    case m: ModelSpec => 1 + m.fields.map(f => specWeight(f.spec)).sum
+    case TaggedUnionSpec(_, cs) => 1 + cs.values.map(specWeight).sum
+    // Smart unions compile every branch strict+lax
+    case UnionSpec(cs, UnionMode.Smart) => 1 + 2 * cs.map(specWeight).sum
+    case UnionSpec(cs, _) => 1 + cs.map(specWeight).sum
+    case NullableSpec(i) => 1 + specWeight(i)
+    case WithDefaultSpec(i, _, _) => 1 + specWeight(i)
+    case ChainSpec(ss) => 1 + ss.map(specWeight).sum
+    case CustomErrorSpec(i, _, _) => 1 + specWeight(i)
+    case ListSpec(i, _, _, _) => 1 + specWeight(i)
+    case SetSpec(i, _, _) => 1 + specWeight(i)
+    case DictSpec(k, v, _, _) => 1 + specWeight(k) + specWeight(v)
+    case tu: TupleSpec => 1 + tu.items.map(specWeight).sum +
+      tu.variadic.map(specWeight).getOrElse(0)
+    case FunctionBeforeSpec(_, i, _) => 1 + specWeight(i)
+    case FunctionAfterSpec(i, _) => 1 + specWeight(i)
+    case FunctionWrapSpec(i, _) => 1 + specWeight(i)
+    case JsonSpec(_, i) => 1 + i.map(specWeight(_)).getOrElse(0)
+    case _ => 1
+  }
+
+  /**
+   * [[plan]] with automatic scale routing: a list/set field whose ELEMENT
+   * spec weighs >= `explodeThreshold` nodes validates through the exploded
+   * path ([[planExplodedList]]) instead of inline HOFs — callers no longer
+   * need to know the scale path exists. `keyCol` must uniquely identify
+   * rows (the exploded violations re-join on it). Only the heaviest
+   * qualifying list field explodes (one join); others stay inline.
+   */
+  def planAuto(df: DataFrame, model: ModelSpec, keyCol: String,
+               explodeThreshold: Int = 8): DataFrame = {
+    val present = df.schema.fieldNames.toSet
+    val candidates = model.fields.flatMap { f =>
+      val itemW = f.spec match {
+        case ListSpec(item, _, _, _) => Some(specWeight(item))
+        case SetSpec(item, _, _) => Some(specWeight(item))
+        case _ => None
+      }
+      itemW.collect {
+        case w if w >= explodeThreshold && present.contains(f.name) &&
+          df.schema(f.name).dataType.isInstanceOf[ArrayType] => (f.name, w)
+      }
+    }
+    if (candidates.isEmpty) plan(df, model)
+    else planExplodedList(df, model, keyCol, candidates.maxBy(_._2)._1)
+  }
+
   /** Validated projection: model fields only (extras dropped, like
    * `extra='ignore'`), plus verdict columns. */
   def validate(df: DataFrame, model: ModelSpec): DataFrame = {

@@ -122,14 +122,12 @@ object Multimodal {
           case "image" | "video" => Codecs.decodeImage(r.payload)
           case _ => (-1, -1)
         }
-        val dur = r.kind match {
-          case "audio" => Codecs.decodeAudio(r.payload)
-          case "video" => Codecs.decodeVideo(r.payload)._1
-          case _ => -1L
-        }
-        val frames = r.kind match {
-          case "video" => Codecs.decodeVideo(r.payload)._2
-          case _ => -1
+        // decode once per row — duration and frame count come from the
+        // same demux call (round 1 decoded videos twice)
+        val (dur, frames) = r.kind match {
+          case "audio" => (Codecs.decodeAudio(r.payload), -1)
+          case "video" => Codecs.decodeVideo(r.payload)
+          case _ => (-1L, -1)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest,
           w, hgt, dur, frames, Codecs.embed(r.payload))

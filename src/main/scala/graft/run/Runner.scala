@@ -124,12 +124,30 @@ object Runner {
           buckets: Int = 64, waveSize: Int = 16,
           maxViolationRate: Double = 0.05, maxPsi: Double = 0.25,
           histLo: Double = 0, histHi: Double = 8192,
-          histBuckets: Int = 40): RunReport = {
+          histBuckets: Int = 40,
+          stageBuckets: Boolean = false): RunReport = {
     val spec = specHash(model)
     val done = completedParts(spark, outDir, spec)
     val all = 0 until buckets
     val pending = all.filterNot(done.contains)
-    val withPart = df.withColumn("__part",
+    // Wave inputs: without staging, every wave re-filters the FULL input —
+    // buckets/waveSize rescans per complete run, fine only when the source
+    // is already physically partitioned/bucketed by the same key hash.
+    // stageBuckets=true writes ONE bucketed staging copy up front
+    // (partitioned by __part), so each wave's read partition-prunes to
+    // exactly its buckets: total I/O = 1 write + 1 read of the table
+    // instead of buckets/waveSize scans. The staging write is itself
+    // resumable state: reused if present.
+    val withPart = if (stageBuckets) {
+      val stagedPath = s"$outDir/_staged"
+      // _SUCCESS gates reuse: a killed staging write restages from scratch
+      if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
+        df.withColumn("__part", partitionId(col(keyCol), buckets))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("__part").parquet(stagedPath)
+      }
+      spark.read.parquet(stagedPath)
+    } else df.withColumn("__part",
       partitionId(col(keyCol), buckets))
 
     // freeze the drift reference histogram on first contact

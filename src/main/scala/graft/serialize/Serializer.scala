@@ -2,8 +2,9 @@ package graft.serialize
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.spec.ModelSpec
+import graft.spec.{ModelSpec, NullableSpec, Spec, WithDefaultSpec}
 
 /**
  * Serialization — the engine's `model_dump` / `model_dump_json`
@@ -11,49 +12,113 @@ import graft.spec.ModelSpec
  * to_json`, type serializers in `pydantic-core/src/serializers/`).
  *
  * Columnar mapping (SURVEY §2.4):
- *  - include/exclude        -> column pruning (Catalyst prunes the scan too)
- *  - by_alias               -> `.alias(serialization_alias)`
- *  - computed fields        -> derived columns (`@computed_field`,
- *                              `pydantic/fields.py:1693-1713`)
- *  - exclude_none           -> `to_json` ignoreNullFields (per-record field
- *                              omission, exactly pydantic's exclude_none)
- *  - mode=json              -> `to_json(struct(...))` one codegen'd
- *                              projection; round_trip = write + re-read
+ *  - include/exclude          -> column pruning (Catalyst prunes the scan too)
+ *  - by_alias                 -> `.alias(serialization_alias)`
+ *  - computed fields          -> derived columns (`@computed_field`,
+ *                                `pydantic/fields.py:1693-1713`)
+ *  - exclude_none             -> `to_json` ignoreNullFields (per-record field
+ *                                omission, exactly pydantic's exclude_none)
+ *  - exclude_unset            -> field null BEFORE default application =>
+ *                                omitted ("provided" == source non-null —
+ *                                the columnar notion of fields_set;
+ *                                `main.py:472-485`). JSON mode only: a
+ *                                relational projection cannot drop a column
+ *                                per row.
+ *  - exclude_defaults         -> value equal to the field default => omitted
+ *                                (JSON mode only, same reason)
+ *  - field_serializer         -> per-field Column fn with `when_used` modes
+ *                                always | unless-none | json |
+ *                                json-unless-none
+ *                                (`functional_serializers.py:20-230`)
+ *  - ser_json_timedelta/bytes -> [[timedeltaJson]] / [[bytesJson]]
+ *                                (`serializers/config.rs:121-138`)
+ *  - mode=json                -> `to_json(struct(...))` one codegen'd
+ *                                projection; round_trip = write + re-read
  */
 object Serializer {
 
+  /** Per-field serializer — `@field_serializer` + its `when_used` gate
+   * (`functional_serializers.py:46-52`). */
+  final case class FieldSer(fn: Column => Column, whenUsed: String = "always")
+
   /** Per-model serialization options — FieldInfo's serialization surface
-   * (`exclude`, `serialization_alias`) plus call-level include/exclude
-   * (`main.py:472-485`). */
+   * plus call-level include/exclude/exclude_* (`main.py:472-485`). */
   final case class DumpSpec(
       include: Option[Seq[String]] = None,
       exclude: Set[String] = Set.empty,
       byAlias: Map[String, String] = Map.empty,
       computed: Seq[(String, Column)] = Nil,
-      excludeNone: Boolean = false)
+      excludeNone: Boolean = false,
+      excludeUnset: Boolean = false,
+      excludeDefaults: Boolean = false,
+      fieldSerializers: Map[String, FieldSer] = Map.empty)
+
+  /** The field's declared default, if any (top-level or under Nullable). */
+  private def defaultOf(spec: Spec): Option[String] = spec match {
+    case WithDefaultSpec(_, d, _) => Some(d)
+    case NullableSpec(inner) => defaultOf(inner)
+    case _ => None
+  }
+
+  /** One serialized field value: default application, field serializer
+   * (gated by when_used), exclude_unset/exclude_defaults nulling (the
+   * nulls become omissions under ignoreNullFields in JSON mode). */
+  private def serValue(model: ModelSpec, n: String, spec: DumpSpec,
+                       json: Boolean): Column = {
+    val base = col(n)
+    val dflt = model.fields.find(_.name == n).flatMap(f => defaultOf(f.spec))
+    val withDefault = dflt.map(d => coalesce(base, lit(d))).getOrElse(base)
+    val served = spec.fieldSerializers.get(n) match {
+      case Some(FieldSer(fn, whenUsed)) =>
+        val applies = whenUsed match {
+          case "always" | "unless-none" => true
+          case "json" | "json-unless-none" => json
+          case other => throw new IllegalArgumentException(
+            s"when_used must be always|unless-none|json|json-unless-none, got $other")
+        }
+        if (!applies) withDefault
+        else if (whenUsed.endsWith("unless-none"))
+          when(withDefault.isNotNull, fn(withDefault))
+        else fn(withDefault)
+      case None => withDefault
+    }
+    val v1 =
+      if (spec.excludeDefaults && dflt.isDefined)
+        when(withDefault.cast(StringType) === dflt.get, lit(null)).otherwise(served)
+      else served
+    if (spec.excludeUnset) when(base.isNotNull, v1) else v1
+  }
 
   /** The serialized projection: model fields filtered by include/exclude,
    * renamed by alias, plus computed fields — in model field order like the
    * reference (fields serialize in definition order). */
-  def dumpColumns(model: ModelSpec, spec: DumpSpec = DumpSpec()): Seq[Column] = {
+  def dumpColumns(model: ModelSpec, spec: DumpSpec = DumpSpec(),
+                  json: Boolean = false): Seq[Column] = {
     val kept = model.fields.map(_.name)
       .filter(n => spec.include.forall(_.contains(n)))
       .filterNot(spec.exclude.contains)
-    kept.map(n => col(n).as(spec.byAlias.getOrElse(n, n))) ++
+    kept.map(n => serValue(model, n, spec, json)
+      .as(spec.byAlias.getOrElse(n, n))) ++
       spec.computed.map { case (n, c) => c.as(n) }
   }
 
-  /** `model_dump` analog: typed projection. */
+  /** `model_dump` analog: typed projection (mode='python'). exclude_unset/
+   * exclude_defaults surface as NULLs here — a relational row cannot omit
+   * a column (documented deviation). */
   def dump(df: DataFrame, model: ModelSpec, spec: DumpSpec = DumpSpec()): DataFrame =
-    df.select(dumpColumns(model, spec): _*)
+    df.select(dumpColumns(model, spec, json = false): _*)
 
-  /** `model_dump_json` analog: one JSON string column per row.
-   * excludeNone maps to ignoreNullFields (pydantic's exclude_none). */
+  /** `model_dump_json` analog: one JSON string column per row. Fields
+   * nulled by exclude_none/exclude_unset/exclude_defaults are omitted from
+   * the rendered object, exactly like pydantic. */
   def dumpJson(df: DataFrame, model: ModelSpec, spec: DumpSpec = DumpSpec(),
-               outCol: String = "json"): DataFrame =
+               outCol: String = "json"): DataFrame = {
+    val ignoreNulls =
+      spec.excludeNone || spec.excludeUnset || spec.excludeDefaults
     df.select(to_json(
-      struct(dumpColumns(model, spec): _*),
-      Map("ignoreNullFields" -> spec.excludeNone.toString)).as(outCol))
+      struct(dumpColumns(model, spec, json = true): _*),
+      Map("ignoreNullFields" -> ignoreNulls.toString)).as(outCol))
+  }
 
   /** Round-trip check column: serialize then re-parse equals the
    * projection (pydantic `round_trip=True`). */
@@ -61,5 +126,54 @@ object Serializer {
     val s = struct(dumpColumns(model): _*)
     val dt = df.select(s.as("__s")).schema("__s").dataType
     from_json(to_json(s), dt) === s
+  }
+
+  // ---------------------------------------------- type-level ser modes
+
+  /** `ser_json_timedelta` (`serializers/config.rs:121`): 'iso8601' (the
+   * speedate rendering pydantic emits — "PT1.5S", "P1DT2H3M4S", "P4D",
+   * "-PT1M30S", zero -> "PT0S") or 'float' (total seconds). Input is the
+   * engine's timedelta value column (total seconds, DoubleType). */
+  def timedeltaJson(totalSeconds: Column, mode: String = "iso8601"): Column =
+    mode match {
+      case "float" => totalSeconds.cast(DoubleType)
+      case "iso8601" => timedeltaIso(totalSeconds).cast(StringType)
+      case other => throw new IllegalArgumentException(
+        s"ser_json_timedelta must be iso8601|float, got $other")
+    }
+
+  /** speedate `Duration::to_string`: absolute-value decomposition with a
+   * leading '-' for negatives, zero units omitted, fractional seconds
+   * trimmed of trailing zeros, 'PT0S' for zero. */
+  def timedeltaIso(totalSeconds: Column): Column = {
+    val a = abs(totalSeconds)
+    val d = floor(a / 86400).cast(LongType)
+    val h = floor((a % 86400) / 3600).cast(LongType)
+    val m = floor((a % 3600) / 60).cast(LongType)
+    // decimal(16,6) then trim: "4.000000"->"4", "59.500000"->"59.5"
+    val sNum = round(a % 60, 6)
+    val sStr = regexp_replace(
+      sNum.cast(DecimalType(16, 6)).cast(StringType), "\\.?0+$", "")
+    val body = concat(
+      when(d > 0, concat(d.cast(StringType), lit("D"))).otherwise(lit("")),
+      when(h > 0 || m > 0 || sNum > 0, lit("T")).otherwise(lit("")),
+      when(h > 0, concat(h.cast(StringType), lit("H"))).otherwise(lit("")),
+      when(m > 0, concat(m.cast(StringType), lit("M"))).otherwise(lit("")),
+      when(sNum > 0, concat(sStr, lit("S"))).otherwise(lit("")))
+    when(totalSeconds.isNull, lit(null).cast(StringType))
+      .when(a === 0, lit("PT0S"))
+      .otherwise(concat(
+        when(totalSeconds < 0, lit("-")).otherwise(lit("")),
+        lit("P"), body))
+  }
+
+  /** `ser_json_bytes` (`serializers/config.rs:136`): utf8 | base64 | hex
+   * over a BinaryType column. */
+  def bytesJson(bytes: Column, mode: String = "utf8"): Column = mode match {
+    case "utf8" => bytes.cast(StringType)
+    case "base64" => base64(bytes)
+    case "hex" => lower(hex(bytes))
+    case other => throw new IllegalArgumentException(
+      s"ser_json_bytes must be utf8|base64|hex, got $other")
   }
 }

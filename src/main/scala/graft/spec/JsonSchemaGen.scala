@@ -110,5 +110,23 @@ object JsonSchemaGen {
         "required" -> req) ++
         (if (m.extra == Extra.Forbid) Seq("additionalProperties" -> "false")
          else Nil))
+    case s: TupleSpec =>
+      // draft-2020-12 prefixItems, like pydantic for tuple[...] types
+      obj(Seq("type" -> str("array"),
+        "prefixItems" -> s.items.map(toJson).mkString("[", ", ", "]")) ++
+        s.variadic.map(v => "items" -> toJson(v)) ++
+        (if (s.variadic.isEmpty)
+          Seq("minItems" -> s.items.size.toString,
+            "maxItems" -> s.items.size.toString)
+        else s.minLength.map(v => "minItems" -> v.toString).toSeq ++
+          s.maxLength.map(v => "maxItems" -> v.toString)))
+    // function validators wrap/replace inner schemas — pydantic emits the
+    // handler schema (or {} for plain, which is opaque)
+    case FunctionBeforeSpec(_, inner, _) => toJson(inner)
+    case FunctionAfterSpec(inner, _) => toJson(inner)
+    case FunctionWrapSpec(inner, _) => toJson(inner)
+    case _: FunctionPlainSpec => "{}"
+    case _: PredicateSpec | _: CheckSpec => "{}"
+    case _: ExtensionSpec => "{}"
   }
 }

@@ -31,6 +31,34 @@ object Pipeline {
     def default(d: String): Pipe = Raw(WithDefaultSpec(spec, d))
     def customError(errType: String, msg: String): Pipe =
       Raw(CustomErrorSpec(spec, errType, msg))
+
+    // ---- function-validator surface (`pipeline.py:129,237,271-279`)
+
+    /** Transform the validated value (`pipeline.py:129` / AfterValidator). */
+    def transform(fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Pipe =
+      Raw(FunctionAfterSpec(spec, fn))
+    /** Named predicate over the validated value (`pipeline.py:237`);
+     * failure -> `predicate_failed` "Predicate '{name}' failed". */
+    def predicate(name: String)(
+        fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Pipe =
+      Raw(ChainSpec(Seq(spec, PredicateSpec(fn, name))))
+    /** Unnamed check (`pipeline.py:405` _check_func);
+     * failure -> `value_error` "Value error, Expected {desc}". */
+    def check(desc: String)(
+        fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Pipe =
+      Raw(ChainSpec(Seq(spec, CheckSpec(fn, desc))))
+    /** `eq` (`pipeline.py:271`) — named eqTo: Scala reserves `eq`. */
+    def eqTo(v: Any): Pipe =
+      check(s"== $v")(c => c === org.apache.spark.sql.functions.lit(v))
+    /** `not_eq` (`pipeline.py:274`). */
+    def notEqTo(v: Any): Pipe =
+      check(s"!= $v")(c => c =!= org.apache.spark.sql.functions.lit(v))
+    /** `in_` (`pipeline.py:277`). */
+    def in_(vs: Any*): Pipe =
+      check(s"in ${vs.mkString("[", ", ", "]")}")(c => c.isin(vs: _*))
+    /** `not_in` (`pipeline.py:279`). */
+    def notIn(vs: Any*): Pipe =
+      check(s"not in ${vs.mkString("[", ", ", "]")}")(c => !c.isin(vs: _*))
   }
 
   final case class Raw(spec: Spec) extends Pipe

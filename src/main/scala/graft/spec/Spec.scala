@@ -14,6 +14,11 @@ package graft.spec
  */
 sealed trait Spec extends Serializable
 
+/** Open extension point under the sealed ADT: function/custom-validator
+ * specs carry Spark `Column` builders and live in FunctionSpecs.scala
+ * (this file stays pure data). */
+trait ExtensionSpec extends Spec
+
 /** Validation mode — reference: strict vs lax
  * (`pydantic-core/src/validators/validation_state.rs`, `Strict` metadata
  * `pydantic/types.py:123`). Strict = type must already match; Lax = apply
@@ -99,15 +104,38 @@ final case class DateSpec(
 ) extends Spec
 
 /** Datetime schema — reference `validators/datetime.rs:44-138`. Lax accepts
- * epoch int/float and ISO strings. */
+ * epoch int/float and ISO strings. `tz` mirrors tz_constraint
+ * (`datetime.rs:30-42`, errors `types.rs:368-374`): on string inputs the
+ * offset suffix decides aware/naive; TimestampType input counts as aware
+ * UTC (Spark normalizes instants), TimestampNTZ as naive.
+ * `microsecondsPrecision` mirrors speedate's overflow behavior: Truncate
+ * (default) keeps the first 6 fraction digits, Error rejects longer
+ * fractions (`datetime.rs:26,219`). */
 final case class DatetimeSpec(
     gt: Option[String] = None,
     ge: Option[String] = None,
     lt: Option[String] = None,
     le: Option[String] = None,
     nowOp: Option[NowOp] = None,
-    strict: Option[Boolean] = None
+    strict: Option[Boolean] = None,
+    tz: Option[TzConstraint] = None,
+    microsecondsPrecision: MicrosecondsPrecision = MicrosecondsPrecision.Truncate
 ) extends Spec
+
+/** tz_constraint — reference `validators/datetime.rs:30-42`. */
+sealed trait TzConstraint extends Serializable
+object TzConstraint {
+  case object Aware extends TzConstraint
+  case object Naive extends TzConstraint
+  /** exact UTC offset in seconds (tz_constraint=<int>) */
+  final case class Offset(seconds: Int) extends TzConstraint
+}
+
+sealed trait MicrosecondsPrecision extends Serializable
+object MicrosecondsPrecision {
+  case object Truncate extends MicrosecondsPrecision
+  case object Error extends MicrosecondsPrecision
+}
 
 /** Time-of-day schema — reference `validators/time.rs`. Values and bounds
  * are "HH:MM:SS[.ffffff]" strings; compiled value is seconds-of-day
@@ -140,12 +168,25 @@ object NowOp {
   case object Future extends NowOp
 }
 
-/** Bytes schema — reference `validators/bytes.rs`; lengths are byte counts. */
+/** Bytes schema — reference `validators/bytes.rs`; lengths are byte counts.
+ * `mode` mirrors config `val_json_bytes` (`validators/config.rs`
+ * ValBytesMode): how a STRING input coerces to bytes — utf8 (raw bytes),
+ * base64, or hex; a malformed encoded string is `bytes_invalid_encoding`.
+ * Deviation (documented): the encoding_error detail string is generic, not
+ * the offset-precise message of the Rust base64/hex crates. */
 final case class BytesSpec(
     minLength: Option[Int] = None,
     maxLength: Option[Int] = None,
-    strict: Option[Boolean] = None
+    strict: Option[Boolean] = None,
+    mode: BytesEncoding = BytesEncoding.Utf8
 ) extends Spec
+
+sealed trait BytesEncoding extends Serializable
+object BytesEncoding {
+  case object Utf8 extends BytesEncoding
+  case object Base64 extends BytesEncoding
+  case object Hex extends BytesEncoding
+}
 
 /** UUID schema — reference `validators/uuid.rs:73-156`; optional version
  * equality check (`uuid.rs:69,103`). */
@@ -153,12 +194,22 @@ final case class UuidSpec(version: Option[Int] = None, strict: Option[Boolean] =
     extends Spec
 
 /** URL schema — reference `validators/url.rs` (839 LoC); constraint surface
- * from `pydantic/_internal/_known_annotated_metadata.py:59-66`. */
+ * from `pydantic/_internal/_known_annotated_metadata.py:59-66`.
+ * `multiHost` mirrors MultiHostUrl (`url.rs` multi-host half /
+ * `pydantic/networks.py:731-999` DSNs): the authority may be a
+ * comma-separated host list (postgres://h1:5432,h2:5432/db), each host
+ * validated. `defaultHost/Port/Path` mirror the DSN default-filling
+ * (`networks.py` UrlConstraints): applied to the COERCED value when the
+ * respective part is absent (single-host URLs only). */
 final case class UrlSpec(
     allowedSchemes: Seq[String] = Nil,
     hostRequired: Boolean = false,
     maxLength: Option[Int] = None,
-    strict: Option[Boolean] = None
+    strict: Option[Boolean] = None,
+    multiHost: Boolean = false,
+    defaultHost: Option[String] = None,
+    defaultPort: Option[Int] = None,
+    defaultPath: Option[String] = None
 ) extends Spec
 
 /** Literal membership — reference `validators/literal.rs:28-100` (per-type
@@ -195,6 +246,11 @@ sealed trait OnError extends Serializable
 object OnError {
   case object Raise extends OnError
   case object UseDefault extends OnError
+  /** swallow the error and OMIT the value — `with_default.rs:110-122`
+   * on_error=omit. Columnar mapping: the value becomes null with no
+   * violation; a ListSpec whose item omits drops those nulls from the
+   * coerced array (pydantic's "validating lists, dropping bad items"). */
+  case object Omit extends OnError
 }
 
 /** Sequential pipeline — reference `validators/chain.rs`. Each step's output
@@ -249,6 +305,24 @@ final case class ListSpec(
     /** stop at the first element violation — reference `list.rs:21,113`;
      * columnar analog: the bundle keeps only the first element's
      * violations (evaluation itself is vectorized either way). */
+    failFast: Boolean = false
+) extends Spec
+
+/** Tuple schema — reference `validators/tuple.rs` (positional heterogeneous
+ * items + variadic tail). `items` validate positions 0..n-1; a missing
+ * position is `missing` (unless the item spec carries a default,
+ * `tuple.rs:90-95`); positions beyond the head validate against `variadic`
+ * when set (tuple[X, ...]) and are `too_long` otherwise (`tuple.rs:232`).
+ * Deviation (documented): validators AFTER a variadic item
+ * (tuple[int, *tuple[str, ...], int]) are not supported — the variadic
+ * item is always the tail. Input may be an array (homogeneous Spark type,
+ * per-position specs coerce) or a struct (fields in declaration order). */
+final case class TupleSpec(
+    items: Seq[Spec],
+    variadic: Option[Spec] = None,
+    minLength: Option[Int] = None,
+    maxLength: Option[Int] = None,
+    /** keep only the first violation — reference `tuple.rs` fail_fast */
     failFast: Boolean = false
 ) extends Spec
 

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.spec._
+import graft.compile.Compiler
+
+/**
+ * Function (custom) validators — cases transcribed from
+ * `pydantic/functional_validators.py` docstring examples (Before/After/
+ * Plain/Wrap) and `pydantic/experimental/pipeline.py` (predicate,
+ * transform, eq/not_eq/in_/not_in) — plus TupleSpec fixtures mirroring
+ * `pydantic-core/tests/validators/test_tuple.py`.
+ */
+class FunctionTupleSpec extends SparkTestBase {
+
+  // ------------------------------------------------- function validators
+
+  test("after validator: double after int validation (functional_validators.py:43-56)") {
+    val spec = FunctionAfterSpec(IntSpec(), _ * 2)
+    val out = run(spec, StringType, Seq("2", "x", null))
+    assert(out(0) == ((4L, Seq())))
+    assert(out(1)._2 == Seq("int_parsing"))
+    assert(out(2) == ((null, Seq())))
+  }
+
+  test("before validator: strip then parse (functional_validators.py:30 shape)") {
+    val spec = FunctionBeforeSpec(c => trim(c), IntSpec(ge = Some(0)))
+    val out = run(spec, StringType, Seq(" 5 ", " -3 ", " zz "))
+    assert(out(0) == ((5L, Seq())))
+    assert(out(1)._2 == Seq("greater_than_equal"))
+    assert(out(2)._2 == Seq("int_parsing"))
+  }
+
+  test("before validator with declared output type") {
+    // str -> array via split, then list validation of the parts
+    val spec = FunctionBeforeSpec(c => split(c, ","),
+      ListSpec(IntSpec(), minLength = Some(2)), Some("ARRAY<STRING>"))
+    val out = run(spec, StringType, Seq("1,2,3", "1", "1,x"))
+    assert(out(0)._2 == Seq())
+    assert(out(1)._2 == Seq("too_short"))
+    assert(out(2)._2 == Seq("int_parsing"))
+  }
+
+  test("plain validator replaces validation (functional_validators.py:158)") {
+    val spec = FunctionPlainSpec(c => upper(c), "STRING")
+    assert(run(spec, StringType, Seq("abc")) == Seq(("ABC", Seq())))
+  }
+
+  test("wrap validator: swallow inner error, substitute fallback (functional_validators.py:258 shape)") {
+    val spec = FunctionWrapSpec(IntSpec(), ctx =>
+      (when(size(ctx.violations) === 0, ctx.validated).otherwise(lit(-1L)),
+        graft.compile.Violations.empty))
+    val out = run(spec, StringType, Seq("7", "bad"))
+    assert(out(0) == ((7L, Seq())))
+    assert(out(1) == ((-1L, Seq())))
+  }
+
+  test("predicate: predicate_failed with exact message (pipeline.py:605-621)") {
+    val spec = ChainSpec(Seq(IntSpec(), PredicateSpec(c => c % 2 === 0, "is_even")))
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L)), 1), schema)
+    val c = Compiler.compile(col("x"), LongType, array(lit("x")), spec, Mode.Lax)
+    val r = df.select(element_at(c.violations, 1).getField("type").as("t"),
+      element_at(c.violations, 1).getField("msg").as("m")).collect().head
+    assert(r.getString(0) == "predicate_failed")
+    assert(r.getString(1) == "Predicate 'is_even' failed")
+  }
+
+  test("pipeline eq/not_eq/in_/not_in -> value_error with _check_func message (pipeline.py:405-415)") {
+    import Pipeline._
+    val eqSpec = validateAsInt.eqTo(5).spec
+    val out = run(eqSpec, LongType, Seq(5L, 6L))
+    assert(out(0)._2 == Seq())
+    assert(out(1)._2 == Seq("value_error"))
+
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(6L)), 1), schema)
+    val c = Compiler.compile(col("x"), LongType, array(lit("x")), eqSpec, Mode.Lax)
+    val msg = df.select(element_at(c.violations, 1).getField("msg"))
+      .collect().head.getString(0)
+    assert(msg == "Value error, Expected == 5")
+
+    assert(types(validateAsInt.notEqTo(5).spec, LongType, Seq(5L, 6L)) ==
+      Seq(Seq("value_error"), Seq()))
+    assert(types(validateAsStr.in_("a", "b").spec, StringType, Seq("a", "c")) ==
+      Seq(Seq(), Seq("value_error")))
+    assert(types(validateAsStr.notIn("a", "b").spec, StringType, Seq("a", "c")) ==
+      Seq(Seq("value_error"), Seq()))
+  }
+
+  test("pipeline transform + predicate compose") {
+    import Pipeline._
+    val p = validateAsInt.ge(0).transform(_ * 10)
+      .predicate("lt100")(_ < 100)
+    val out = run(p.spec, StringType, Seq("5", "20"))
+    assert(out(0) == ((50L, Seq())))
+    assert(out(1)._2 == Seq("predicate_failed")) // 200 >= 100
+  }
+
+  // ------------------------------------------------------------- tuples
+
+  private val posTuple = TupleSpec(Seq(
+    IntSpec(ge = Some(0)), StrSpec(minLength = Some(1)), IntSpec()))
+
+  test("tuple: positional pass + per-position coercion (test_tuple.py positional)") {
+    val out = run(posTuple, ArrayType(StringType),
+      Seq(Seq("1", "a", "2"), Seq("-1", "", "2")))
+    assert(out(0)._2 == Seq())
+    assert(out(0)._1.asInstanceOf[Row].toSeq == Seq(1L, "a", 2L))
+    assert(out(1)._2.toSet == Set("greater_than_equal", "string_too_short"))
+  }
+
+  test("tuple: short input -> missing at the absent positions (tuple.rs:94)") {
+    val out = types(posTuple, ArrayType(StringType), Seq(Seq("1")))
+    assert(out.head == Seq("missing", "missing"))
+  }
+
+  test("tuple: missing position with default uses it (tuple.rs:90-95)") {
+    val spec = TupleSpec(Seq(IntSpec(),
+      WithDefaultSpec(IntSpec(), default = "9")))
+    val out = run(spec, ArrayType(StringType), Seq(Seq("1")))
+    assert(out.head._2 == Seq())
+    assert(out.head._1.asInstanceOf[Row].toSeq == Seq(1L, 9L))
+  }
+
+  test("tuple: extra items without variadic -> too_long (tuple.rs:232)") {
+    val out = types(posTuple, ArrayType(StringType),
+      Seq(Seq("1", "a", "2", "3")))
+    assert(out.head == Seq("too_long"))
+  }
+
+  test("tuple: variadic tail validates every extra item (tuple[int, str, ...])") {
+    val spec = TupleSpec(Seq(IntSpec()),
+      variadic = Some(StrSpec(minLength = Some(2))))
+    val out = run(spec, ArrayType(StringType),
+      Seq(Seq("1", "ab", "cd"), Seq("1", "x", "yz")))
+    assert(out(0)._2 == Seq())
+    assert(out(1)._2 == Seq("string_too_short"))
+  }
+
+  test("tuple: min/max length with variadic (tuple.rs:257,298)") {
+    val spec = TupleSpec(Seq(IntSpec()), variadic = Some(AnySpec),
+      minLength = Some(2), maxLength = Some(3))
+    assert(types(spec, ArrayType(StringType),
+      Seq(Seq("1"), Seq("1", "2", "3", "4"), Seq("1", "2"))) ==
+      Seq(Seq("too_short"), Seq("too_long"), Seq()))
+  }
+
+  test("tuple: fail_fast keeps only the first violation") {
+    val spec = posTuple.copy(failFast = true)
+    assert(types(spec, ArrayType(StringType), Seq(Seq("-1", "", "2"))) ==
+      Seq(Seq("greater_than_equal")))
+  }
+
+  test("tuple: struct input = fields in declaration order") {
+    val schema = StructType(Seq(StructField("s", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(Row(1L, "x")), Row(Row(-1L, "x"))), 1), schema)
+    val spec = TupleSpec(Seq(IntSpec(ge = Some(0)), StrSpec()))
+    val c = Compiler.compile(col("s"), schema("s").dataType,
+      array(lit("s")), spec, Mode.Lax)
+    val out = df.select(transform(c.violations, v => v.getField("type")))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq())
+    assert(out(1) == Seq("greater_than_equal"))
+  }
+
+  test("tuple: non-collection input -> tuple_type") {
+    assert(types(posTuple, LongType, Seq(5L)) == Seq(Seq("tuple_type")))
+  }
+
+  test("tuple: element loc carries the position index") {
+    val schema = StructType(Seq(StructField("x", ArrayType(StringType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq("-1", "a", "2"))), 1), schema)
+    val c = Compiler.compile(col("x"), ArrayType(StringType),
+      array(lit("tup")), posTuple, Mode.Lax)
+    val loc = df.select(element_at(c.violations, 1).getField("loc"))
+      .collect().head.getSeq[String](0)
+    assert(loc == Seq("tup", "0"))
+  }
+
+  // --------------------------------------- tagged-union message rendering
+
+  test("tagged union: unknown tag renders actual value + expected_tags ctx") {
+    val schema = StructType(Seq(StructField("s", StructType(Seq(
+      StructField("kind", StringType), StructField("v", LongType))))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(Row("frog", 1L)), Row(Row(null, 1L))), 1), schema)
+    val spec = TaggedUnionSpec("kind", Map(
+      "cat" -> ModelSpec("c", Seq(FieldSpec("v", IntSpec()))),
+      "dog" -> ModelSpec("d", Seq(FieldSpec("v", IntSpec())))))
+    val c = Compiler.compile(col("s"), schema("s").dataType,
+      array(lit("s")), spec, Mode.Lax)
+    val rows = df.select(
+      element_at(c.violations, 1).getField("type").as("t"),
+      element_at(c.violations, 1).getField("msg").as("m"),
+      element_at(c.violations, 1).getField("ctx").as("ctx")).collect()
+    assert(rows(0).getString(0) == "union_tag_invalid")
+    assert(rows(0).getString(1) ==
+      "Input tag 'frog' found using 'kind' does not match any of the expected tags: 'cat', 'dog'")
+    val ctx = rows(0).getMap[String, String](2)
+    assert(ctx("tag") == "frog" && ctx("expected_tags") == "'cat', 'dog'")
+    assert(rows(1).getString(0) == "union_tag_not_found")
+    assert(rows(1).getString(1) ==
+      "Unable to extract tag using discriminator 'kind'")
+  }
+}

@@ -36,6 +36,76 @@ class SerializeSpec extends SparkTestBase {
     assert(!drop.contains("name"))
   }
 
+  test("dumpJson: exclude_unset omits fields whose source is null even with a default (main.py:472-485)") {
+    val md = ModelSpec("doc", Seq(
+      FieldSpec("id", IntSpec()),
+      FieldSpec("name", WithDefaultSpec(StrSpec(), default = "anon"),
+        required = false)))
+    // unset (null) name WITH exclude_unset -> omitted entirely
+    val unset = Serializer.dumpJson(df.filter(col("id") === 2), md,
+      DumpSpec(excludeUnset = true)).as[String].head()
+    assert(!unset.contains("name"))
+    // without exclude_unset the default fills in
+    val filled = Serializer.dumpJson(df.filter(col("id") === 2), md)
+      .as[String].head()
+    assert(filled.contains("\"name\":\"anon\""))
+  }
+
+  test("dumpJson: exclude_defaults omits fields equal to their default") {
+    val md = ModelSpec("doc", Seq(
+      FieldSpec("id", IntSpec()),
+      FieldSpec("name", WithDefaultSpec(StrSpec(), default = "alpha"),
+        required = false)))
+    // id=1 has name="alpha" == default -> omitted; id=2 null -> default
+    // "alpha" -> also omitted (value equals default after application)
+    val out = Serializer.dumpJson(df, md, DumpSpec(excludeDefaults = true))
+      .as[String].collect()
+    assert(out.forall(!_.contains("name")))
+    // a non-default value survives
+    val df2 = Seq((3L, "beta", "s")).toDF("id", "name", "secret")
+    val keep = Serializer.dumpJson(df2, md, DumpSpec(excludeDefaults = true))
+      .as[String].head()
+    assert(keep.contains("\"name\":\"beta\""))
+  }
+
+  test("field_serializer with when_used gates (functional_serializers.py:46-52)") {
+    import Serializer.FieldSer
+    val spec = DumpSpec(fieldSerializers = Map(
+      "name" -> FieldSer(c => upper(c), "json"),
+      "secret" -> FieldSer(c => concat(lit("<"), c, lit(">")), "unless-none")))
+    // json mode: both apply
+    val j = Serializer.dumpJson(df.filter(col("id") === 1), m, spec)
+      .as[String].head()
+    assert(j.contains("\"name\":\"ALPHA\"") && j.contains("\"secret\":\"<s1>\""))
+    // python (dump) mode: when_used='json' does NOT apply, unless-none does
+    val p = Serializer.dump(df.filter(col("id") === 1), m, spec)
+    assert(p.select("name").as[String].head() == "alpha")
+    assert(p.select("secret").as[String].head() == "<s1>")
+    // unless-none: null input stays null, fn not applied
+    val n = Serializer.dump(df.filter(col("id") === 2), m, spec)
+    assert(n.select("name").as[String].head() == null)
+  }
+
+  test("ser_json_timedelta: iso8601 matches pydantic/speedate rendering (config.rs:121)") {
+    val secs = Seq(0.0, 1.5, 93784.0, 345600.0, -90.0, 0.123456, -86399.5)
+    val out = secs.toDF("s")
+      .select(Serializer.timedeltaJson(col("s"), "iso8601").as("iso"))
+      .as[String].collect().toSeq
+    // expected strings from pydantic 2.13.4 TypeAdapter(timedelta).dump_json
+    assert(out == Seq("PT0S", "PT1.5S", "P1DT2H3M4S", "P4D", "-PT1M30S",
+      "PT0.123456S", "-PT23H59M59.5S"))
+    val f = Seq(1.5).toDF("s")
+      .select(Serializer.timedeltaJson(col("s"), "float")).as[Double].head()
+    assert(f == 1.5)
+  }
+
+  test("ser_json_bytes: utf8/base64/hex (config.rs:136)") {
+    val b = Seq("hi!").toDF("s").select(col("s").cast("binary").as("b"))
+    assert(b.select(Serializer.bytesJson(col("b"), "utf8")).as[String].head() == "hi!")
+    assert(b.select(Serializer.bytesJson(col("b"), "base64")).as[String].head() == "aGkh")
+    assert(b.select(Serializer.bytesJson(col("b"), "hex")).as[String].head() == "686921")
+  }
+
   test("round trip: serialize then parse is identity on valid rows") {
     val ok = df.select(Serializer.roundTripOk(df, m).as("ok"))
       .as[Boolean].collect()

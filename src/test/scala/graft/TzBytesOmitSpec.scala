@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.spec._
+
+/**
+ * Datetime tz_constraint + microseconds_precision, bytes encoding modes,
+ * and with_default on_error=omit — fixtures transcribed from pydantic-core
+ * behavior (verified against pydantic 2.13.4 / pydantic-core in this
+ * repo's reference checkout; see Scaladoc in Spec.scala for the exact
+ * observed error dicts).
+ */
+class TzBytesOmitSpec extends SparkTestBase {
+
+  // ------------------------------------------------------ tz constraints
+
+  test("datetime tz=aware: naive string -> timezone_aware (types.rs:582)") {
+    val spec = DatetimeSpec(tz = Some(TzConstraint.Aware))
+    assert(types(spec, StringType, Seq(
+      "2020-01-01T00:00:00", "2020-01-01T00:00:00Z",
+      "2020-01-01T00:00:00+01:00", null)) ==
+      Seq(Seq("timezone_aware"), Seq(), Seq(), Seq()))
+  }
+
+  test("datetime tz=naive: offset string -> timezone_naive (types.rs:581)") {
+    val spec = DatetimeSpec(tz = Some(TzConstraint.Naive))
+    assert(types(spec, StringType, Seq(
+      "2020-01-01T00:00:00", "2020-01-01T00:00:00+0100", "2020-01-01T00:00:00Z")) ==
+      Seq(Seq(), Seq("timezone_naive"), Seq("timezone_naive")))
+  }
+
+  test("datetime tz=offset: wrong offset -> timezone_offset with rendered seconds (types.rs:583)") {
+    val spec = DatetimeSpec(tz = Some(TzConstraint.Offset(3600)))
+    val out = run(spec, StringType, Seq(
+      "2020-01-01T00:00:00+01:00",  // 3600 -> ok
+      "2020-01-01T00:00:00+05:00",  // 18000 -> timezone_offset
+      "2020-01-01T00:00:00",        // naive -> timezone_aware
+      "2020-01-01T00:00:00-02:30")) // -9000 -> timezone_offset
+    assert(out.map(_._2) == Seq(Seq(), Seq("timezone_offset"),
+      Seq("timezone_aware"), Seq("timezone_offset")))
+    // message renders expected + actual like the reference
+    import org.apache.spark.sql.functions._
+    import graft.compile.Compiler
+    val schema = StructType(Seq(StructField("x", StringType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(org.apache.spark.sql.Row("2020-01-01T00:00:00+05:00")), 1), schema)
+    val c = Compiler.compile(col("x"), StringType, array(lit("x")), spec, Mode.Lax)
+    val m = df.select(element_at(c.violations, 1).getField("msg"))
+      .collect().head.getString(0)
+    assert(m == "Timezone offset of 3600 required, got 18000")
+  }
+
+  test("datetime tz: TimestampType input counts as aware; timestamp_ntz naive") {
+    val aware = DatetimeSpec(tz = Some(TzConstraint.Aware))
+    val naive = DatetimeSpec(tz = Some(TzConstraint.Naive))
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    assert(types(aware, TimestampType, Seq(ts)) == Seq(Seq()))
+    assert(types(naive, TimestampType, Seq(ts)) == Seq(Seq("timezone_naive")))
+  }
+
+  // ------------------------------------------- microseconds_precision
+
+  test("datetime microseconds_precision: truncate keeps 6 digits (speedate Truncate)") {
+    val spec = DatetimeSpec()
+    val out = run(spec, StringType, Seq("2020-01-01T00:00:00.1234567"))
+    assert(out.head._2 == Seq())
+    assert(out.head._1.toString == "2020-01-01 00:00:00.123456")
+  }
+
+  test("datetime microseconds_precision=error rejects >6 fraction digits (observed pydantic-core)") {
+    val spec = DatetimeSpec(
+      microsecondsPrecision = MicrosecondsPrecision.Error)
+    assert(types(spec, StringType, Seq(
+      "2020-01-01T00:00:00.1234567", "2020-01-01T00:00:00.123456")) ==
+      Seq(Seq("datetime_from_date_parsing"), Seq()))
+  }
+
+  // --------------------------------------------------- bytes encodings
+
+  test("bytes mode=base64: decode + bytes_invalid_encoding (val_json_bytes, config.rs)") {
+    val spec = BytesSpec(mode = BytesEncoding.Base64)
+    val out = run(spec, StringType, Seq("aGkh", "x!", "abc", null))
+    assert(out(0)._2 == Seq())
+    assert(new String(out(0)._1.asInstanceOf[Array[Byte]]) == "hi!")
+    assert(out(1)._2 == Seq("bytes_invalid_encoding"))
+    assert(out(2)._2 == Seq()) // unpadded accepted like the Rust crate
+    assert(out(3)._2 == Seq())
+  }
+
+  test("bytes mode=hex: decode + bytes_invalid_encoding") {
+    val spec = BytesSpec(mode = BytesEncoding.Hex)
+    val out = run(spec, StringType, Seq("686921", "x!", "abc"))
+    assert(out(0)._2 == Seq())
+    assert(new String(out(0)._1.asInstanceOf[Array[Byte]]) == "hi!")
+    assert(out(1)._2 == Seq("bytes_invalid_encoding"))
+    assert(out(2)._2 == Seq("bytes_invalid_encoding")) // odd length
+  }
+
+  test("bytes mode=base64 composes with byte-count length checks") {
+    val spec = BytesSpec(minLength = Some(3), mode = BytesEncoding.Base64)
+    // "aGk" decodes to "hi" (2 bytes) -> bytes_too_short
+    assert(types(spec, StringType, Seq("aGkh", "aGk")) ==
+      Seq(Seq(), Seq("bytes_too_short")))
+  }
+
+  // ------------------------------------------------- on_error = omit
+
+  test("with_default on_error=omit: error swallowed, value omitted (with_default.rs:110-122)") {
+    val spec = WithDefaultSpec(IntSpec(ge = Some(0)), default = "",
+      onError = OnError.Omit)
+    val out = run(spec, StringType, Seq("5", "-3", "zz"))
+    assert(out(0) == ((5L, Seq())))
+    assert(out(1) == ((null, Seq()))) // ge failed -> omitted
+    assert(out(2) == ((null, Seq()))) // parse failed -> omitted
+  }
+
+  test("list of omit items drops the bad elements (the dropping-list idiom)") {
+    val spec = ListSpec(WithDefaultSpec(IntSpec(), default = "",
+      onError = OnError.Omit))
+    val out = run(spec, ArrayType(StringType), Seq(Seq("1", "x", "3")))
+    assert(out.head._2 == Seq())
+    assert(out.head._1.asInstanceOf[scala.collection.Seq[Any]] == Seq(1L, 3L))
+  }
+}
