@@ -681,10 +681,8 @@ object Compiler {
       return typeViolation(loc, T.urlParsing, "Input should be a valid URL",
         input, StringType)
     val v = trim(input)
-    val scheme = lower(try_parse_url(v, lit("PROTOCOL")))
-    val host = try_parse_url(v, lit("HOST"))
-    val checks = Seq(
-      Some(when(input.isNotNull && scheme.isNull,
+    val schemeChecks = (scheme: Column) => Seq(
+      Some(when(input.isNotNull && (scheme.isNull || scheme === ""),
         oneS(loc, T.urlParsing,
           "Input should be a valid URL, relative URL without a base", input))),
       s.maxLength.map(n => when(input.isNotNull && length(v) > n,
@@ -692,20 +690,70 @@ object Compiler {
           s"URL should have at most $n characters", input,
           Map("max_length" -> n.toString)))),
       (if (s.allowedSchemes.nonEmpty)
-        Some(when(input.isNotNull && scheme.isNotNull &&
+        Some(when(input.isNotNull && scheme.isNotNull && scheme =!= "" &&
             !scheme.isin(s.allowedSchemes.map(_.toLowerCase): _*),
           oneS(loc, T.urlScheme,
             s"URL scheme should be ${s.allowedSchemes.map("'" + _ + "'").mkString(" or ")}",
             input, Map("expected_schemes" -> s.allowedSchemes.mkString(",")))))
-      else None),
-      (if (s.hostRequired)
+      else None)
+    ).flatten
+
+    if (s.multiHost) {
+      // MultiHostUrl (`url.rs` multi-host half; `networks.py:731-999`):
+      // the authority is a comma-separated host list. java.net/Hive
+      // parse_url rejects such URLs, so parts come from anchored regexes
+      // (codegen'd).
+      val scheme = lower(regexp_extract(v, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+      val authority = regexp_extract(v,
+        "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+      val hosts = split(authority, ",")
+      // host of one entry = part after userinfo, before port
+      val anyEmptyHost = exists(hosts, h =>
+        length(regexp_extract(element_at(split(h, "@"), -1),
+          "^([^:]*)", 1)) === 0)
+      val checks = schemeChecks(scheme) ++ Seq(
+        when(input.isNotNull && scheme =!= "" && anyEmptyHost,
+          oneS(loc, T.urlParsing, "Input should be a valid URL, empty host",
+            input)))
+      return Compiled(when(scheme =!= "" && !anyEmptyHost, v),
+        collect(checks), StringType)
+    }
+
+    val scheme = lower(try_parse_url(v, lit("PROTOCOL")))
+    val host = try_parse_url(v, lit("HOST"))
+    val checks = schemeChecks(scheme) ++ Seq(
+      (if (s.hostRequired && s.defaultHost.isEmpty)
         Some(when(input.isNotNull && scheme.isNotNull &&
             (host.isNull || host === ""),
           oneS(loc, T.urlParsing, "Input should be a valid URL, empty host",
             input)))
       else None)
     ).flatten
-    Compiled(when(scheme.isNotNull, v), collect(checks), StringType)
+    // DSN default filling (UrlConstraints default_host/port/path): rebuild
+    // the coerced value with absent parts substituted — string surgery on
+    // the original, so present parts stay byte-identical.
+    val withHost = s.defaultHost match {
+      case Some(dh) => when(host.isNull || host === "",
+        regexp_replace(v, "^([a-zA-Z][a-zA-Z0-9+.-]*://)", s"$$1$dh"))
+        .otherwise(v)
+      case None => v
+    }
+    val port = regexp_extract(withHost,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:(\\d+)", 1)
+    val withPort = s.defaultPort match {
+      case Some(dp) => when(port === "",
+        regexp_replace(withHost,
+          "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?[^/:?#]+)", s"$$1:$dp"))
+        .otherwise(withHost)
+      case None => withHost
+    }
+    val path = try_parse_url(withPort, lit("PATH"))
+    val withPath = s.defaultPath match {
+      case Some(dp) => when(path.isNull || path === "",
+        concat(withPort, lit(dp))).otherwise(withPort)
+      case None => withPort
+    }
+    Compiled(when(scheme.isNotNull, withPath), collect(checks), StringType)
   }
 
   // ------------------------------------------------------------ collections
