@@ -213,6 +213,13 @@ object SparkEntry {
         numHashes = 12, bands = 4, shingleN = 3, threshold = 0.5)
     }),
 
+    // ---- dedup: EXACT n-gram Jaccard pairs (prefix-filtered All-Pairs;
+    // the deterministic counterpart to d_minhash_lsh — same threshold)
+    "d_jaccard_ngram" -> ((s, dir) => {
+      Dedup.jaccardNgramPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, thrNum = 1L, thrDen = 2L)
+    }),
+
     // ---- dedup: 60-bit SimHash fingerprints (codegen'd explode+agg path)
     "d_simhash" -> ((s, dir) => {
       Dedup.simhashDf(t(s, dir, "documents"), "doc_id", "text")
@@ -622,6 +629,20 @@ object SparkEntry {
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
          |SELECT ia AS id_a, ib AS id_b, max(j) AS jaccard FROM pairs
          |WHERE j >= 0.5 GROUP BY ia, ib""".stripMargin,
+
+    // Oracle needs no prefix filter: the verify step makes the output
+    // identical whether candidates come prefix-pruned or all-pairs, and
+    // DuckDB at sf0.01 can afford the naive shingle self-join.
+    "d_jaccard_ngram" ->
+      s"""WITH $shinglesCteSql,
+         |sr AS (SELECT doc_id, unnest(sh) AS shg FROM s),
+         |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         |ov AS (SELECT sa.doc_id ia, sb.doc_id ib, count(*) c
+         |       FROM sr sa JOIN sr sb ON sa.shg = sb.shg AND sa.doc_id < sb.doc_id
+         |       GROUP BY ia, ib)
+         |SELECT ia AS id_a, ib AS id_b, c * 1.0 / (a.sz + b.sz - c) AS jaccard
+         |FROM ov JOIN sz a ON a.doc_id = ov.ia JOIN sz b ON b.doc_id = ov.ib
+         |WHERE 2 * c >= (a.sz + b.sz - c)""".stripMargin,
 
     "d_simhash" ->
       s"""WITH $simhashCteSql

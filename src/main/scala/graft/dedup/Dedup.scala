@@ -117,6 +117,67 @@ object Dedup {
       size(array_union(a, b))
 
   /**
+   * EXACT n-gram Jaccard near-dup pairs via prefix filtering (the
+   * All-Pairs / PPJoin family — Bayardo, Ma & Srikant, "Scaling Up All
+   * Pairs Similarity Search", WWW 2007): returns every pair with
+   * Jaccard(shingles(a), shingles(b)) >= thrNum/thrDen, no false
+   * negatives — the exact counterpart to the probabilistic
+   * [[minhashLshPairs]].
+   *
+   * Scale design (the naive shingle self-join is O(sum df^2) and dies on
+   * stop-shingles):
+   *  1. one global total order on shingles by (document frequency, value)
+   *     ascending — rare shingles first;
+   *  2. each doc only indexes its PREFIX of p = |d| - ceil(t*|d|) + 1
+   *     rarest shingles. Theorem: if J(A,B) >= t, the smallest common
+   *     shingle under the global order lies in both prefixes, so the
+   *     prefix equi-join loses nothing (if it misses, overlap <
+   *     ceil(t*|A|) <= required overlap — contradiction). Stop-shingles
+   *     sort LAST, so they almost never enter a prefix: posting lists in
+   *     the join are short by construction, no maxBucket heuristic needed;
+   *  3. size filter t*|A| <= |B| <= |A|/t inside the join (integer
+   *     arithmetic — no float boundary);
+   *  4. exact overlap verify on the (few) candidates; the final
+   *     threshold test is integer (thrDen*c >= thrNum*(|A|+|B|-c)).
+   * Shuffles: shingle DF agg, per-doc rank window, prefix equi-join,
+   * verify join — all keyed by shingle or doc id (high cardinality).
+   */
+  def jaccardNgramPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, thrNum: Long = 1L,
+                        thrDen: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(df, idCol, textCol, shingleN).distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // ceil(t*sz) with integer arithmetic: (thrNum*sz + thrDen - 1) div thrDen
+    val ceilT = (lit(thrNum) * col("sz") + lit(thrDen - 1)) / lit(thrDen)
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("sh"))))
+      .join(sizes, "id")
+      .filter(col("rk") <= col("sz") - ceilT.cast(LongType) + 1)
+      .select(col("id"), col("sh"), col("sz"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+        lit(thrNum) * col("x.sz") <= lit(thrDen) * col("y.sz") &&
+        lit(thrNum) * col("y.sz") <= lit(thrDen) * col("x.sz"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    val overlap = cand
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"),
+        col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    overlap
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .filter(lit(thrDen) * col("c") >=
+        lit(thrNum) * (col("za.sz") + col("zb.sz") - col("c")))
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast(DoubleType) /
+          (col("za.sz") + col("zb.sz") - col("c"))).as("jaccard"))
+  }
+
+  /**
    * Full MinHash-LSH near-dup pipeline:
    *   shingle -> sign -> band -> bucket-join -> verify Jaccard >= threshold.
    *

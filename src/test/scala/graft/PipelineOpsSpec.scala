@@ -73,6 +73,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.head._3 > 0.8)
   }
 
+  test("jaccardNgramPairs: exact prefix-filtered All-Pairs matches brute force") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " other x"
+    val different = (100 to 160).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, different), (4L, base))
+      .toDF("id", "text")
+    val pairs = Dedup.jaccardNgramPairs(df, "id", "text", shingleN = 3)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    // brute force over the same shingle sets
+    def sh(t: String): Set[String] = {
+      val toks = t.split("\\s+")
+      (1 to math.max(toks.length - 2, 1))
+        .map(i => toks.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val texts = Map(1L -> base, 2L -> nearDup, 3L -> different, 4L -> base)
+    val expect = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      sa = sh(texts(a)); sb = sh(texts(b))
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.5
+    } yield (a, b, j)).toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == expect)
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
+  }
+
   test("simhash: identical docs hash equal; near-dups are hamming-close") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val near = (1 to 79).map(i => s"tok$i").mkString(" ") + " tok80x"
