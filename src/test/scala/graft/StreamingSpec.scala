@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.spec._
-import graft.streaming.StreamValidator
+import graft.streaming.{StreamDedup, StreamValidator}
 
 class StreamingSpec extends SparkTestBase {
 
@@ -59,6 +59,53 @@ class StreamingSpec extends SparkTestBase {
         .filter(col("window_start") === Timestamp.valueOf("2026-01-01 10:00:00"))
         .select("row_count", "invalid_rows").as[(Long, Long)].collect()
       assert(first.toSeq == Seq((2L, 1L))) // 2 rows in 10:00 window, 1 invalid
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: first arrival survives, in- and cross-batch dups drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "id", "text")
+    val out = StreamDedup.exactDedupStream(stream, "text", "ts",
+      lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val t1 = Timestamp.valueOf("2026-01-01 10:01:00")
+      // in-batch duplicate content (ids differ — key is the content hash)
+      mem.addData((t0, 1L, "same doc"), (t0, 2L, "same doc"), (t0, 3L, "other"))
+      q.processAllAvailable()
+      // cross-batch duplicate within the watermark horizon
+      mem.addData((t1, 4L, "same doc"), (t1, 5L, "third"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_sink").select("id").as[Long].collect().toSet
+      assert(ids.intersect(Set(1L, 2L)).size == 1) // exactly one copy kept
+      assert(!ids.contains(4L))                    // cross-batch dup dropped
+      assert(ids.contains(3L) && ids.contains(5L))
+      // schema passes through unchanged (helper key column dropped)
+      assert(out.schema.fieldNames.toSeq == Seq("ts", "id", "text"))
+    } finally q.stop()
+  }
+
+  test("streaming simhash dedup: token-permuted boilerplate collides, distinct text survives") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "id", "text")
+    val q = StreamDedup.simhashDedupStream(stream, "text", "ts")
+      .writeStream.format("memory").queryName("sim_dedup_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+      val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+      val permuted = (1 to 40).reverse.map(i => s"tok$i").mkString(" ")
+      val distinct = (100 to 140).map(i => s"z$i").mkString(" ")
+      // simhash is token-order-insensitive: base and permuted share a key
+      mem.addData((t0, 1L, base), (t0, 2L, permuted), (t0, 3L, distinct))
+      q.processAllAvailable()
+      val ids = spark.table("sim_dedup_sink").select("id").as[Long].collect().toSet
+      assert(ids.intersect(Set(1L, 2L)).size == 1)
+      assert(ids.contains(3L))
     } finally q.stop()
   }
 
