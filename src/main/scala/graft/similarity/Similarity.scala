@@ -32,12 +32,18 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Dot product over a STATIC dimension as a left-associated chain of
-   * element products — bit-identical to an in-order left fold (matches
-   * DuckDB's list_reduce) but, unlike array higher-order functions (which
-   * are CodegenFallback, interpreted per element), stays entirely inside
-   * whole-stage codegen. */
+  /** Dot product: a single native Catalyst expression node
+   * ([[graft.functions.VectorDot]]) whose doGenCode emits a primitive
+   * accumulation loop inside whole-stage codegen. Bit-identical to an
+   * in-order left fold (matches DuckDB's list_reduce replay in the
+   * oracle) and to round 1's 64-node element_at chain, at 1/dim the plan
+   * size. `dim` is kept in the signature for call-site documentation;
+   * the loop bounds itself by the arrays' length. */
   def dot(a: Column, b: Column, dim: Int): Column =
+    graft.functions.VectorOps.vectorDot(a, b)
+
+  /** Round-1 chain form, kept for plan-size/equivalence tests. */
+  private[graft] def dotChain(a: Column, b: Column, dim: Int): Column =
     (0 until dim).map { i =>
       element_at(a, i + 1).cast(DoubleType) *
         element_at(b, i + 1).cast(DoubleType)

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Spark 4 split `Column` from Catalyst (`Column` now wraps a plan-agnostic
+ * `ColumnNode`); the supported conversion hooks (`ExpressionUtils.column` /
+ * `.expression`, backed by `ExpressionColumnNode` and the session's
+ * `ColumnNodeToExpressionConverter`) are `private[sql]`. This shim lives in
+ * a subpackage of `org.apache.spark.sql` purely to re-export them to
+ * `graft.*` — the standard pattern for libraries shipping native Catalyst
+ * expressions (custom `Expression`s with `doGenCode` are the documented
+ * extension tier below full `SparkSessionExtensions` function injection,
+ * which is unavailable here because the driver owns session construction).
+ */
+object ColumnShim {
+  /** Wrap a concrete Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression tree behind a Column (requires an
+   * active session for node conversion). */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
