@@ -346,6 +346,40 @@ object SparkEntry {
         Extras.isEmail(email).as("email_ok"))
     }),
 
+    // ---- extras: Color type (pydantic/color.py) — named / short hex /
+    // long hex / rgb / rgba-with-percent-alpha / invalid, canonicalized
+    // to as_hex + as_rgb
+    "x_color" -> ((s, dir) => {
+      import graft.functions.ColorOps
+      val m = pmod(col("doc_id"), lit(6)).cast("int")
+      val h = md5(col("doc_id").cast("string"))
+      val cr = pmod(col("doc_id"), lit(256)).cast("int")
+      val cg = pmod(col("doc_id") * 7, lit(256)).cast("int")
+      val cb = pmod(col("doc_id") * 13, lit(256)).cast("int")
+      val input = when(m === 0, concat(lit("#"), substring(h, 1, 6)))
+        .when(m === 1, concat(lit("0x"), substring(h, 1, 3)))
+        .when(m === 2, concat(lit("rgb("), cr.cast("string"), lit(", "),
+          cg.cast("string"), lit(", "), cb.cast("string"), lit(")")))
+        .when(m === 3, element_at(
+          typedLit(Seq("navy", "red", "aliceblue", "gold")),
+          pmod(col("doc_id"), lit(4)).cast("int") + 1))
+        .when(m === 4, concat(lit("rgba("), cr.cast("string"), lit(", "),
+          cg.cast("string"), lit(", "), cb.cast("string"), lit(", 25%)")))
+        .otherwise(lit("not-a-color"))
+      // Three projections: input string, parsed struct, rendered outputs.
+      // Keeping them separate means every re-reference is a cheap attribute
+      // (CollapseProject won't merge non-cheap exprs referenced multiple
+      // times) — inlining `input` into parseColor's ~10 regex gates blew
+      // the generated CaseWhen past what Janino will compile.
+      t(s, dir, "documents")
+        .select(col("doc_id"), input.as("__c"))
+        .select(col("doc_id"), ColorOps.parseColor(col("__c")).as("__p"))
+        .select(col("doc_id"),
+          col("__p").isNotNull.as("is_color"),
+          ColorOps.colorAsHex(col("__p")).as("hex"),
+          ColorOps.colorAsRgb(col("__p")).as("rgb"))
+    }),
+
     // ---- extras: ByteSize parse (pydantic/types.py:2070)
     "x_bytesize" -> ((s, dir) => {
       import graft.functions.Extras
@@ -755,6 +789,42 @@ object SparkEntry {
         |    '^[A-Za-z0-9.!#$%&''*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$'
         |  ) AS email_ok
         |FROM documents""".stripMargin,
+
+    // Replays the generator + pydantic canonicalization: parse the synthetic
+    // color back to channel bytes, then as_hex (short when every byte
+    // repeats its nibble, i.e. byte % 17 == 0) and as_rgb/rgba.
+    "x_color" ->
+      """WITH b0 AS (SELECT doc_id, CAST(doc_id % 6 AS INT) m,
+        |  md5(CAST(doc_id AS VARCHAR)) h,
+        |  CAST(doc_id % 256 AS INT) cr, CAST((doc_id*7) % 256 AS INT) cg,
+        |  CAST((doc_id*13) % 256 AS INT) cb FROM documents),
+        |par AS (SELECT doc_id, m,
+        |  CASE m WHEN 0 THEN CAST(concat('0x', substr(h,1,2)) AS BIGINT)
+        |         WHEN 1 THEN CAST(concat('0x', substr(h,1,1), substr(h,1,1)) AS BIGINT)
+        |         WHEN 2 THEN cr WHEN 4 THEN cr
+        |         WHEN 3 THEN CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 255 WHEN 2 THEN 240 ELSE 255 END END r,
+        |  CASE m WHEN 0 THEN CAST(concat('0x', substr(h,3,2)) AS BIGINT)
+        |         WHEN 1 THEN CAST(concat('0x', substr(h,2,1), substr(h,2,1)) AS BIGINT)
+        |         WHEN 2 THEN cg WHEN 4 THEN cg
+        |         WHEN 3 THEN CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 248 ELSE 215 END END g,
+        |  CASE m WHEN 0 THEN CAST(concat('0x', substr(h,5,2)) AS BIGINT)
+        |         WHEN 1 THEN CAST(concat('0x', substr(h,3,1), substr(h,3,1)) AS BIGINT)
+        |         WHEN 2 THEN cb WHEN 4 THEN cb
+        |         WHEN 3 THEN CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 128 WHEN 1 THEN 0 WHEN 2 THEN 255 ELSE 0 END END b,
+        |  CASE WHEN m = 4 THEN CAST(round(0.25 * 255) AS BIGINT) END ab
+        |  FROM b0)
+        |SELECT doc_id, m <> 5 AS is_color,
+        |  CASE WHEN m = 5 THEN NULL
+        |       WHEN r%17=0 AND g%17=0 AND b%17=0 AND (ab IS NULL OR ab%17=0)
+        |       THEN '#' || substr(printf('%02x',r),1,1) || substr(printf('%02x',g),1,1)
+        |            || substr(printf('%02x',b),1,1)
+        |            || CASE WHEN ab IS NULL THEN '' ELSE substr(printf('%02x',ab),1,1) END
+        |       ELSE '#' || printf('%02x',r) || printf('%02x',g) || printf('%02x',b)
+        |            || CASE WHEN ab IS NULL THEN '' ELSE printf('%02x',ab) END END AS hex,
+        |  CASE WHEN m = 5 THEN NULL
+        |       WHEN ab IS NULL THEN printf('rgb(%d, %d, %d)', r, g, b)
+        |       ELSE printf('rgba(%d, %d, %d, 0.25)', r, g, b) END AS rgb
+        |FROM par""".stripMargin,
 
     "x_bytesize" ->
       """SELECT doc_id,

@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The pydantic `Color` type as pure Column expressions.
+ *
+ * Reference: `pydantic/color.py` — `parse_str` (:281-339, format dispatch),
+ * regexes (:52-66), `parse_color_value`/`parse_float_alpha` (:355-410),
+ * `parse_hsl` (:413-441, colorsys `hls_to_rgb`), `as_hex` (:139-155,
+ * short-form when every byte repeats its nibble), `as_rgb` (:157-164),
+ * `COLORS_BY_NAME` (:455-603 — the standard CSS3 extended color table).
+ *
+ * Internal representation: `struct<r,g,b,alpha double>` with channels in
+ * [0,1] (exactly pydantic's RGBA), `alpha` null when absent (pydantic
+ * collapses alpha==1 to None); the WHOLE struct is null when the string
+ * is not a valid color (`color_error`). All float arithmetic replays
+ * pydantic's operation order so golden fixtures match bit-for-bit;
+ * byte rounding uses bround (round-half-even, = Python round()).
+ *
+ * Everything is codegen'd: regex gates (rlike/regexp_extract), a literal
+ * CSS name map (try_element_at), CaseWhen chains for the HSL branches.
+ */
+object ColorOps {
+
+  /** CSS3 extended named colors (public standard table). */
+  val ColorsByName: Map[String, (Int, Int, Int)] = Map(
+    "aliceblue"->(240,248,255), "antiquewhite"->(250,235,215), "aqua"->(0,255,255), "aquamarine"->(127,255,212),
+    "azure"->(240,255,255), "beige"->(245,245,220), "bisque"->(255,228,196), "black"->(0,0,0),
+    "blanchedalmond"->(255,235,205), "blue"->(0,0,255), "blueviolet"->(138,43,226), "brown"->(165,42,42),
+    "burlywood"->(222,184,135), "cadetblue"->(95,158,160), "chartreuse"->(127,255,0), "chocolate"->(210,105,30),
+    "coral"->(255,127,80), "cornflowerblue"->(100,149,237), "cornsilk"->(255,248,220), "crimson"->(220,20,60),
+    "cyan"->(0,255,255), "darkblue"->(0,0,139), "darkcyan"->(0,139,139), "darkgoldenrod"->(184,134,11),
+    "darkgray"->(169,169,169), "darkgreen"->(0,100,0), "darkgrey"->(169,169,169), "darkkhaki"->(189,183,107),
+    "darkmagenta"->(139,0,139), "darkolivegreen"->(85,107,47), "darkorange"->(255,140,0), "darkorchid"->(153,50,204),
+    "darkred"->(139,0,0), "darksalmon"->(233,150,122), "darkseagreen"->(143,188,143), "darkslateblue"->(72,61,139),
+    "darkslategray"->(47,79,79), "darkslategrey"->(47,79,79), "darkturquoise"->(0,206,209), "darkviolet"->(148,0,211),
+    "deeppink"->(255,20,147), "deepskyblue"->(0,191,255), "dimgray"->(105,105,105), "dimgrey"->(105,105,105),
+    "dodgerblue"->(30,144,255), "firebrick"->(178,34,34), "floralwhite"->(255,250,240), "forestgreen"->(34,139,34),
+    "fuchsia"->(255,0,255), "gainsboro"->(220,220,220), "ghostwhite"->(248,248,255), "gold"->(255,215,0),
+    "goldenrod"->(218,165,32), "gray"->(128,128,128), "green"->(0,128,0), "greenyellow"->(173,255,47),
+    "grey"->(128,128,128), "honeydew"->(240,255,240), "hotpink"->(255,105,180), "indianred"->(205,92,92),
+    "indigo"->(75,0,130), "ivory"->(255,255,240), "khaki"->(240,230,140), "lavender"->(230,230,250),
+    "lavenderblush"->(255,240,245), "lawngreen"->(124,252,0), "lemonchiffon"->(255,250,205), "lightblue"->(173,216,230),
+    "lightcoral"->(240,128,128), "lightcyan"->(224,255,255), "lightgoldenrodyellow"->(250,250,210), "lightgray"->(211,211,211),
+    "lightgreen"->(144,238,144), "lightgrey"->(211,211,211), "lightpink"->(255,182,193), "lightsalmon"->(255,160,122),
+    "lightseagreen"->(32,178,170), "lightskyblue"->(135,206,250), "lightslategray"->(119,136,153), "lightslategrey"->(119,136,153),
+    "lightsteelblue"->(176,196,222), "lightyellow"->(255,255,224), "lime"->(0,255,0), "limegreen"->(50,205,50),
+    "linen"->(250,240,230), "magenta"->(255,0,255), "maroon"->(128,0,0), "mediumaquamarine"->(102,205,170),
+    "mediumblue"->(0,0,205), "mediumorchid"->(186,85,211), "mediumpurple"->(147,112,219), "mediumseagreen"->(60,179,113),
+    "mediumslateblue"->(123,104,238), "mediumspringgreen"->(0,250,154), "mediumturquoise"->(72,209,204), "mediumvioletred"->(199,21,133),
+    "midnightblue"->(25,25,112), "mintcream"->(245,255,250), "mistyrose"->(255,228,225), "moccasin"->(255,228,181),
+    "navajowhite"->(255,222,173), "navy"->(0,0,128), "oldlace"->(253,245,230), "olive"->(128,128,0),
+    "olivedrab"->(107,142,35), "orange"->(255,165,0), "orangered"->(255,69,0), "orchid"->(218,112,214),
+    "palegoldenrod"->(238,232,170), "palegreen"->(152,251,152), "paleturquoise"->(175,238,238), "palevioletred"->(219,112,147),
+    "papayawhip"->(255,239,213), "peachpuff"->(255,218,185), "peru"->(205,133,63), "pink"->(255,192,203),
+    "plum"->(221,160,221), "powderblue"->(176,224,230), "purple"->(128,0,128), "red"->(255,0,0),
+    "rosybrown"->(188,143,143), "royalblue"->(65,105,225), "saddlebrown"->(139,69,19), "salmon"->(250,128,114),
+    "sandybrown"->(244,164,96), "seagreen"->(46,139,87), "seashell"->(255,245,238), "sienna"->(160,82,45),
+    "silver"->(192,192,192), "skyblue"->(135,206,235), "slateblue"->(106,90,205), "slategray"->(112,128,144),
+    "slategrey"->(112,128,144), "snow"->(255,250,250), "springgreen"->(0,255,127), "steelblue"->(70,130,180),
+    "tan"->(210,180,140), "teal"->(0,128,128), "thistle"->(216,191,216), "tomato"->(255,99,71),
+    "turquoise"->(64,224,208), "violet"->(238,130,238), "wheat"->(245,222,179), "white"->(255,255,255),
+    "whitesmoke"->(245,245,245), "yellow"->(255,255,0), "yellowgreen"->(154,205,50)
+  )
+
+  // regexes transcribed from pydantic/color.py:52-66 (fullmatch => ^...$)
+  private val R255 = "(\\d{1,3}(?:\\.\\d+)?)"
+  private val Comma = "\\s*,\\s*"
+  private val AlphaRe = "(\\d(?:\\.\\d+)?|\\.\\d+|\\d{1,2}%)"
+  private val Rh = "(-?\\d+(?:\\.\\d+)?|-?\\.\\d+)(deg|rad|turn)?"
+  private val Rsl = "(\\d{1,3}(?:\\.\\d+)?)%"
+  val HexShortRe = "^\\s*(?:#|0x)?([0-9a-f])([0-9a-f])([0-9a-f])([0-9a-f])?\\s*$"
+  val HexLongRe =
+    "^\\s*(?:#|0x)?([0-9a-f]{2})([0-9a-f]{2})([0-9a-f]{2})([0-9a-f]{2})?\\s*$"
+  val RgbRe = s"^\\s*rgba?\\(\\s*$R255$Comma$R255$Comma$R255(?:$Comma$AlphaRe)?\\s*\\)\\s*$$"
+  val RgbV4Re = s"^\\s*rgba?\\(\\s*$R255\\s+$R255\\s+$R255(?:\\s*/\\s*$AlphaRe)?\\s*\\)\\s*$$"
+  val HslRe = s"^\\s*hsla?\\(\\s*$Rh$Comma$Rsl$Comma$Rsl(?:$Comma$AlphaRe)?\\s*\\)\\s*$$"
+  val HslV4Re = s"^\\s*hsla?\\(\\s*$Rh\\s+$Rsl\\s+$Rsl(?:\\s*/\\s*$AlphaRe)?\\s*\\)\\s*$$"
+
+  private val nameMap = typedLit(ColorsByName.map { case (k, (r, g, b)) =>
+    k -> Seq(r, g, b)
+  })
+
+  private def dnull = lit(null).cast(DoubleType)
+
+  private def rgba(r: Column, g: Column, b: Column, a: Column): Column =
+    struct(r.as("r"), g.as("g"), b.as("b"), a.as("alpha"))
+
+  private val nullRgba = lit(null).cast(
+    "struct<r:double,g:double,b:double,alpha:double>")
+
+  /** parse_float_alpha (color.py:383-410): "" => null (absent), '%' =>
+   * /100, alpha==1 => null; out of [0,1] is a struct-level error (the
+   * caller checks [[alphaBad]] first). */
+  private def alphaRaw(s: Column): Column =
+    when(s.endsWith("%"),
+      s.substr(lit(1), length(s) - 1).cast(DoubleType) / 100.0)
+      .otherwise(s.cast(DoubleType))
+
+  private def alphaOf(s: Column): Column =
+    when(s === "" || s.isNull, dnull)
+      .otherwise(when(alphaRaw(s) === 1.0, dnull).otherwise(alphaRaw(s)))
+
+  private def alphaBad(s: Column): Column =
+    s =!= "" && s.isNotNull && (alphaRaw(s) < 0.0 || alphaRaw(s) > 1.0)
+
+  private def hex2(d: Column): Column =
+    conv(d, 16, 10).cast(DoubleType) / 255.0
+
+  /** colorsys.hls_to_rgb's `_v` (the reference delegates to colorsys). */
+  private def hlsV(m1: Column, m2: Column, hue0: Column): Column = {
+    val hue = pmod(hue0, lit(1.0))
+    when(hue < 1.0 / 6.0, m1 + (m2 - m1) * hue * 6.0)
+      .when(hue < 0.5, m2)
+      .when(hue < 2.0 / 3.0, m1 + (m2 - m1) * (lit(2.0 / 3.0) - hue) * 6.0)
+      .otherwise(m1)
+  }
+
+  /**
+   * parse_str (color.py:281-339): named -> hex short -> hex long -> rgb
+   * (css3 + v4) -> hsl (css3 + v4); anything else (or out-of-range
+   * channel/alpha) is NULL = `color_error`. Returns
+   * `struct<r,g,b,alpha:double>` in [0,1].
+   */
+  def parseColor(c: Column): Column = {
+    val v = lower(c)
+    // no trim: parse_str looks up value_lower verbatim ('  black ' fails)
+    val named = try_element_at(nameMap, v)
+
+    def g(re: String, i: Int) = regexp_extract(v, re, i)
+
+    // hex short: int(d*2, 16) / 255; alpha nibble likewise
+    val hexShort = {
+      val a = g(HexShortRe, 4)
+      rgba(
+        hex2(concat(g(HexShortRe, 1), g(HexShortRe, 1))),
+        hex2(concat(g(HexShortRe, 2), g(HexShortRe, 2))),
+        hex2(concat(g(HexShortRe, 3), g(HexShortRe, 3))),
+        when(a === "", dnull).otherwise {
+          val av = hex2(concat(a, a))
+          when(av === 1.0, dnull).otherwise(av)
+        })
+    }
+    val hexLong = {
+      val a = g(HexLongRe, 4)
+      rgba(hex2(g(HexLongRe, 1)), hex2(g(HexLongRe, 2)), hex2(g(HexLongRe, 3)),
+        when(a === "", dnull).otherwise {
+          val av = hex2(a)
+          when(av === 1.0, dnull).otherwise(av)
+        })
+    }
+
+    def rgbFrom(re: String) = {
+      val (r, gg, b, a) = (g(re, 1), g(re, 2), g(re, 3), g(re, 4))
+      val bad = r.cast(DoubleType) > 255.0 || gg.cast(DoubleType) > 255.0 ||
+        b.cast(DoubleType) > 255.0 || alphaBad(a)
+      when(bad, nullRgba).otherwise(rgba(
+        r.cast(DoubleType) / 255.0, gg.cast(DoubleType) / 255.0,
+        b.cast(DoubleType) / 255.0, alphaOf(a)))
+    }
+
+    def hslFrom(re: String) = {
+      val (h, unit, s, l, a) =
+        (g(re, 1), g(re, 2), g(re, 3), g(re, 4), g(re, 5))
+      val sBad = s.cast(DoubleType) > 100.0 || l.cast(DoubleType) > 100.0 ||
+        alphaBad(a)
+      val hv = {
+        val hd = h.cast(DoubleType)
+        when(unit === "rad", pmod(hd, lit(2 * math.Pi)) / (2 * math.Pi))
+          .when(unit === "turn", pmod(hd, lit(1.0)))
+          .otherwise(pmod(hd, lit(360.0)) / 360.0) // None | deg
+      }
+      val sv = s.cast(DoubleType) / 100.0
+      val lv = l.cast(DoubleType) / 100.0
+      // colorsys.hls_to_rgb(h, l, s)
+      val m2 = when(lv <= 0.5, lv * (lit(1.0) + sv)).otherwise(lv + sv - lv * sv)
+      val m1 = lv * 2.0 - m2
+      val out = when(sv === 0.0, rgba(lv, lv, lv, alphaOf(a))).otherwise(
+        rgba(hlsV(m1, m2, hv + 1.0 / 3.0), hlsV(m1, m2, hv),
+          hlsV(m1, m2, hv - 1.0 / 3.0), alphaOf(a)))
+      when(sBad, nullRgba).otherwise(out)
+    }
+
+    when(named.isNotNull, rgba(
+        element_at(named, 1).cast(DoubleType) / 255.0,
+        element_at(named, 2).cast(DoubleType) / 255.0,
+        element_at(named, 3).cast(DoubleType) / 255.0, dnull))
+      .when(v.rlike(HexShortRe), hexShort)
+      .when(v.rlike(HexLongRe), hexLong)
+      .when(v.rlike(RgbRe), rgbFrom(RgbRe))
+      .when(v.rlike(RgbV4Re), rgbFrom(RgbV4Re))
+      .when(v.rlike(HslRe), hslFrom(HslRe))
+      .when(v.rlike(HslV4Re), hslFrom(HslV4Re))
+      .otherwise(nullRgba)
+  }
+
+  /** float_to_255 (color.py:444-452): Python round() is half-even =
+   * Spark bround. */
+  private def b255(c: Column): Column = bround(c * 255.0).cast(IntegerType)
+
+  private def pair(b: Column): Column = lpad(lower(hex(b)), 2, "0")
+
+  /** as_hex (color.py:139-155): '#rrggbb[aa]', shortened to '#rgb[a]'
+   * when every byte repeats its nibble (byte % 17 == 0). Null-safe. */
+  def colorAsHex(parsed: Column): Column = {
+    val r = b255(parsed.getField("r"))
+    val g = b255(parsed.getField("g"))
+    val b = b255(parsed.getField("b"))
+    val aN = parsed.getField("alpha")
+    val a = b255(aN)
+    val shortRgb = r % 17 === 0 && g % 17 === 0 && b % 17 === 0
+    def nib(x: Column) = substring(pair(x), 1, 1)
+    val full = when(aN.isNull,
+      when(shortRgb, concat(lit("#"), nib(r), nib(g), nib(b)))
+        .otherwise(concat(lit("#"), pair(r), pair(g), pair(b))))
+      .otherwise(
+        when(shortRgb && a % 17 === 0,
+          concat(lit("#"), nib(r), nib(g), nib(b), nib(a)))
+          .otherwise(concat(lit("#"), pair(r), pair(g), pair(b), pair(a))))
+    when(parsed.isNull, lit(null).cast(StringType)).otherwise(full)
+  }
+
+  /** as_rgb (color.py:157-164): 'rgb(r, g, b)' / 'rgba(r, g, b, a)' with
+   * alpha rounded to 2 places (Python round = half-even = bround). */
+  def colorAsRgb(parsed: Column): Column = {
+    val r = b255(parsed.getField("r"))
+    val g = b255(parsed.getField("g"))
+    val b = b255(parsed.getField("b"))
+    val aN = parsed.getField("alpha")
+    val s = when(aN.isNull,
+      concat(lit("rgb("), r.cast(StringType), lit(", "), g.cast(StringType),
+        lit(", "), b.cast(StringType), lit(")")))
+      .otherwise(
+        concat(lit("rgba("), r.cast(StringType), lit(", "),
+          g.cast(StringType), lit(", "), b.cast(StringType), lit(", "),
+          bround(aN, 2).cast(StringType), lit(")")))
+    when(parsed.isNull, lit(null).cast(StringType)).otherwise(s)
+  }
+
+  /** Validity gate (color_error when false and input non-null). */
+  def isColor(c: Column): Column = parseColor(c).isNotNull
+}
