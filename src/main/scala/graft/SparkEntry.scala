@@ -125,6 +125,23 @@ object SparkEntry {
           .getField("k").as("k"))
     }),
 
+    // ---- validation: allow_partial JSON recovery (pydantic-core
+    // validators/mod.rs:183-304 / jiter partial modes) — a fixed-layout
+    // doc truncated at every position, completed in both modes
+    "v_json_partial" -> ((s, dir) => {
+      import graft.functions.JsonPartialOps
+      val nnn = (lit(100) + pmod(col("doc_id"), lit(900))).cast("string")
+      val j = concat(lit("{\"k\": "), nnn,
+        lit(", \"tags\": [\"alpha\", \"beta\"], \"note\": \"text\"}"))
+      val p = (pmod(col("doc_id"), lit(jpTemplate.length)) + 1).cast("int")
+      t(s, dir, "documents")
+        .select(col("doc_id"), j.substr(lit(1), p).as("__c"))
+        .select(col("doc_id"),
+          JsonPartialOps.completeJson(col("__c")).as("jon"),
+          JsonPartialOps.completeJson(col("__c"), trailingStrings = true)
+            .as("jts"))
+    }),
+
     // ---- relational: group agg (TPC-H Q1 shape). Money in integer cents —
     // exact, engine-independent arithmetic for the oracle compare.
     "q1_agg" -> ((s, dir) => {
@@ -366,14 +383,17 @@ object SparkEntry {
         .when(m === 4, concat(lit("rgba("), cr.cast("string"), lit(", "),
           cg.cast("string"), lit(", "), cb.cast("string"), lit(", 25%)")))
         .otherwise(lit("not-a-color"))
-      // Three projections: input string, parsed struct, rendered outputs.
-      // Keeping them separate means every re-reference is a cheap attribute
-      // (CollapseProject won't merge non-cheap exprs referenced multiple
-      // times) — inlining `input` into parseColor's ~10 regex gates blew
-      // the generated CaseWhen past what Janino will compile.
-      t(s, dir, "documents")
-        .select(col("doc_id"), input.as("__c"))
-        .select(col("doc_id"), ColorOps.parseColor(col("__c")).as("__p"))
+      // Parse via the per-format split (ColorOps.withParsedColor). NOTE:
+      // this stage intentionally tolerates whole-stage-codegen fallback —
+      // struct-producing projections inline into one generated method and
+      // six regex-gated format parsers exceed Janino's 64KB per-method
+      // limit; Spark then runs the stage with per-expression codegen,
+      // which is the right tier for a parse this wide. All numeric casts
+      // are ''-null-safe so a SUCCESSFUL whole-stage compile (where CSE
+      // hoists shared casts above their CaseWhen guards) stays correct.
+      ColorOps.withParsedColor(
+          t(s, dir, "documents").select(col("doc_id"), input.as("__c")),
+          "__c", "__p")
         .select(col("doc_id"),
           col("__p").isNotNull.as("is_color"),
           ColorOps.colorAsHex(col("__p")).as("hex"),
@@ -534,6 +554,29 @@ object SparkEntry {
        |  FROM embeddings CROSS JOIN pl GROUP BY vec_id)""".stripMargin
 
   /** CTEs tk (tokens) and s (distinct 3-gram shingles) over documents. */
+  // ---- partial-JSON oracle scaffolding: a fixed-layout template truncated
+  // at every position; the (position -> cut, completion-tail) table is
+  // computed once here by running the engine's own scanner on the template
+  // (digit values can vary per doc — the STRUCTURE, and with it cut/tail,
+  // cannot). Reference fidelity is pinned separately by JsonPartialSpec's
+  // pydantic_core golden fixtures; this oracle pins the Spark execution.
+  private[graft] val jpTemplate =
+    """{"k": 123, "tags": ["alpha", "beta"], "note": "text"}"""
+  private def jpComplete(prefix: String, ts: Boolean): Option[String] =
+    Option(graft.functions.JsonPartial.complete(
+      org.apache.spark.unsafe.types.UTF8String.fromString(prefix), ts))
+      .map(_.toString)
+  private[graft] val jpLookup: Seq[(Int, Option[(Int, String)], Option[(Int, String)])] =
+    (1 to jpTemplate.length).map { p =>
+      val c = jpTemplate.substring(0, p)
+      def cutTail(out: Option[String]): Option[(Int, String)] = out.map { o =>
+        val cut = (0 to math.min(c.length, o.length))
+          .findLast(k => o.startsWith(c.substring(0, k))).getOrElse(0)
+        (cut, o.substring(cut))
+      }
+      (p, cutTail(jpComplete(c, ts = false)), cutTail(jpComplete(c, ts = true)))
+    }
+
   private val shinglesCteSql =
     """tk AS (SELECT doc_id, regexp_split_to_array(text, '\s+') tk FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
@@ -930,6 +973,28 @@ object SparkEntry {
     "v_json_field" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+
+    "v_json_partial" -> {
+      val rows = jpLookup.map { case (p, on, ts) =>
+        def f(o: Option[(Int, String)]) = o match {
+          case Some((cut, tail)) => s"$cut, '$tail'"
+          case None => "NULL, NULL"
+        }
+        s"($p, ${f(on)}, ${f(ts)})"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+         |  concat('{"k": ', CAST(100 + doc_id % 900 AS VARCHAR),
+         |         ', "tags": ["alpha", "beta"], "note": "text"}') j,
+         |  CAST(doc_id % ${jpTemplate.length} AS INT) + 1 p FROM documents),
+         |t AS (SELECT doc_id, substr(j, 1, p) c, p FROM d),
+         |lk(p, cut_on, tail_on, cut_ts, tail_ts) AS (VALUES $rows)
+         |SELECT doc_id,
+         |  CASE WHEN cut_on IS NULL THEN NULL
+         |       ELSE substr(c, 1, cut_on) || tail_on END AS jon,
+         |  CASE WHEN cut_ts IS NULL THEN NULL
+         |       ELSE substr(c, 1, cut_ts) || tail_ts END AS jts
+         |FROM t JOIN lk USING (p)""".stripMargin
+    },
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

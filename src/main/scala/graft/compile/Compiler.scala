@@ -963,10 +963,20 @@ object Compiler {
     // docs/why.md:60-61) — from_json and the inner checks sit in one
     // projection, Catalyst fuses them.
     val parsedType = DataType.fromDDL(s.innerDdl)
-    val parsed = from_json(input, parsedType, Map("mode" -> "PERMISSIVE"))
+    // allow_partial (`validators/mod.rs:183-304`): recover the truncated
+    // prefix BEFORE parsing; a non-prefix malformed input passes through
+    // unchanged and fails the parse exactly as without partial mode
+    val effInput = s.allowPartial match {
+      case Some(m) => coalesce(graft.functions.JsonPartialOps
+        .completeJson(input, m == "trailing-strings"), input)
+      case None => input
+    }
+    val parsed = from_json(effInput, parsedType, Map("mode" -> "PERMISSIVE"))
     // from_json PERMISSIVE never nulls the struct on malformed input, so
-    // validity comes from try_parse_json (null <=> not JSON)
-    val parseCheck = when(input.isNotNull && try_parse_json(input).isNull,
+    // validity comes from try_parse_json (null <=> not JSON). The reported
+    // `input` stays the ORIGINAL string (pydantic reports what the user
+    // sent, not the recovered text).
+    val parseCheck = when(input.isNotNull && try_parse_json(effInput).isNull,
       oneS(loc, T.jsonInvalid, "Invalid JSON", input))
     val innerCompiled = s.inner.map { m =>
       compileModel(parsed, parsedType, loc, m, mode)
@@ -974,7 +984,11 @@ object Compiler {
     Compiled(
       innerCompiled.map(_.value).getOrElse(parsed),
       merge(Seq(collect(Seq(parseCheck)),
-        innerCompiled.map(c => when(parsed.isNull, empty).otherwise(c.violations))
+        // invalid JSON reports ONLY json_invalid (json.rs bails before the
+        // inner validator) — suppress inner violations on parse failure
+        innerCompiled.map(c => when(
+            parsed.isNull || try_parse_json(effInput).isNull, empty)
+          .otherwise(c.violations))
           .getOrElse(empty))),
       innerCompiled.map(_.dataType).getOrElse(parsedType))
   }

@@ -196,7 +196,7 @@ object ModelValidator {
     case FunctionBeforeSpec(_, i, _) => 1 + specWeight(i)
     case FunctionAfterSpec(i, _) => 1 + specWeight(i)
     case FunctionWrapSpec(i, _) => 1 + specWeight(i)
-    case JsonSpec(_, i) => 1 + i.map(specWeight(_)).getOrElse(0)
+    case JsonSpec(_, i, _) => 1 + i.map(specWeight(_)).getOrElse(0)
     case _ => 1
   }
 

@@ -86,6 +86,13 @@ object ColorOps {
 
   private def dnull = lit(null).cast(DoubleType)
 
+  /** ANSI-safe numeric cast of a regexp_extract group: '' (no match /
+   * absent group) becomes null instead of a CAST_INVALID_INPUT throw —
+   * mandatory because whole-stage codegen's subexpression elimination may
+   * hoist a shared cast ABOVE its CaseWhen guard. */
+  private def num(s: Column): Column =
+    nullif(s, lit("")).cast(DoubleType)
+
   private def rgba(r: Column, g: Column, b: Column, a: Column): Column =
     struct(r.as("r"), g.as("g"), b.as("b"), a.as("alpha"))
 
@@ -98,7 +105,7 @@ object ColorOps {
   private def alphaRaw(s: Column): Column =
     when(s.endsWith("%"),
       s.substr(lit(1), length(s) - 1).cast(DoubleType) / 100.0)
-      .otherwise(s.cast(DoubleType))
+      .otherwise(num(s))
 
   private def alphaOf(s: Column): Column =
     when(s === "" || s.isNull, dnull)
@@ -155,26 +162,26 @@ object ColorOps {
 
     def rgbFrom(re: String) = {
       val (r, gg, b, a) = (g(re, 1), g(re, 2), g(re, 3), g(re, 4))
-      val bad = r.cast(DoubleType) > 255.0 || gg.cast(DoubleType) > 255.0 ||
-        b.cast(DoubleType) > 255.0 || alphaBad(a)
+      val bad = num(r) > 255.0 || num(gg) > 255.0 ||
+        num(b) > 255.0 || alphaBad(a)
       when(bad, nullRgba).otherwise(rgba(
-        r.cast(DoubleType) / 255.0, gg.cast(DoubleType) / 255.0,
-        b.cast(DoubleType) / 255.0, alphaOf(a)))
+        num(r) / 255.0, num(gg) / 255.0,
+        num(b) / 255.0, alphaOf(a)))
     }
 
     def hslFrom(re: String) = {
       val (h, unit, s, l, a) =
         (g(re, 1), g(re, 2), g(re, 3), g(re, 4), g(re, 5))
-      val sBad = s.cast(DoubleType) > 100.0 || l.cast(DoubleType) > 100.0 ||
+      val sBad = num(s) > 100.0 || num(l) > 100.0 ||
         alphaBad(a)
       val hv = {
-        val hd = h.cast(DoubleType)
+        val hd = num(h)
         when(unit === "rad", pmod(hd, lit(2 * math.Pi)) / (2 * math.Pi))
           .when(unit === "turn", pmod(hd, lit(1.0)))
           .otherwise(pmod(hd, lit(360.0)) / 360.0) // None | deg
       }
-      val sv = s.cast(DoubleType) / 100.0
-      val lv = l.cast(DoubleType) / 100.0
+      val sv = num(s) / 100.0
+      val lv = num(l) / 100.0
       // colorsys.hls_to_rgb(h, l, s)
       val m2 = when(lv <= 0.5, lv * (lit(1.0) + sv)).otherwise(lv + sv - lv * sv)
       val m1 = lv * 2.0 - m2
@@ -242,4 +249,109 @@ object ColorOps {
 
   /** Validity gate (color_error when false and input non-null). */
   def isColor(c: Column): Column = parseColor(c).isNotNull
+
+  /**
+   * DataFrame-level parse that keeps WHOLE-STAGE CODEGEN alive: the
+   * single-Column [[parseColor]] is one CaseWhen over six format parsers,
+   * and Janino refuses to compile the resulting >64KB method (Spark falls
+   * back to per-expression codegen — correct but slower). Here each
+   * format parses in its own projection column (independently codegen'd,
+   * each well under the method limit) and a final cheap `coalesce` picks
+   * the first match — the formats' regexes are mutually exclusive, and
+   * named-before-hex ordering preserves parse_str's dispatch (color.py:
+   * 281-339; 'tan' is a CSS name before it is 3 hex digits).
+   */
+  def withParsedColor(df: org.apache.spark.sql.DataFrame, inCol: String,
+                      outCol: String): org.apache.spark.sql.DataFrame = {
+    val v = lower(col(inCol))
+    def g(re: String, i: Int) = regexp_extract(v, re, i)
+    val named = try_element_at(nameMap, v)
+    val namedStruct = when(named.isNotNull, rgba(
+      element_at(named, 1).cast(DoubleType) / 255.0,
+      element_at(named, 2).cast(DoubleType) / 255.0,
+      element_at(named, 3).cast(DoubleType) / 255.0, dnull))
+      .otherwise(nullRgba)
+    val hexShort = when(v.rlike(HexShortRe), {
+      val a = g(HexShortRe, 4)
+      rgba(
+        hex2(concat(g(HexShortRe, 1), g(HexShortRe, 1))),
+        hex2(concat(g(HexShortRe, 2), g(HexShortRe, 2))),
+        hex2(concat(g(HexShortRe, 3), g(HexShortRe, 3))),
+        when(a === "", dnull).otherwise {
+          val av = hex2(concat(a, a))
+          when(av === 1.0, dnull).otherwise(av)
+        })
+    }).otherwise(nullRgba)
+    val hexLong = when(v.rlike(HexLongRe), {
+      val a = g(HexLongRe, 4)
+      rgba(hex2(g(HexLongRe, 1)), hex2(g(HexLongRe, 2)), hex2(g(HexLongRe, 3)),
+        when(a === "", dnull).otherwise {
+          val av = hex2(a)
+          when(av === 1.0, dnull).otherwise(av)
+        })
+    }).otherwise(nullRgba)
+    def rgbCol(re: String) = when(v.rlike(re), {
+      val (r, gg, b, a) = (g(re, 1), g(re, 2), g(re, 3), g(re, 4))
+      val bad = num(r) > 255.0 || num(gg) > 255.0 ||
+        num(b) > 255.0 || alphaBad(a)
+      when(bad, nullRgba).otherwise(rgba(
+        num(r) / 255.0, num(gg) / 255.0,
+        num(b) / 255.0, alphaOf(a)))
+    }).otherwise(nullRgba)
+    // HSL in two steps: the hlsV branches reference m1/m2 three times each,
+    // so inlining them would exponentiate the tree (the original >64KB
+    // method). Materializing (hv, sv, lv, m1, m2, alpha, bad) per variant
+    // as their own columns — each referenced 2+ times downstream — keeps
+    // CollapseProject from inlining and every generated method small.
+    def hslMid(re: String, sfx: String)(d0: org.apache.spark.sql.DataFrame) = {
+      val (h, unit, s, l, a) =
+        (g(re, 1), g(re, 2), g(re, 3), g(re, 4), g(re, 5))
+      val hd = num(h)
+      val hv = when(unit === "rad", pmod(hd, lit(2 * math.Pi)) / (2 * math.Pi))
+        .when(unit === "turn", pmod(hd, lit(1.0)))
+        .otherwise(pmod(hd, lit(360.0)) / 360.0)
+      val sv = num(s) / 100.0
+      val lv = num(l) / 100.0
+      val m2 = when(lv <= 0.5, lv * (lit(1.0) + sv)).otherwise(lv + sv - lv * sv)
+      d0.withColumn(s"__hv$sfx", when(v.rlike(re), hv).otherwise(dnull))
+        .withColumn(s"__sv$sfx", when(v.rlike(re), sv).otherwise(dnull))
+        .withColumn(s"__lv$sfx", when(v.rlike(re), lv).otherwise(dnull))
+        .withColumn(s"__m2$sfx", when(v.rlike(re), m2).otherwise(dnull))
+        .withColumn(s"__aa$sfx", when(v.rlike(re), alphaOf(a)).otherwise(dnull))
+        .withColumn(s"__bd$sfx", v.rlike(re) &&
+          (num(s) > 100.0 || num(l) > 100.0 || alphaBad(a)))
+    }
+    def hslCol(sfx: String) = {
+      val (hv, sv, lv, m2, aa, bd) = (col(s"__hv$sfx"), col(s"__sv$sfx"),
+        col(s"__lv$sfx"), col(s"__m2$sfx"), col(s"__aa$sfx"), col(s"__bd$sfx"))
+      val m1 = lv * 2.0 - m2
+      val out = when(sv === 0.0, rgba(lv, lv, lv, aa)).otherwise(
+        rgba(hlsV(m1, m2, hv + 1.0 / 3.0), hlsV(m1, m2, hv),
+          hlsV(m1, m2, hv - 1.0 / 3.0), aa))
+      when(hv.isNull || bd, nullRgba).otherwise(out)
+    }
+    val withMid = hslMid(HslV4Re, "2")(hslMid(HslRe, "1")(df))
+    val parsedCols = withMid.withColumn("__cn", namedStruct)
+      .withColumn("__ch1", hexShort)
+      .withColumn("__ch2", hexLong)
+      .withColumn("__cr1", rgbCol(RgbRe))
+      .withColumn("__cr2", rgbCol(RgbV4Re))
+      .withColumn("__cs1", hslCol("1"))
+      .withColumn("__cs2", hslCol("2"))
+    // pick-first as nested when(isNotNull) so every format column is
+    // referenced TWICE: CollapseProject then refuses to inline the parse
+    // projection into this one (it never duplicates non-cheap exprs), the
+    // parse stays its own doConsume, and each method stays under Janino's
+    // 64KB limit
+    val pick = Seq("__cn", "__ch1", "__ch2", "__cr1", "__cr2", "__cs1", "__cs2")
+      .map(col).foldRight(nullRgba) { (c, acc) =>
+        when(c.isNotNull, c).otherwise(acc)
+      }
+    val mids = for (sfx <- Seq("1", "2");
+                    p <- Seq("__hv", "__sv", "__lv", "__m2", "__aa", "__bd"))
+      yield s"$p$sfx"
+    parsedCols.withColumn(outCol, pick)
+      .drop("__cn" +: "__ch1" +: "__ch2" +: "__cr1" +: "__cr2" +: "__cs1" +:
+        "__cs2" +: mids: _*)
+  }
 }

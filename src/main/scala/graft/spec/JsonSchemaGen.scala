@@ -77,7 +77,7 @@ object JsonSchemaGen {
       else innerJson.dropRight(1) + s""", "default": $d}"""
     case ChainSpec(steps) => toJson(steps.last)
     case CustomErrorSpec(inner, _, _) => toJson(inner)
-    case JsonSpec(_, inner) =>
+    case JsonSpec(_, inner, _) =>
       obj(Seq("type" -> str("string"),
         "contentMediaType" -> str("application/json")))
     case UnionSpec(choices, _) =>

@@ -288,8 +288,14 @@ final case class CustomErrorSpec(inner: Spec, errorType: String, message: String
 
 /** JSON-string schema — reference `validators/json.rs:24`: parse the string
  * as JSON, then validate the parsed value against `inner`.
- * `innerDdl` is the Spark DDL of the expected parsed shape. */
-final case class JsonSpec(innerDdl: String, inner: Option[ModelSpec] = None)
+ * `innerDdl` is the Spark DDL of the expected parsed shape.
+ * `allowPartial` mirrors pydantic-core's `allow_partial`
+ * (`validators/mod.rs:183-304` / jiter partial modes): `Some("on")`
+ * recovers a truncated-JSON prefix before parsing (incomplete trailing
+ * value dropped, containers closed), `Some("trailing-strings")`
+ * additionally keeps a truncated trailing string value. */
+final case class JsonSpec(innerDdl: String, inner: Option[ModelSpec] = None,
+                          allowPartial: Option[String] = None)
     extends Spec
 
 // ---------------------------------------------------------------------------
