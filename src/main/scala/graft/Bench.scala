@@ -101,9 +101,17 @@ object Bench {
     def nsPlan(n: Long) = ModelValidator.planAuto(
       graft.data.NorthStar.generate(spark, n),
       graft.data.NorthStar.personSpec, "row_id")
-    force(nsPlan(50000L)) // warm
+    // warm doubles as a throttle control (same trick as the query loop):
+    // a clean 500k run costs ~10x the 50k warm; if a timed run exceeds
+    // 40x warm, the window was throttled — retry (up to 4 runs total)
+    val nsWarm = time(force(nsPlan(50000L)))
     System.gc()
-    val nsSecs = Seq(time(force(nsPlan(nsRows))), time(force(nsPlan(nsRows)))).min
+    var nsRuns = List(time(force(nsPlan(nsRows))))
+    var nsTries = 1
+    while (nsRuns.min > math.max(nsWarm * 40.0, 4.0) && nsTries < 4) {
+      System.gc(); nsRuns = time(force(nsPlan(nsRows))) :: nsRuns; nsTries += 1
+    }
+    val nsSecs = (time(force(nsPlan(nsRows))) :: nsRuns).min
     val nsMRows = nsRows / nsSecs / 1e6
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -270,6 +270,17 @@ object SparkEntry {
         k = 3, planes = planes, maxBucket = simMaxBucket)
     }),
 
+    // ---- similarity: MULTI-TABLE LSH top-3 (3 independent plane sets,
+    // recall 1-(1-p)^3; one (table,bucket) equi-join, pairs deduped
+    // before scoring)
+    "s_ann_multi" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val np = Similarity.planesForCount(e.count(), targetLoad = annTargetLoad)
+      val sets = Similarity.portablePlanes(3 * np, 64).grouped(np).toSeq
+      Similarity.annLshMulti(e, e, "vec_id", "embedding", "vec_id",
+        "embedding", k = 3, planeSets = sets, maxBucket = simMaxBucket)
+    }),
+
     // ---- similarity: embedding-cosine near-dup pairs (cos>=0.4), plane
     // count scaled to ~8 vectors/bucket — candidate pairs stay ~n·load at
     // any corpus size (round-1 used a FIXED 4 planes: O(n²/16))
@@ -877,6 +888,30 @@ object SparkEntry {
         |    WHEN 2 THEN n_chars * 1000000
         |    ELSE n_chars * 1073741824 END AS BIGINT) AS bytes
         |FROM documents""".stripMargin,
+
+    "s_ann_multi" ->
+      s"""WITH np AS (SELECT CAST(greatest(4, least(30,
+         |    ceil(log2((count(*) + 0.5) / $annTargetLoad)))) AS INT) AS n FROM embeddings),
+         |pl AS (SELECT p, list_transform(generate_series(1, 64),
+         |    d -> CAST(concat('0x', substr(md5(CAST(p AS VARCHAR) || '_' || CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, 3 * (SELECT n FROM np) - 1)) AS p)),
+         |bkm AS (SELECT vec_id, CAST(p // (SELECT n FROM np) AS INT) AS tt,
+         |    CAST(sum(CASE WHEN
+         |      list_reduce(list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)), (u,w) -> u + w) > 0
+         |    THEN (CAST(1 AS BIGINT) << (p % (SELECT n FROM np))) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM embeddings CROSS JOIN pl GROUP BY vec_id, tt),
+         |$normCteSql,
+         |ebm AS (SELECT b.vec_id, b.tt, b.bucket, n.v FROM bkm b JOIN nv n USING (vec_id)),
+         |gdm AS (SELECT * FROM ebm QUALIFY count(*) OVER (PARTITION BY tt, bucket) <= $simMaxBucket),
+         |cd AS (SELECT DISTINCT x.vec_id query_id, y.vec_id neighbor_id
+         |       FROM ebm x JOIN gdm y ON x.tt = y.tt AND x.bucket = y.bucket AND x.vec_id <> y.vec_id),
+         |sc AS (SELECT query_id, neighbor_id, ${ndotSql("xq.v", "yq.v")} AS cos
+         |       FROM cd JOIN nv xq ON xq.vec_id = query_id JOIN nv yq ON yq.vec_id = neighbor_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |      FROM sc)
+         |WHERE rank <= 3""".stripMargin,
 
     "s_near_dup" ->
       s"""WITH ${autoBucketCteSql(ndTargetLoad)},

@@ -147,14 +147,25 @@ object Dedup {
                         thrDen: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(df, idCol, textCol, shingleN).distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // ONE window exchange serves both the per-doc rank and the doc size
+    // (same partitionBy key), and the `ranked` index — (id, sh, sz, rk) —
+    // is the only shingle materialization every later stage reads. It is
+    // persisted (memory, spill to disk): without it Spark recomputes the
+    // shingle explode + window FIVE times (sizes, rank, both self-join
+    // sides, verify) — measured 8.3s -> ~2s at sf0.1. At cluster scale
+    // this is the staged inverted index every All-Pairs implementation
+    // writes anyway; swap persist for a parquet staging dir when the
+    // shingle set exceeds aggregate executor storage.
+    val wId = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(wId.orderBy(col("df"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(wId))
+      .select(col("id"), col("sh"), col("sz"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ceil(t*sz) with integer arithmetic: (thrNum*sz + thrDen - 1) div thrDen
     val ceilT = (lit(thrNum) * col("sz") + lit(thrDen - 1)) / lit(thrDen)
-    val prefix = sh.join(dfreq, "sh")
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("sh"))))
-      .join(sizes, "id")
+    val prefix = ranked
       .filter(col("rk") <= col("sz") - ceilT.cast(LongType) + 1)
       .select(col("id"), col("sh"), col("sz"))
     val cand = prefix.as("x").join(prefix.as("y"),
@@ -163,18 +174,19 @@ object Dedup {
         lit(thrNum) * col("y.sz") <= lit(thrDen) * col("x.sz"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     val overlap = cand
-      .join(sh.as("sa"), col("id_a") === col("sa.id"))
-      .join(sh.as("sb"),
+      .join(ranked.as("sa"), col("id_a") === col("sa.id"))
+      .join(ranked.as("sb"),
         col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+      .select(col("id_a"), col("id_b"), col("sa.sz").as("sza"),
+        col("sb.sz").as("szb"))
+      .groupBy("id_a", "id_b", "sza", "szb")
+      .agg(count(lit(1)).as("c"))
     overlap
-      .join(sizes.as("za"), col("id_a") === col("za.id"))
-      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
       .filter(lit(thrDen) * col("c") >=
-        lit(thrNum) * (col("za.sz") + col("zb.sz") - col("c")))
+        lit(thrNum) * (col("sza") + col("szb") - col("c")))
       .select(col("id_a"), col("id_b"),
         (col("c").cast(DoubleType) /
-          (col("za.sz") + col("zb.sz") - col("c"))).as("jaccard"))
+          (col("sza") + col("szb") - col("c"))).as("jaccard"))
   }
 
   /**

@@ -192,6 +192,52 @@ object Similarity {
         col("neighbor_id"), col("cos"))
   }
 
+  /**
+   * Multi-table LSH ANN — the recall knob: L independent plane sets, a
+   * vector lands in one bucket PER TABLE, and a true neighbor is a
+   * candidate if it collides in ANY table (recall 1-(1-p)^L vs p for one
+   * table). Plan shape stays single-join: each row explodes to L
+   * (tableIdx, bucket) rows and the candidate join is ONE equi-join on
+   * (tableIdx, bucket); pairs are DEDUPED (distinct ids) before the dot
+   * product, so a pair colliding in several tables is scored once. The
+   * per-(table,bucket) maxBucket guard and the corpus-scaled plane count
+   * carry over from [[annLsh]].
+   */
+  def annLshMulti(queries: DataFrame, corpus: DataFrame,
+                  qId: String, qVec: String, cId: String, cVec: String,
+                  k: Int, planeSets: Seq[Seq[Seq[Int]]],
+                  maxBucket: Long = 100000L): DataFrame = {
+    val dim = planeSets.head.head.size
+    def sigs(vec: Column): Column =
+      array(planeSets.map(ps => lshBucket(vec, ps)): _*)
+    val qn = broadcast(
+      withNormalized(queries.select(col(qId).as("query_id"),
+        col(qVec).as("__qv")), "__qv", "__qn", dim)
+        .select(col("query_id"), col("__qn")))
+    val cn = withNormalized(corpus.select(col(cId).as("neighbor_id"),
+      col(cVec).as("__cv")), "__cv", "__cn", dim)
+      .select(col("neighbor_id"), col("__cn"))
+    val qb = broadcast(queries.select(col(qId).as("query_id"),
+      posexplode(sigs(col(qVec))).as(Seq("__t", "__bucket"))))
+    val cb0 = corpus.select(col(cId).as("neighbor_id"),
+      posexplode(sigs(col(cVec))).as(Seq("__t", "__bucket")))
+    val w = Window.partitionBy("__t", "__bucket")
+    val cb = cb0.withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= maxBucket).drop("__bsz")
+    val cand = qb.join(cb, Seq("__t", "__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cand.join(qn, "query_id").join(cn, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("__qn"), col("__cn"), dim).as("cos"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
   // -------------------------------------------------------------------- IVF
 
   /** IVF coarse quantizer: k deterministic pseudo-random corpus vectors as

@@ -57,6 +57,35 @@ class VectorOpsSpec extends SparkTestBase {
       s"expected whole-stage codegen in:\n$plan")
   }
 
+  test("annLshMulti: recall dominates single-table at every rank") {
+    val dim = 16
+    val vecs = (0L until 60L).map { i =>
+      i -> (0 until dim).map(d =>
+        (((i * 37 + d * 11) % 19).toFloat - 9f) / 9f)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val np = 5
+    val sets = Similarity.portablePlanes(3 * np, dim).grouped(np).toSeq
+    val single = Similarity.annLsh(df, df, "vec_id", "embedding", "vec_id",
+        "embedding", k = 3, planes = sets.head, maxBucket = 1000L)
+      .select("query_id", "rank", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, r, c) => (q, r) -> c }.toMap
+    val multi = Similarity.annLshMulti(df, df, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, planeSets = sets, maxBucket = 1000L)
+      .select("query_id", "rank", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, r, c) => (q, r) -> c }.toMap
+    // every single-table hit has a multi-table hit at least as good at the
+    // same rank (multi's candidate set is a superset), and multi returns
+    // at least as many (query, rank) slots
+    assert(multi.size >= single.size)
+    single.foreach { case ((q, r), c) =>
+      assert(multi.contains((q, r)), s"multi lost ($q, $r)")
+      assert(multi((q, r)) >= c - 1e-12, s"multi cos worse at ($q, $r)")
+    }
+  }
+
   test("similarity pipelines produce identical results via the native dot") {
     // 6 deterministic 8-dim vectors; brute-force top-2 through the public
     // API (which now routes through VectorDot) vs a driver-side replay
