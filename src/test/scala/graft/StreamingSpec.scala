@@ -62,6 +62,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("allow_partial on a stream: truncated JSON payloads validate incrementally") {
+    // the reference feature's habitat: validating a streamed / truncated
+    // LLM JSON output (pydantic allow_partial) — here as microbatches
+    implicit val sqlCtx = spark.sqlContext
+    import graft.spec._
+    val payloadModel = ModelSpec("p", Seq(
+      FieldSpec("payload", JsonSpec("struct<a bigint, tags array<string>>",
+        inner = Some(ModelSpec("inner", Seq(
+          FieldSpec("a", IntSpec(ge = Some(0)))))),
+        allowPartial = Some("on")))))
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("id", "payload")
+    val q = StreamValidator.violations(stream, payloadModel, Seq("id"))
+      .writeStream.format("memory").queryName("partial_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        ("full", """{"a": 1, "tags": ["x"]}"""),
+        ("truncated", """{"a": 2, "tags": ["x", "y"""),  // recovered
+        ("badval", """{"a": -5, "tags": []"""),           // recovered, a<0
+        ("garbage", """<html>not json"""))
+      q.processAllAvailable()
+      val rows = spark.table("partial_sink")
+        .select("id", "type").as[(String, String)].collect().toSet
+      assert(rows == Set(("badval", "greater_than_equal"),
+        ("garbage", "json_invalid")))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first arrival survives, in- and cross-batch dups drop") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
