@@ -15,7 +15,8 @@ object Explain {
     val dir = "/root/testdata/sf0.01"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("v_verdict", "z_dump_proj", "v_ri_lang", "q_join_agg",
-        "d_minhash_lsh", "v_drift_psi")
+        "d_minhash_lsh", "v_drift_psi", "d_jaccard_ngram", "s_ann_multi",
+        "s_near_dup", "v_json_partial")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
