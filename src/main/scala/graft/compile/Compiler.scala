@@ -999,16 +999,22 @@ object Compiler {
                            s: UnionSpec, mode: Mode): Compiled = {
     // LeftToRight: first success wins == ordered coalesce of try-branches
     // (exact port of `union.rs:194-210`).
-    // Smart: strict pass over all branches, then lax pass — approximates the
-    // exactness scoring of `union.rs:139-157` (documented deviation).
-    val branchesModes: Seq[(Spec, Mode)] = s.mode match {
-      case UnionMode.LeftToRight => s.choices.map(_ -> mode)
+    // Smart: three preference tiers replaying the exactness scoring of
+    // `union.rs:139-157` in columnar terms — EXACT (strict success AND the
+    // branch's natural type equals the input column type; e.g. int input
+    // to Union[float, int] picks int even though strict float accepts
+    // ints), then STRICT (cross-type strict acceptances, i.e. int->float),
+    // then LAX. Exact-tier entries REUSE the strict compilations (they are
+    // the same Compiled objects reordered in the coalesce), so the plan
+    // still carries exactly strict+lax per branch.
+    lazy val strictCompiled = s.choices.map(compile(input, t, loc, _, Mode.Strict))
+    lazy val laxCompiled = s.choices.map(compile(input, t, loc, _, Mode.Lax))
+    val compiled: Seq[Compiled] = s.mode match {
+      case UnionMode.LeftToRight =>
+        s.choices.map(compile(input, t, loc, _, mode))
       case UnionMode.Smart =>
-        s.choices.map(_ -> (Mode.Strict: Mode)) ++
-          s.choices.map(_ -> (Mode.Lax: Mode))
-    }
-    val compiled = branchesModes.map { case (c, m) =>
-      compile(input, t, loc, c, m)
+        strictCompiled.filter(_.dataType == t) ++
+          strictCompiled.filterNot(_.dataType == t) ++ laxCompiled
     }
     val sameType = compiled.map(_.dataType).distinct.size == 1
     val outType: DataType = if (sameType) compiled.head.dataType else StringType

@@ -258,9 +258,11 @@ object OnError {
 final case class ChainSpec(steps: Seq[Spec]) extends Spec
 
 /** Union — reference `validators/union.rs:102-210`. `LeftToRight` = first
- * success wins (exactly `coalesce` over try-branches). `Smart` approximates
- * the exactness scoring (`union.rs:139-157`) by trying all branches strict
- * first, then all lax — documented deviation (SURVEY §7.4.4). */
+ * success wins (exactly `coalesce` over try-branches). `Smart` replays the
+ * exactness scoring (`union.rs:139-157`) as a three-tier coalesce:
+ * EXACT (strict success, branch type == input column type) > STRICT
+ * (cross-type strict, e.g. int->float) > LAX — golden-fixtured against
+ * TypeAdapter smart unions in SmartUnionSpec. */
 final case class UnionSpec(choices: Seq[Spec], mode: UnionMode = UnionMode.Smart)
     extends Spec
 
