@@ -17,6 +17,52 @@ import graft.spec._
  */
 class PropertySpec extends SparkTestBase {
 
+  import spark.implicits._
+
+  test("property: every prefix of valid JSON recovers to PARSEABLE JSON (or null)") {
+    // random JSON docs from a small generator, truncated at EVERY position;
+    // invariant: JsonPartial.complete output must parse (try_parse_json
+    // non-null) in both modes whenever non-null, and the full-length input
+    // must recover to a document equal to itself modulo whitespace
+    val leaf = org.scalacheck.Gen.oneOf(
+      org.scalacheck.Gen.chooseNum(-999, 999).map(_.toString),
+      org.scalacheck.Gen.alphaStr.map(a => "\"" + a.take(6) + "\""),
+      org.scalacheck.Gen.oneOf("true", "false", "null"))
+    def docGen(depth: Int): org.scalacheck.Gen[String] =
+      if (depth <= 0) leaf
+      else org.scalacheck.Gen.oneOf(
+        leaf,
+        org.scalacheck.Gen.listOfN(2, docGen(depth - 1))
+          .map(_.mkString("[", ", ", "]")),
+        org.scalacheck.Gen.listOfN(2, docGen(depth - 1)).map(vs =>
+          vs.zipWithIndex.map { case (v, i) => s"\"k$i\": $v" }
+            .mkString("{", ", ", "}")))
+    val docs = org.scalacheck.Gen.listOfN(25, docGen(3)).sample.get
+    val prefixes = docs.flatMap(d => (1 to d.length).map(d.substring(0, _)))
+    val df = prefixes.toDF("c")
+    val out = df.select(col("c"),
+      graft.functions.JsonPartialOps.completeJson(col("c")).as("on"),
+      graft.functions.JsonPartialOps.completeJson(col("c"),
+        trailingStrings = true).as("ts"),
+      try_parse_json(graft.functions.JsonPartialOps.completeJson(col("c")))
+        .isNull.as("on_bad"),
+      try_parse_json(graft.functions.JsonPartialOps.completeJson(col("c"),
+        trailingStrings = true)).isNull.as("ts_bad"))
+      .collect()
+    out.foreach { r =>
+      val c = r.getString(0)
+      if (!r.isNullAt(1))
+        assert(!r.getBoolean(3), s"mode-on output unparseable for prefix '$c': '${r.getString(1)}'")
+      if (!r.isNullAt(2))
+        assert(!r.getBoolean(4), s"ts output unparseable for prefix '$c': '${r.getString(2)}'")
+    }
+    // full-length inputs: recovery is the identity
+    val fulls = docs.toDF("c").select(col("c"),
+      graft.functions.JsonPartialOps.completeJson(col("c")).as("on")).collect()
+    fulls.foreach(r => assert(r.getString(1) == r.getString(0)))
+  }
+
+
   // batch generated cases into ONE Spark job per property (a job per
   // sample would be minutes of overhead)
   private def intResults(spec: Spec, values: Seq[Long]): Seq[Seq[String]] =
