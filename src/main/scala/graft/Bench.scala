@@ -76,6 +76,9 @@ object Bench {
       val t1 = time(force(fn(spark, sfDir)))
       val t = if (t1 > math.max(warmSec, 1.0)) math.min(t1, time(force(fn(spark, sfDir))))
               else t1
+      // queries that persist an internal index (d_jaccard_ngram) must not
+      // pin executor storage while LATER queries are timed
+      spark.sharedState.cacheManager.clearCache()
       name -> t
     }
 
@@ -107,11 +110,13 @@ object Bench {
     val nsWarm = time(force(nsPlan(50000L)))
     System.gc()
     var nsRuns = List(time(force(nsPlan(nsRows))))
-    var nsTries = 1
-    while (nsRuns.min > math.max(nsWarm * 40.0, 4.0) && nsTries < 4) {
-      System.gc(); nsRuns = time(force(nsPlan(nsRows))) :: nsRuns; nsTries += 1
+    while (nsRuns.min > math.max(nsWarm * 40.0, 4.0) && nsRuns.size < 4) {
+      System.gc(); nsRuns = time(force(nsPlan(nsRows))) :: nsRuns
     }
-    val nsSecs = (time(force(nsPlan(nsRows))) :: nsRuns).min
+    // one confirmation run when the first attempt was accepted outright
+    // (min of 2 clean runs); skip it when retries already burned the budget
+    if (nsRuns.size == 1) nsRuns = time(force(nsPlan(nsRows))) :: nsRuns
+    val nsSecs = nsRuns.min
     val nsMRows = nsRows / nsSecs / 1e6
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -49,6 +49,15 @@ object Compiler {
   private def isNumeric(t: DataType): Boolean =
     isIntegral(t) || isFloating(t) || t.isInstanceOf[DecimalType]
 
+  /** Canonical numeric width — what the compiled branches emit
+   * (compileInt -> LongType, compileFloat -> DoubleType) — so smart-union
+   * exactness can compare a branch's type against ANY physical input
+   * width. */
+  private def canonNumeric(t: DataType): DataType =
+    if (isIntegral(t)) LongType
+    else if (isFloating(t)) DoubleType
+    else t
+
   /** gt/ge/lt/le/multiple_of checks shared by every ordered type —
    * reference `int.rs:125-181`, `float.rs`, `datetime.rs:124-127`.
    * Error types/messages verbatim from `errors/types.rs:213-227`. */
@@ -1013,8 +1022,13 @@ object Compiler {
       case UnionMode.LeftToRight =>
         s.choices.map(compile(input, t, loc, _, mode))
       case UnionMode.Smart =>
-        strictCompiled.filter(_.dataType == t) ++
-          strictCompiled.filterNot(_.dataType == t) ++ laxCompiled
+        // compare against the CANONICAL input type: compiled branches
+        // always emit Long/Double, but the input column may be any
+        // physical int/float width (parquet INT32 etc.) — an IntegerType
+        // column is still "exactly an int" to the reference
+        val ct = canonNumeric(t)
+        strictCompiled.filter(_.dataType == ct) ++
+          strictCompiled.filterNot(_.dataType == ct) ++ laxCompiled
     }
     val sameType = compiled.map(_.dataType).distinct.size == 1
     val outType: DataType = if (sameType) compiled.head.dataType else StringType

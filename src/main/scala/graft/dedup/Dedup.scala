@@ -144,7 +144,8 @@ object Dedup {
    */
   def jaccardNgramPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, thrNum: Long = 1L,
-                        thrDen: Long = 2L): DataFrame = {
+                        thrDen: Long = 2L,
+                        persistIndex: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(df, idCol, textCol, shingleN).distinct()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -157,12 +158,18 @@ object Dedup {
     // this is the staged inverted index every All-Pairs implementation
     // writes anyway; swap persist for a parquet staging dir when the
     // shingle set exceeds aggregate executor storage.
+    // persistIndex: the cache entry lives until the session clears it
+    // (`spark.sharedState.cacheManager`/`catalog.clearCache`) — callers
+    // embedding this in a long-lived service should clear after consuming
+    // the result, or pass persistIndex=false and accept recomputation.
     val wId = Window.partitionBy("id")
-    val ranked = sh.join(dfreq, "sh")
+    val ranked0 = sh.join(dfreq, "sh")
       .withColumn("rk", row_number().over(wId.orderBy(col("df"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(wId))
       .select(col("id"), col("sh"), col("sz"), col("rk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ranked = if (persistIndex)
+      ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ranked0
     // ceil(t*sz) with integer arithmetic: (thrNum*sz + thrDen - 1) div thrDen
     val ceilT = (lit(thrNum) * col("sz") + lit(thrDen - 1)) / lit(thrDen)
     val prefix = ranked

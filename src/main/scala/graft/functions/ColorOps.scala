@@ -126,6 +126,75 @@ object ColorOps {
       .otherwise(m1)
   }
 
+  // ----- shared per-format struct builders (single definition for BOTH
+  // parseColor's CaseWhen dispatch and withParsedColor's split columns —
+  // a fix to one dispatch path cannot drift from the other)
+
+  private def g(v: Column, re: String, i: Int) = regexp_extract(v, re, i)
+
+  private def namedOf(v: Column): Column = {
+    // no trim: parse_str looks up value_lower verbatim ('  black ' fails)
+    val named = try_element_at(nameMap, v)
+    when(named.isNotNull, rgba(
+      element_at(named, 1).cast(DoubleType) / 255.0,
+      element_at(named, 2).cast(DoubleType) / 255.0,
+      element_at(named, 3).cast(DoubleType) / 255.0, dnull))
+      .otherwise(nullRgba)
+  }
+
+  /** hex short: int(d*2, 16) / 255; alpha nibble likewise. */
+  private def hexShortOf(v: Column): Column = {
+    val a = g(v, HexShortRe, 4)
+    rgba(
+      hex2(concat(g(v, HexShortRe, 1), g(v, HexShortRe, 1))),
+      hex2(concat(g(v, HexShortRe, 2), g(v, HexShortRe, 2))),
+      hex2(concat(g(v, HexShortRe, 3), g(v, HexShortRe, 3))),
+      when(a === "", dnull).otherwise {
+        val av = hex2(concat(a, a))
+        when(av === 1.0, dnull).otherwise(av)
+      })
+  }
+
+  private def hexLongOf(v: Column): Column = {
+    val a = g(v, HexLongRe, 4)
+    rgba(hex2(g(v, HexLongRe, 1)), hex2(g(v, HexLongRe, 2)),
+      hex2(g(v, HexLongRe, 3)),
+      when(a === "", dnull).otherwise {
+        val av = hex2(a)
+        when(av === 1.0, dnull).otherwise(av)
+      })
+  }
+
+  private def rgbOf(v: Column, re: String): Column = {
+    val (r, gg, b, a) = (g(v, re, 1), g(v, re, 2), g(v, re, 3), g(v, re, 4))
+    val bad = num(r) > 255.0 || num(gg) > 255.0 ||
+      num(b) > 255.0 || alphaBad(a)
+    when(bad, nullRgba).otherwise(rgba(
+      num(r) / 255.0, num(gg) / 255.0,
+      num(b) / 255.0, alphaOf(a)))
+  }
+
+  private def hslOf(v: Column, re: String): Column = {
+    val (h, unit, s, l, a) =
+      (g(v, re, 1), g(v, re, 2), g(v, re, 3), g(v, re, 4), g(v, re, 5))
+    val sBad = num(s) > 100.0 || num(l) > 100.0 || alphaBad(a)
+    val hv = {
+      val hd = num(h)
+      when(unit === "rad", pmod(hd, lit(2 * math.Pi)) / (2 * math.Pi))
+        .when(unit === "turn", pmod(hd, lit(1.0)))
+        .otherwise(pmod(hd, lit(360.0)) / 360.0) // None | deg
+    }
+    val sv = num(s) / 100.0
+    val lv = num(l) / 100.0
+    // colorsys.hls_to_rgb(h, l, s)
+    val m2 = when(lv <= 0.5, lv * (lit(1.0) + sv)).otherwise(lv + sv - lv * sv)
+    val m1 = lv * 2.0 - m2
+    val out = when(sv === 0.0, rgba(lv, lv, lv, alphaOf(a))).otherwise(
+      rgba(hlsV(m1, m2, hv + 1.0 / 3.0), hlsV(m1, m2, hv),
+        hlsV(m1, m2, hv - 1.0 / 3.0), alphaOf(a)))
+    when(sBad, nullRgba).otherwise(out)
+  }
+
   /**
    * parse_str (color.py:281-339): named -> hex short -> hex long -> rgb
    * (css3 + v4) -> hsl (css3 + v4); anything else (or out-of-range
@@ -134,73 +203,14 @@ object ColorOps {
    */
   def parseColor(c: Column): Column = {
     val v = lower(c)
-    // no trim: parse_str looks up value_lower verbatim ('  black ' fails)
-    val named = try_element_at(nameMap, v)
-
-    def g(re: String, i: Int) = regexp_extract(v, re, i)
-
-    // hex short: int(d*2, 16) / 255; alpha nibble likewise
-    val hexShort = {
-      val a = g(HexShortRe, 4)
-      rgba(
-        hex2(concat(g(HexShortRe, 1), g(HexShortRe, 1))),
-        hex2(concat(g(HexShortRe, 2), g(HexShortRe, 2))),
-        hex2(concat(g(HexShortRe, 3), g(HexShortRe, 3))),
-        when(a === "", dnull).otherwise {
-          val av = hex2(concat(a, a))
-          when(av === 1.0, dnull).otherwise(av)
-        })
-    }
-    val hexLong = {
-      val a = g(HexLongRe, 4)
-      rgba(hex2(g(HexLongRe, 1)), hex2(g(HexLongRe, 2)), hex2(g(HexLongRe, 3)),
-        when(a === "", dnull).otherwise {
-          val av = hex2(a)
-          when(av === 1.0, dnull).otherwise(av)
-        })
-    }
-
-    def rgbFrom(re: String) = {
-      val (r, gg, b, a) = (g(re, 1), g(re, 2), g(re, 3), g(re, 4))
-      val bad = num(r) > 255.0 || num(gg) > 255.0 ||
-        num(b) > 255.0 || alphaBad(a)
-      when(bad, nullRgba).otherwise(rgba(
-        num(r) / 255.0, num(gg) / 255.0,
-        num(b) / 255.0, alphaOf(a)))
-    }
-
-    def hslFrom(re: String) = {
-      val (h, unit, s, l, a) =
-        (g(re, 1), g(re, 2), g(re, 3), g(re, 4), g(re, 5))
-      val sBad = num(s) > 100.0 || num(l) > 100.0 ||
-        alphaBad(a)
-      val hv = {
-        val hd = num(h)
-        when(unit === "rad", pmod(hd, lit(2 * math.Pi)) / (2 * math.Pi))
-          .when(unit === "turn", pmod(hd, lit(1.0)))
-          .otherwise(pmod(hd, lit(360.0)) / 360.0) // None | deg
-      }
-      val sv = num(s) / 100.0
-      val lv = num(l) / 100.0
-      // colorsys.hls_to_rgb(h, l, s)
-      val m2 = when(lv <= 0.5, lv * (lit(1.0) + sv)).otherwise(lv + sv - lv * sv)
-      val m1 = lv * 2.0 - m2
-      val out = when(sv === 0.0, rgba(lv, lv, lv, alphaOf(a))).otherwise(
-        rgba(hlsV(m1, m2, hv + 1.0 / 3.0), hlsV(m1, m2, hv),
-          hlsV(m1, m2, hv - 1.0 / 3.0), alphaOf(a)))
-      when(sBad, nullRgba).otherwise(out)
-    }
-
-    when(named.isNotNull, rgba(
-        element_at(named, 1).cast(DoubleType) / 255.0,
-        element_at(named, 2).cast(DoubleType) / 255.0,
-        element_at(named, 3).cast(DoubleType) / 255.0, dnull))
-      .when(v.rlike(HexShortRe), hexShort)
-      .when(v.rlike(HexLongRe), hexLong)
-      .when(v.rlike(RgbRe), rgbFrom(RgbRe))
-      .when(v.rlike(RgbV4Re), rgbFrom(RgbV4Re))
-      .when(v.rlike(HslRe), hslFrom(HslRe))
-      .when(v.rlike(HslV4Re), hslFrom(HslV4Re))
+    val named = namedOf(v)
+    when(named.isNotNull, named)
+      .when(v.rlike(HexShortRe), hexShortOf(v))
+      .when(v.rlike(HexLongRe), hexLongOf(v))
+      .when(v.rlike(RgbRe), rgbOf(v, RgbRe))
+      .when(v.rlike(RgbV4Re), rgbOf(v, RgbV4Re))
+      .when(v.rlike(HslRe), hslOf(v, HslRe))
+      .when(v.rlike(HslV4Re), hslOf(v, HslV4Re))
       .otherwise(nullRgba)
   }
 
@@ -264,48 +274,22 @@ object ColorOps {
   def withParsedColor(df: org.apache.spark.sql.DataFrame, inCol: String,
                       outCol: String): org.apache.spark.sql.DataFrame = {
     val v = lower(col(inCol))
-    def g(re: String, i: Int) = regexp_extract(v, re, i)
-    val named = try_element_at(nameMap, v)
-    val namedStruct = when(named.isNotNull, rgba(
-      element_at(named, 1).cast(DoubleType) / 255.0,
-      element_at(named, 2).cast(DoubleType) / 255.0,
-      element_at(named, 3).cast(DoubleType) / 255.0, dnull))
-      .otherwise(nullRgba)
-    val hexShort = when(v.rlike(HexShortRe), {
-      val a = g(HexShortRe, 4)
-      rgba(
-        hex2(concat(g(HexShortRe, 1), g(HexShortRe, 1))),
-        hex2(concat(g(HexShortRe, 2), g(HexShortRe, 2))),
-        hex2(concat(g(HexShortRe, 3), g(HexShortRe, 3))),
-        when(a === "", dnull).otherwise {
-          val av = hex2(concat(a, a))
-          when(av === 1.0, dnull).otherwise(av)
-        })
-    }).otherwise(nullRgba)
-    val hexLong = when(v.rlike(HexLongRe), {
-      val a = g(HexLongRe, 4)
-      rgba(hex2(g(HexLongRe, 1)), hex2(g(HexLongRe, 2)), hex2(g(HexLongRe, 3)),
-        when(a === "", dnull).otherwise {
-          val av = hex2(a)
-          when(av === 1.0, dnull).otherwise(av)
-        })
-    }).otherwise(nullRgba)
-    def rgbCol(re: String) = when(v.rlike(re), {
-      val (r, gg, b, a) = (g(re, 1), g(re, 2), g(re, 3), g(re, 4))
-      val bad = num(r) > 255.0 || num(gg) > 255.0 ||
-        num(b) > 255.0 || alphaBad(a)
-      when(bad, nullRgba).otherwise(rgba(
-        num(r) / 255.0, num(gg) / 255.0,
-        num(b) / 255.0, alphaOf(a)))
-    }).otherwise(nullRgba)
+    // per-format structs via the SHARED builders (same expression trees as
+    // parseColor's dispatch), each gated by its own rlike
+    val namedStruct = namedOf(v)
+    val hexShort = when(v.rlike(HexShortRe), hexShortOf(v)).otherwise(nullRgba)
+    val hexLong = when(v.rlike(HexLongRe), hexLongOf(v)).otherwise(nullRgba)
+    def rgbCol(re: String) =
+      when(v.rlike(re), rgbOf(v, re)).otherwise(nullRgba)
     // HSL in two steps: the hlsV branches reference m1/m2 three times each,
     // so inlining them would exponentiate the tree (the original >64KB
     // method). Materializing (hv, sv, lv, m1, m2, alpha, bad) per variant
     // as their own columns — each referenced 2+ times downstream — keeps
     // CollapseProject from inlining and every generated method small.
+    // (This two-step shape is intentionally NOT shared with [[hslOf]].)
     def hslMid(re: String, sfx: String)(d0: org.apache.spark.sql.DataFrame) = {
       val (h, unit, s, l, a) =
-        (g(re, 1), g(re, 2), g(re, 3), g(re, 4), g(re, 5))
+        (g(v, re, 1), g(v, re, 2), g(v, re, 3), g(v, re, 4), g(v, re, 5))
       val hd = num(h)
       val hv = when(unit === "rad", pmod(hd, lit(2 * math.Pi)) / (2 * math.Pi))
         .when(unit === "turn", pmod(hd, lit(1.0)))

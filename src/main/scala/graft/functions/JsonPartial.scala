@@ -76,7 +76,12 @@ object JsonPartial {
         if (c == ',' || c == ']' || c == '}' || c == ' ' || c == '\t' ||
             c == '\n' || c == '\r') {
           inToken = false
-          completeValue(i) // assumed-valid interior token
+          // jiter partial mode only recovers at EOF TRUNCATION; a syntax
+          // error inside the stream ('{"a": oops}', '[1, nul]') aborts
+          val tok = s.substring(tokenStart, i)
+          if (isValidNumber(tok) || tok == "true" || tok == "false" ||
+              tok == "null") completeValue(i)
+          else return null
         } else i += 1
       } else c match {
         case ' ' | '\t' | '\n' | '\r' => i += 1
@@ -89,8 +94,16 @@ object JsonPartial {
           phases(depth) = 0
           i += 1
         case '}' | ']' =>
-          depth -= 1; completeValue(i + 1)
-          i += 1
+          // top-level closer = trailing garbage AFTER a complete value:
+          // jiter returns the already-parsed prefix ('1]' -> 1,
+          // '{"a": 1}}' -> {"a": 1}, bare '}' -> error). A MISMATCHED
+          // closer inside a container is a syntax error -> abort.
+          if (depth == 0) { i = n } // stop; EOF resolution keeps lastGood
+          else if (types(depth) != (if (c == '}') '{' else '[')) return null
+          else {
+            depth -= 1; completeValue(i + 1)
+            i += 1
+          }
         case ':' => phases(depth) = 2; i += 1
         case ',' => phases(depth) = 0; i += 1
         case _ => inToken = true; tokenStart = i; i += 1
