@@ -230,6 +230,16 @@ object SparkEntry {
         numHashes = 12, bands = 4, shingleN = 3, threshold = 0.5)
     }),
 
+    // ---- pipeline: end-to-end corpus cleaning (exact dedup -> near-dup
+    // removal -> language filter -> quality filter) — the composition a
+    // training-data pipeline runs before tokenization
+    "p_corpus_clean" -> ((s, dir) => {
+      graft.text.CorpusClean.clean(t(s, dir, "documents"), "doc_id", "text",
+        TextOps.defaultProfiles, keepLangs = Seq("en"),
+        minTokens = 10, maxCharsPerToken = 8.0)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- dedup: EXACT n-gram Jaccard pairs (prefix-filtered All-Pairs;
     // the deterministic counterpart to d_minhash_lsh — same threshold)
     "d_jaccard_ngram" -> ((s, dir) => {
@@ -717,6 +727,45 @@ object SparkEntry {
          |  FROM bands x JOIN bands y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id)
          |SELECT ia AS id_a, ib AS id_b, max(j) AS jaccard FROM pairs
          |WHERE j >= 0.5 GROUP BY ia, ib""".stripMargin,
+
+    // Composed replay of the cleaning pipeline: exact-dedup survivors ->
+    // all-pairs Jaccard drops (verify-only form; identical output to the
+    // prefix-filtered engine path) -> language CASE -> quality bounds.
+    "p_corpus_clean" -> {
+      val p = TextOps.defaultProfiles
+      s"""WITH ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |d2 AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)),
+         |tk2 AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') tkk FROM d2),
+         |s2 AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(tkk) - 2, 1)),
+         |  i -> array_to_string(tkk[i:i+2], ' '))) sh FROM tk2),
+         |sr AS (SELECT doc_id, unnest(sh) AS shg FROM s2),
+         |sz AS (SELECT doc_id, len(sh) AS sz FROM s2),
+         |ov AS (SELECT sa.doc_id ia, sb.doc_id ib, count(*) c
+         |       FROM sr sa JOIN sr sb ON sa.shg = sb.shg AND sa.doc_id < sb.doc_id
+         |       GROUP BY ia, ib),
+         |drops AS (SELECT DISTINCT ov.ib AS doc_id
+         |          FROM ov JOIN sz a ON a.doc_id = ov.ia JOIN sz b ON b.doc_id = ov.ib
+         |          WHERE 2 * c >= (a.sz + b.sz - c)),
+         |k2 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+         |tk0 AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') tk FROM k2),
+         |sc AS (SELECT doc_id,
+         |  ${langScoreSql(p("de"))} s_de, ${langScoreSql(p("en"))} s_en,
+         |  ${langScoreSql(p("es"))} s_es, ${langScoreSql(p("fr"))} s_fr,
+         |  ${langScoreSql(p("zh"))} s_zh
+         | FROM tk0),
+         |lang AS (SELECT doc_id, CASE
+         |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM sc),
+         |q AS (SELECT doc_id,
+         |  round(length(text) * 1.0 / len(string_split(text, ' ')), 3) AS chars_per_token,
+         |  len(string_split(text, ' ')) AS ntok FROM k2)
+         |SELECT k2.doc_id, lang_pred, chars_per_token
+         |FROM k2 JOIN lang USING (doc_id) JOIN q USING (doc_id)
+         |WHERE lang_pred = 'en' AND ntok >= 10 AND chars_per_token <= 8.0""".stripMargin
+    },
 
     // Oracle needs no prefix filter: the verify step makes the output
     // identical whether candidates come prefix-pruned or all-pairs, and

@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.dedup.Dedup
+
+/**
+ * End-to-end corpus cleaning — the composition a training-data pipeline
+ * actually runs over raw documents before tokenization:
+ *
+ *   1. EXACT dedup: keep the lowest-id copy of identical text
+ *      (map-side-combined groupBy; one shuffle keyed by content);
+ *   2. NEAR-DUP removal among survivors: exact n-gram Jaccard pairs
+ *      ([[Dedup.jaccardNgramPairs]], prefix-filtered All-Pairs) and drop
+ *      the higher id of every pair >= threshold (keep-first, same
+ *      determinism rule as step 1);
+ *   3. LANGUAGE filter: stopword-profile language ID
+ *      ([[TextOps.langIdDf]]), keep `keepLangs`;
+ *   4. QUALITY filter: token count and chars/token bounds (cheap,
+ *      map-only; evaluated last so the expensive steps run on the
+ *      already-deduped set — at 100 TB the dedup steps dominate and both
+ *      are linear-ish by design, see the respective scaladocs).
+ *
+ * Returns (id, lang_pred, chars_per_token) of kept documents.
+ */
+object CorpusClean {
+
+  def clean(df: DataFrame, idCol: String, textCol: String,
+            profiles: Map[String, Seq[String]],
+            keepLangs: Seq[String],
+            minTokens: Int = 10,
+            maxCharsPerToken: Double = 8.0,
+            jaccardThrNum: Long = 1L,
+            jaccardThrDen: Long = 2L): DataFrame = {
+    // 1. exact dedup, keep-first
+    val kept1 = df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("id"))
+      .select(col("id"), col(textCol).as("__text"))
+    // 2. near-dup removal among survivors (drop the higher id per pair)
+    val pairs = Dedup.jaccardNgramPairs(kept1, "id", "__text",
+      shingleN = 3, thrNum = jaccardThrNum, thrDen = jaccardThrDen)
+    val drops = pairs.select(col("id_b").as("id")).distinct()
+    val kept2 = kept1.join(drops, Seq("id"), "left_anti")
+    // 3. language ID (inner join: token-less docs cannot be language-rated)
+    val lang = TextOps.langIdDf(kept2, "id", "__text", profiles)
+    // 4. quality (single-space tokenization, matching the quality oracle)
+    val toks = split(col("__text"), " ")
+    kept2.join(lang, "id")
+      .withColumn("chars_per_token",
+        round(length(col("__text")).cast(DoubleType) / size(toks), 3))
+      .filter(col("lang_pred").isin(keepLangs: _*) &&
+        size(toks) >= minTokens &&
+        col("chars_per_token") <= maxCharsPerToken)
+      .select(col("id"), col("lang_pred"), col("chars_per_token"))
+  }
+}

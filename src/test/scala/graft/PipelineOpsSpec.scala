@@ -122,6 +122,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.head._3 == 0)
   }
 
+  test("corpus clean: exact dup, near-dup, wrong-lang and low-quality all drop") {
+    val en = (1 to 20).map(i => s"tok$i").mkString("the a of and to ", " ", "")
+    val enNear = (1 to 18).map(i => s"tok$i").mkString("the a of and to ", " ", " x y")
+    val de = "der die das und ist ein zu mit von nicht " +
+      (1 to 15).map(i => s"w$i").mkString(" ")
+    val short = "the a of"
+    val df = Seq(
+      (1L, en), (2L, en) /* exact dup */, (3L, enNear) /* near dup of 1 */,
+      (4L, de) /* german */, (5L, short) /* too few tokens */,
+      (6L, "the a of and to " + (100 to 120).map(i => s"z$i").mkString(" "))
+    ).toDF("id", "text")
+    val out = graft.text.CorpusClean.clean(df, "id", "text",
+      TextOps.defaultProfiles, keepLangs = Seq("en"), minTokens = 10,
+      maxCharsPerToken = 8.0)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 6L),
+      s"expected Set(1, 6), got $out")
+  }
+
   test("exact dedup groups by content hash") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
     val g = Dedup.exactGroups(df, "id", "text")
