@@ -291,6 +291,19 @@ object SparkEntry {
         "embedding", k = 3, planeSets = sets, maxBucket = simMaxBucket)
     }),
 
+    // ---- similarity: IVF ANN top-3 — corpus partitioned into 8 centroid
+    // cells (portable md5-ordered seeds so the oracle replays them),
+    // queries probe their 2 nearest cells, candidates ranked by exact
+    // cosine over pre-normalized vectors
+    "s_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroidsPortable(e, "vec_id", "embedding",
+        k = ivfCells)
+      Similarity.annIvf(e.filter(col("vec_id") < 8), e, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, dim = 64, centroids = cents,
+        nprobe = ivfNprobe)
+    }),
+
     // ---- similarity: embedding-cosine near-dup pairs (cos>=0.4), plane
     // count scaled to ~8 vectors/bucket — candidate pairs stay ~n·load at
     // any corpus size (round-1 used a FIXED 4 planes: O(n²/16))
@@ -538,6 +551,8 @@ object SparkEntry {
   private val ndTargetLoad = 8.0
   private val annTargetLoad = 32.0
   private val simMaxBucket = 1000L
+  private val ivfCells = 8
+  private val ivfNprobe = 2
 
   // ---- shared DuckDB fragments (each replays the engine's exact
   // arithmetic: in-order double folds, md5-derived hashes)
@@ -547,6 +562,13 @@ object SparkEntry {
    * columns (same casts, same fold order). */
   private def ndotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1,64), i -> $a[i] * $b[i]), (u,w) -> u + w)"
+
+  /** In-order-fold squared L2 distance between a raw float vector and a
+   * double centroid list — bit-identical to [[Similarity.ivfAssign]]'s
+   * per-dim `(element_at(vec,i+1).cast(double) - lit(cv))²` left fold. */
+  private def ivfD2Sql(vec: String, cv: String): String =
+    s"list_reduce(list_transform(generate_series(1,64), i -> " +
+      s"(CAST($vec[i] AS DOUBLE) - $cv[i]) * (CAST($vec[i] AS DOUBLE) - $cv[i])), (u,w) -> u + w)"
 
   /** CTEs `nrm`/`nv`: vec_id -> pre-normalized embedding as list<double>,
    * replaying [[Similarity.withNormalized]] bit-for-bit (norm = sqrt of the
@@ -812,6 +834,40 @@ object SparkEntry {
          |sc AS (SELECT x.vec_id query_id, y.vec_id neighbor_id,
          |         ${ndotSql("x.v", "y.v")} AS cos
          |       FROM eb x JOIN gd y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+         |FROM (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+         |      FROM sc)
+         |WHERE rank <= 3""".stripMargin,
+
+    // Replays ivfCentroidsPortable (md5-bigint seed order), ivfAssign
+    // (argmin d2, ties -> smaller cid), ivfProbes (2 nearest cells) and the
+    // cosine ranking — every double an in-order fold, so hash-exact.
+    "s_ann_ivf" ->
+      s"""WITH sd AS (
+         |  SELECT cid, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY
+         |        CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT)) - 1 AS cid,
+         |      list_transform(generate_series(1,64), i -> CAST(embedding[i] AS DOUBLE)) AS cv
+         |    FROM embeddings) WHERE cid < $ivfCells),
+         |asg AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, sd.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfD2Sql("e.embedding", "sd.cv")}, sd.cid) AS rn
+         |    FROM embeddings e CROSS JOIN sd) WHERE rn = 1),
+         |prb AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, sd.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${ivfD2Sql("e.embedding", "sd.cv")}, sd.cid) AS rn
+         |    FROM embeddings e CROSS JOIN sd WHERE e.vec_id < 8) WHERE rn <= $ivfNprobe),
+         |$normCteSql,
+         |sc AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |         ${ndotSql("q.v", "c.v")} AS cos
+         |       FROM prb p JOIN asg a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+         |       JOIN nv q ON q.vec_id = p.vec_id
+         |       JOIN nv c ON c.vec_id = a.vec_id)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
          |FROM (SELECT query_id, neighbor_id, cos,
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank

@@ -105,6 +105,142 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Native Catalyst expression for IVF cell selection: the `nprobe` nearest
+ * centroid ids of a vector, by squared-L2, ties broken toward the smaller
+ * centroid id.
+ *
+ * Why: the Column-tree form (`Similarity.ivfAssign`/`ivfProbes`) builds
+ * k·dim subtract/multiply/add nodes (8 cells × 64 dims ≈ 2k nodes) per
+ * reference — big enough that Janino ICEs on the enclosing sort stage and
+ * the whole stage falls back to interpreted eval. This is ONE node whose
+ * `doGenCode` is a k×dim primitive loop over a referenced centroid matrix.
+ *
+ * Semantics are bit-identical to the chain form (pinned by
+ * StatefulAndIvfSpec): per-cell d2 is the in-order left fold of
+ * `(v[i]-c[i])²` with float->double casts; selection is lexicographic
+ * (d2, cid) — strictly-smaller d2 replaces, equal d2 keeps the earlier
+ * cid. Null array or null element -> null. Returns `array<int>` of length
+ * `min(nprobe, k)` in (d2, cid) order.
+ */
+case class VectorNearestCells(child: Expression,
+                              centroids: Seq[Seq[Double]],
+                              nprobe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty && nprobe >= 1)
+
+  override def prettyName: String = "vector_nearest_cells"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float>/array<double> input, got " +
+        other.catalogString)
+  }
+
+  override def nullable: Boolean = super.nullable ||
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  private val k = centroids.length
+  private val dim = centroids.head.length
+  // flat row-major copy — also the object referenced from generated code
+  private lazy val flat: Array[Double] = {
+    val a = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      val cv = centroids(c)
+      var i = 0
+      while (i < dim) { a(c * dim + i) = cv(i); i += 1 }
+      c += 1
+    }
+    a
+  }
+  private val np = math.min(nprobe, k)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    val bestD = Array.fill(np)(Double.PositiveInfinity)
+    val bestC = new Array[Int](np)
+    var c = 0
+    while (c < k) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        val d = x - flat(c * dim + i)
+        s += d * d
+        i += 1
+      }
+      // strict < keeps the earlier cid on ties (cids scanned ascending)
+      var j = np - 1
+      if (s < bestD(j)) {
+        while (j > 0 && s < bestD(j - 1)) {
+          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
+        }
+        bestD(j) = s; bestC(j) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bestC, np))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cents = ctx.addReferenceObj("centroids", flat, "double[]")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val bd = ctx.freshName("bestD")
+      val bc = ctx.freshName("bestC")
+      val get = if (elemIsFloat) s"(double) $v.getFloat($i)"
+                else s"$v.getDouble($i)"
+      val nullCheck =
+        if (child.dataType.asInstanceOf[ArrayType].containsNull)
+          s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $dim);
+         |double[] $bd = new double[$np];
+         |int[] $bc = new int[$np];
+         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |for (int $c = 0; $c < $k && !${ev.isNull}; $c++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $d = $get - $cents[$c * $dim + $i];
+         |    $s += $d * $d;
+         |  }
+         |  int $j = ${np - 1};
+         |  if ($s < $bd[$j]) {
+         |    while ($j > 0 && $s < $bd[$j - 1]) {
+         |      $bd[$j] = $bd[$j - 1]; $bc[$j] = $bc[$j - 1]; $j--;
+         |    }
+         |    $bd[$j] = $s; $bc[$j] = $c;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bc, $np));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VectorNearestCells =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. */
 object VectorOps {
 
@@ -113,4 +249,10 @@ object VectorOps {
   def vectorDot(a: Column, b: Column): Column =
     ColumnShim.column(VectorDot(ColumnShim.expression(a),
       ColumnShim.expression(b)))
+
+  /** The `nprobe` nearest IVF centroid ids of a vector column as a single
+   * codegen'd node (see [[VectorNearestCells]]). */
+  def nearestCells(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    ColumnShim.column(VectorNearestCells(ColumnShim.expression(vec),
+      centroids, nprobe))
 }

@@ -256,6 +256,24 @@ object Similarity {
         i -> r.getSeq[Float](0).map(_.toDouble).toSeq
       }
 
+  /** Portable variant of [[ivfCentroids]]: seed order comes from the first
+   * 15 hex chars of md5(id) parsed base-16 — a hash any engine can replay
+   * (the s_ann_ivf DuckDB oracle recomputes the same seeds), unlike
+   * xxhash64. Same distributed top-k shape (TakeOrderedAndProject); use
+   * [[ivfCentroids]] when cross-engine replay is not needed (xxhash64 is
+   * one codegen'd node vs md5+conv). */
+  def ivfCentroidsPortable(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int): Seq[(Int, Seq[Double])] =
+    corpus.select(col(vecCol).as("__v"),
+        conv(substring(md5(col(idCol).cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType).as("__h"))
+      .orderBy(col("__h"))
+      .limit(k)
+      .select(col("__v"))
+      .collect().toIndexedSeq.zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble).toSeq
+      }
+
   /** One Lloyd (k-means) refinement pass: assign every vector to its
    * nearest centroid, recompute each cell's mean — ONE map-side-combined
    * aggregation (dim avg-aggregates per cell, no shuffle of vectors beyond
@@ -277,9 +295,21 @@ object Similarity {
     }
   }
 
-  /** Nearest-centroid id (argmin squared L2 over literal centroids; static
-   * codegen'd chains). */
+  /** Nearest-centroid id: ONE native codegen'd node
+   * ([[graft.functions.VectorNearestCells]] — k×dim primitive loop).
+   * The Column-chain form ([[ivfAssignChain]]) builds ~k·dim·4 nodes and
+   * ICEd Janino on the enclosing sort stage; semantics are bit-identical
+   * (in-order d2 folds, ties to the smaller cid — pinned by
+   * StatefulAndIvfSpec). Assumes centroid ids are 0..k-1 in order, as
+   * [[ivfCentroids]]/[[ivfCentroidsPortable]] emit. */
   def ivfAssign(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    element_at(graft.functions.VectorOps.nearestCells(
+      vec, centroids.sortBy(_._1).map(_._2), 1), 1)
+
+  /** Round-1 Column-chain form of [[ivfAssign]], kept for the
+   * native-vs-chain equivalence test. */
+  private[graft] def ivfAssignChain(vec: Column,
+                                    centroids: Seq[(Int, Seq[Double])]): Column =
     centroids.map { case (cid, cvec) =>
       val d2 = cvec.zipWithIndex.map { case (cv, i) =>
         val diff = element_at(vec, i + 1).cast(DoubleType) - lit(cv)
@@ -291,9 +321,16 @@ object Similarity {
     }.getField("cid")
 
   /** `nprobe` nearest centroid ids, as an array column (for query-side
-   * multi-probe). */
+   * multi-probe) — same native node as [[ivfAssign]]. */
   def ivfProbes(vec: Column, centroids: Seq[(Int, Seq[Double])],
-                nprobe: Int): Column = {
+                nprobe: Int): Column =
+    graft.functions.VectorOps.nearestCells(
+      vec, centroids.sortBy(_._1).map(_._2), nprobe)
+
+  /** Round-1 Column-chain form of [[ivfProbes]] (array_sort over
+   * struct(d2,cid) literals), kept for the equivalence test. */
+  private[graft] def ivfProbesChain(vec: Column, centroids: Seq[(Int, Seq[Double])],
+                                    nprobe: Int): Column = {
     val scored = array(centroids.map { case (cid, cvec) =>
       val d2 = cvec.zipWithIndex.map { case (cv, i) =>
         val diff = element_at(vec, i + 1).cast(DoubleType) - lit(cv)

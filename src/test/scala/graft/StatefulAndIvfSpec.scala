@@ -68,6 +68,24 @@ class StatefulAndIvfSpec extends SparkTestBase {
     assert(cents.size == 2 && cents == Similarity.ivfCentroids(df, "vec_id", "embedding", 2))
   }
 
+  test("IVF native VectorNearestCells is bit-identical to the Column-chain form") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroidsPortable(e, "vec_id", "embedding", 8)
+    assert(cents.size == 8 && cents.map(_._1) == (0 until 8))
+    val cmp = e.select(
+      Similarity.ivfAssign(col("embedding"), cents).as("native"),
+      Similarity.ivfAssignChain(col("embedding"), cents).as("chain"),
+      Similarity.ivfProbes(col("embedding"), cents, 3).as("nprobes"),
+      Similarity.ivfProbesChain(col("embedding"), cents, 3).as("cprobes"))
+    assert(cmp.filter(col("native") =!= col("chain") ||
+      col("nprobes") =!= col("cprobes")).count() == 0)
+    // null vector -> null (the chain form instead decays to cell 0; the
+    // native node's null is the documented semantics)
+    val nullRow = e.limit(1).select(
+      Similarity.ivfAssign(lit(null).cast("array<float>"), cents).as("c"))
+    assert(nullRow.collect().head.isNullAt(0))
+  }
+
   test("fail_fast list keeps only the first element violation (list.rs:21)") {
     val spec = ListSpec(IntSpec(ge = Some(0)), failFast = true)
     val got = run(spec, ArrayType(LongType), Seq(Seq(-1L, -2L, -3L)))
