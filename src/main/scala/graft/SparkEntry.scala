@@ -506,6 +506,30 @@ object SparkEntry {
     // ---- tuple: positional heterogeneous validation over an array —
     // ge/enum/le per position plus a missing violation when the tuple is
     // truncated (doc_id % 7 == 0 drops position 2)
+    // ---- named-tuple: positional binding over an array column — short
+    // rows (doc_id%7=0) exercise default + missing, long rows (doc_id%11=0)
+    // the single too_long that replaces field errors (named_tuple.rs:367)
+    "q_named_tuple" -> ((s, dir) => {
+      import graft.compile.Compiler
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val d = t(s, dir, "documents")
+      val arr = array(col("doc_id").cast("string"), col("lang"),
+        col("n_chars").cast("string"))
+      val tup = when(pmod(col("doc_id"), lit(7)) === 0, slice(arr, 1, 1))
+        .otherwise(when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(arr, array(lit("9")))).otherwise(arr))
+      val spec = NamedTupleSpec("Doc", Seq(
+        FieldSpec("x", IntSpec(ge = Some(0))),
+        FieldSpec("y", WithDefaultSpec(EnumSpec(Seq("en", "de", "fr")),
+          default = "en")),
+        FieldSpec("z", IntSpec(le = Some(1000)))))
+      val c = Compiler.compile(tup, ArrayType(StringType), array(lit("nt")),
+        spec, Mode.Lax)
+      d.select(col("doc_id"),
+        size(c.violations).as("n_viol"),
+        try_element_at(c.violations, lit(1)).getField("type").as("vtype"))
+    }),
+
     "q_tuple" -> ((s, dir) => {
       import graft.compile.Compiler
       import org.apache.spark.sql.types.{ArrayType, StringType}
@@ -683,6 +707,23 @@ object SparkEntry {
         |SELECT kind, count(*) AS n, CAST(sum(len) AS BIGINT) AS total_bytes,
         |  count(CASE WHEN kind = 'video' THEN 1 END) AS with_frames
         |FROM m GROUP BY kind""".stripMargin,
+
+    "q_named_tuple" ->
+      """SELECT doc_id,
+        |  CAST(CASE
+        |    WHEN doc_id % 7 = 0 THEN (CASE WHEN doc_id < 0 THEN 1 ELSE 0 END) + 1
+        |    WHEN doc_id % 11 = 0 THEN 1
+        |    ELSE (CASE WHEN doc_id < 0 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END) END AS INT) AS n_viol,
+        |  CASE
+        |    WHEN doc_id % 7 = 0 THEN (CASE WHEN doc_id < 0 THEN 'greater_than_equal' ELSE 'missing' END)
+        |    WHEN doc_id % 11 = 0 THEN 'too_long'
+        |    WHEN doc_id < 0 THEN 'greater_than_equal'
+        |    WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 'enum'
+        |    WHEN n_chars > 1000 THEN 'less_than_equal'
+        |  END AS vtype
+        |FROM documents""".stripMargin,
 
     "q_tuple" ->
       """SELECT doc_id,

@@ -179,6 +179,8 @@ object Compiler {
 
     case s: ListSpec => compileList(input, inputType, loc, s, mode)
     case s: TupleSpec => compileTuple(input, inputType, loc, s, mode)
+    case s: NamedTupleSpec => compileNamedTuple(input, inputType, loc, s, mode)
+    case s: DataclassSpec => compileDataclass(input, inputType, loc, s, mode)
     case s: SetSpec => compileSet(input, inputType, loc, s, mode)
     case s: DictSpec => compileDict(input, inputType, loc, s, mode)
     case s: JsonSpec => compileJson(input, inputType, loc, s, mode)
@@ -915,6 +917,65 @@ object Compiler {
           input, StructType(s.items.indices.map(i =>
             StructField(s"_$i", StringType))))
     }
+  }
+
+  /** NamedTuple — reference `validators/named_tuple.rs`. Positional over
+   * array input (`:308-385`, index locs, extra items -> one `too_long`
+   * carrying `actual_length` that REPLACES accumulated field errors, per
+   * the early `return Err` at `:367-377`); keyword over struct input
+   * (`:178-245`, name locs) = the model-fields engine with extra always
+   * forbidden (`:296-305`). Output struct keeps the real field names. */
+  private def compileNamedTuple(input: Column, t: DataType, loc: Column,
+                                s: NamedTupleSpec, mode: Mode): Compiled = t match {
+    case _: StructType =>
+      compileModel(input, t, loc, ModelSpec(s.name, s.fields, Extra.Forbid, mode), mode)
+    case ArrayType(elemType, _) =>
+      val n = s.fields.size
+      val len = coalesce(size(input), lit(0))
+      val results = s.fields.zipWithIndex.map { case (f, i) =>
+        val floc = concat(loc, array(lit(i.toString)))
+        val c = compile(try_element_at(input, lit(i + 1)), elemType, floc,
+          f.spec, mode)
+        val viols =
+          if (hasDefault(f.spec)) c.violations // absent -> default
+          else when(len > i, c.violations).otherwise(
+            if (f.required)
+              collect(Seq(oneS(floc, T.missing, "Field required", lit(null))))
+            else empty)
+        (f.name, c.value, viols, c.dataType)
+      }
+      val plural = if (n == 1) "" else "s"
+      val tooLong = collect(Seq(one(loc, T.tooLong,
+        concat(
+          lit(s"NamedTuple should have at most $n item$plural after validation, not "),
+          size(input).cast(StringType)),
+        input,
+        map(lit("field_type"), lit("NamedTuple"),
+          lit("max_length"), lit(n.toString),
+          lit("actual_length"), size(input).cast(StringType)))))
+      val viols = when(input.isNull, empty)
+        .otherwise(when(size(input) > n, tooLong)
+          .otherwise(merge(results.map(_._3))))
+      val value = struct(results.map { case (fn, v, _, _) => v.as(fn) }: _*)
+      Compiled(when(input.isNotNull, value), viols,
+        StructType(results.map { case (fn, _, _, dt) => StructField(fn, dt) }))
+    case _ =>
+      typeViolation(loc, "named_tuple_type",
+        s"Input should be a tuple, list, dictionary or an instance of ${s.name}",
+        input, StructType(s.fields.map(f => StructField(f.name, StringType))))
+  }
+
+  /** Dataclass — reference `validators/dataclass.rs` (`dataclass-args`
+   * keyword path): the model-fields engine verbatim; only the wrong-input
+   * error differs (`dataclass_type`, `errors/types.rs:510`). */
+  private def compileDataclass(input: Column, t: DataType, loc: Column,
+                               s: DataclassSpec, mode: Mode): Compiled = t match {
+    case _: StructType =>
+      compileModel(input, t, loc, ModelSpec(s.name, s.fields, s.extra, mode), mode)
+    case _ =>
+      typeViolation(loc, "dataclass_type",
+        s"Input should be a dictionary or an instance of ${s.name}",
+        input, StructType(s.fields.map(f => StructField(f.name, StringType))))
   }
 
   private def compileSet(input: Column, t: DataType, loc: Column,

@@ -241,6 +241,125 @@ case class VectorNearestCells(child: Expression,
     copy(child = newChild)
 }
 
+/**
+ * Native Catalyst expression for the LSH bucket signature: bit p is set
+ * iff the in-order dot of the vector with hyperplane p is > 0.
+ *
+ * Why: the Column-chain form (`Similarity.lshBucketChain`) is ~dim·3
+ * nodes PER PLANE (a 24-plane multi-table signature ≈ 4.6k nodes per
+ * reference) — plan analysis/codegen dominated s_ann_multi. This is ONE
+ * node; `doGenCode` is a planes×dim primitive loop over a referenced
+ * plane matrix.
+ *
+ * Semantics are bit-identical to the chain (pinned by a spec test): each
+ * plane's dot is the in-order left fold of `v[i]·plane[i]` with
+ * float->double casts; a NULL array or any NULL element makes every dot
+ * NULL, so no bit is set — bucket 0, exactly like the chain's
+ * `when(d > 0, bit).otherwise(0)` and the DuckDB oracle's
+ * `CASE WHEN d > 0 THEN bit ELSE 0 END`.
+ */
+case class VectorLshBucket(child: Expression, planes: Seq[Seq[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.size <= 63)
+
+  override def prettyName: String = "vector_lsh_bucket"
+  override def dataType: DataType = LongType
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float>/array<double> input, got " +
+        other.catalogString)
+  }
+
+  // NULL in -> bucket 0 (chain semantics), so the result itself never nulls
+  // beyond what eval returns; keep default nullability plumbing simple.
+  override def nullable: Boolean = false
+
+  private val np = planes.length
+  private val dim = planes.head.length
+  private lazy val flat: Array[Double] = {
+    val a = new Array[Double](np * dim)
+    var p = 0
+    while (p < np) {
+      val pv = planes(p)
+      var i = 0
+      while (i < dim) { a(p * dim + i) = pv(i).toDouble; i += 1 }
+      p += 1
+    }
+    a
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val raw = child.eval(input)
+    if (raw == null) return 0L
+    val v = raw.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0L
+    var p = 0
+    while (p < np) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return 0L // null element -> every dot NULL
+        val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * flat(p * dim + i)
+        i += 1
+      }
+      if (s > 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val pls = ctx.addReferenceObj("planes", flat, "double[]")
+    val childGen = child.genCode(ctx)
+    val v = childGen.value
+    val n = ctx.freshName("n")
+    val p = ctx.freshName("p")
+    val i = ctx.freshName("i")
+    val s = ctx.freshName("s")
+    val bkt = ctx.freshName("bucket")
+    val nn = ctx.freshName("nullElem")
+    val get = if (elemIsFloat) s"(double) $v.getFloat($i)"
+              else s"$v.getDouble($i)"
+    val body =
+      s"""
+         |long $bkt = 0L;
+         |if (!${childGen.isNull}) {
+         |  int $n = java.lang.Math.min($v.numElements(), $dim);
+         |  boolean $nn = false;
+         |  for (int $p = 0; $p < $np && !$nn; $p++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if ($v.isNullAt($i)) { $nn = true; break; }
+         |      $s += $get * $pls[$p * $dim + $i];
+         |    }
+         |    if (!$nn && $s > 0) $bkt |= 1L << $p;
+         |  }
+         |  if ($nn) $bkt = 0L;
+         |}
+       """.stripMargin
+    ev.copy(
+      code = childGen.code + code"$body" +
+        code"long ${ev.value} = $bkt;",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorLshBucket =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native vector expressions. */
 object VectorOps {
 
@@ -255,4 +374,9 @@ object VectorOps {
   def nearestCells(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     ColumnShim.column(VectorNearestCells(ColumnShim.expression(vec),
       centroids, nprobe))
+
+  /** The LSH bucket signature of a vector column as a single codegen'd
+   * node (see [[VectorLshBucket]]). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =
+    ColumnShim.column(VectorLshBucket(ColumnShim.expression(vec), planes))
 }

@@ -105,10 +105,18 @@ object Similarity {
     math.max(4, math.min(30, raw))
   }
 
-  /** LSH bucket signature: bit p set iff dot(vec, plane_p) > 0. Plane
-   * components are literals, so each dot is a static codegen'd chain.
+  /** LSH bucket signature: bit p set iff dot(vec, plane_p) > 0 — ONE
+   * native codegen'd node ([[graft.functions.VectorLshBucket]], planes×dim
+   * primitive loop). The Column-chain form ([[lshBucketChain]]) is ~dim·3
+   * nodes per plane and dominated multi-table plans; semantics (in-order
+   * folds, null -> bucket 0) are bit-identical — pinned by spec test.
    * Scale-invariant: normalized and raw vectors land in the same bucket. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column = {
+  def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =
+    graft.functions.VectorOps.lshBucket(vec, planes)
+
+  /** Round-1 Column-chain form of [[lshBucket]], kept for the equivalence
+   * test. */
+  private[graft] def lshBucketChain(vec: Column, planes: Seq[Seq[Int]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, p) =>
       val d = plane.zipWithIndex.map { case (c, i) =>
         element_at(vec, i + 1).cast(DoubleType) * lit(c.toDouble)

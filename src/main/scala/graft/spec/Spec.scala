@@ -334,6 +334,31 @@ final case class TupleSpec(
     failFast: Boolean = false
 ) extends Spec
 
+/** NamedTuple schema — reference `validators/named_tuple.rs` (385 LoC).
+ * Array input binds positionally (index locs; extra items -> ONE
+ * `too_long` with `actual_length`, `named_tuple.rs:367-377`); struct
+ * input binds by field name (name locs; extra keys are ALWAYS
+ * `extra_forbidden`, `named_tuple.rs:296-305` "Named tuples cannot hold
+ * extra fields"). Output is a struct of the REAL field names (vs
+ * [[TupleSpec]]'s positional `_0.._n`). */
+final case class NamedTupleSpec(
+    name: String,
+    fields: Seq[FieldSpec]
+) extends Spec
+
+/** Dataclass schema — reference `validators/dataclass.rs` (680 LoC,
+ * `dataclass-args` keyword path). Field binding, defaults, aliases and
+ * extra behavior are the model-fields engine verbatim (the reference
+ * shares `LookupKey`/error machinery); only the wrong-input error type
+ * differs (`dataclass_type`, `errors/types.rs:194,510`). The positional
+ * `ArgsKwargs` call-binding half is a Python function-call concern with
+ * no table analog (documented with §2.1 row 39). */
+final case class DataclassSpec(
+    name: String,
+    fields: Seq[FieldSpec],
+    extra: Extra = Extra.Ignore
+) extends Spec
+
 /** Set semantics = unique list — reference `validators/set.rs` and the
  * registry comment "sets - unique lists" (`validators/mod.rs:600-601`). */
 final case class SetSpec(

@@ -213,4 +213,105 @@ class FunctionTupleSpec extends SparkTestBase {
     assert(rows(1).getString(1) ==
       "Unable to extract tag using discriminator 'kind'")
   }
+
+  // ------------------------------------------------------- named tuple
+
+  private val ntSpec = NamedTupleSpec("Pt", Seq(
+    FieldSpec("x", IntSpec(ge = Some(0))),
+    FieldSpec("y", WithDefaultSpec(StrSpec(), default = "d"))))
+
+  test("named-tuple: positional binding, defaults, named output (named_tuple.rs:308-365)") {
+    val out = run(ntSpec, ArrayType(StringType),
+      Seq(Seq("1", "a"), Seq("5"), Seq("-1", "b")))
+    assert(out(0)._2 == Seq())
+    val r0 = out(0)._1.asInstanceOf[Row]
+    assert(r0.schema.fieldNames.toSeq == Seq("x", "y"))
+    assert(r0.toSeq == Seq(1L, "a"))
+    // absent position with default uses it (default_value at :357-358)
+    assert(out(1)._2 == Seq() && out(1)._1.asInstanceOf[Row].toSeq == Seq(5L, "d"))
+    assert(out(2)._2 == Seq("greater_than_equal"))
+  }
+
+  test("named-tuple: extra positional items -> ONE too_long that replaces field errors (named_tuple.rs:367-377)") {
+    val c = Compiler.compile(col("x"), ArrayType(StringType),
+      array(lit("x")), ntSpec, Mode.Lax)
+    val schema = StructType(Seq(StructField("x", ArrayType(StringType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(Seq("-1", "a", "zz"))), 1), schema)
+    val rows = df.select(
+      element_at(c.violations, 1).getField("type").as("t"),
+      element_at(c.violations, 1).getField("msg").as("m"),
+      element_at(c.violations, 1).getField("ctx").as("ctx"),
+      size(c.violations).as("n")).collect()
+    // the -1 ge violation is DISCARDED; only too_long is raised
+    assert(rows(0).getInt(3) == 1 && rows(0).getString(0) == "too_long")
+    assert(rows(0).getString(1) ==
+      "NamedTuple should have at most 2 items after validation, not 3")
+    val ctx = rows(0).getMap[String, String](2)
+    assert(ctx("field_type") == "NamedTuple" && ctx("max_length") == "2"
+      && ctx("actual_length") == "3")
+  }
+
+  test("named-tuple: short input without default -> missing at the index (named_tuple.rs:357-361)") {
+    val out = types(NamedTupleSpec("P", Seq(
+      FieldSpec("a", IntSpec()), FieldSpec("b", IntSpec()))),
+      ArrayType(StringType), Seq(Seq("1")))
+    assert(out.head == Seq("missing"))
+  }
+
+  test("named-tuple: struct input binds by name; extra keys ALWAYS forbidden (named_tuple.rs:296-305)") {
+    val schema = StructType(Seq(StructField("s", StructType(Seq(
+      StructField("x", StringType), StructField("z", StringType))))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(Row("3", "oops"))), 1), schema)
+    val c = Compiler.compile(col("s"), schema("s").dataType,
+      array(lit("s")), ntSpec, Mode.Lax)
+    val r = df.select(c.value.as("v"),
+      transform(c.violations, x => x.getField("type")).as("t"),
+      transform(c.violations, x => x.getField("loc")).as("l")).collect().head
+    assert(r.getSeq[String](1) == Seq("extra_forbidden"))
+    assert(r.getSeq[scala.collection.Seq[String]](2).head.toSeq == Seq("s", "z"))
+    assert(r.getStruct(0).toSeq == Seq(3L, "d"))
+  }
+
+  test("named-tuple: non-collection input -> named_tuple_type (errors/types.rs:512)") {
+    val c = Compiler.compile(lit(5L), LongType, array(lit("x")),
+      ntSpec, Mode.Lax)
+    val r = spark.range(1).select(
+      element_at(c.violations, 1).getField("type").as("t"),
+      element_at(c.violations, 1).getField("msg").as("m")).collect().head
+    assert(r.getString(0) == "named_tuple_type")
+    assert(r.getString(1) ==
+      "Input should be a tuple, list, dictionary or an instance of Pt")
+  }
+
+  // --------------------------------------------------------- dataclass
+
+  test("dataclass: model-fields engine with dataclass_type on wrong input (dataclass.rs; errors/types.rs:510)") {
+    val dc = DataclassSpec("User", Seq(
+      FieldSpec("id", IntSpec(ge = Some(0))),
+      FieldSpec("name", StrSpec(minLength = Some(1)))),
+      extra = Extra.Forbid)
+    val schema = StructType(Seq(StructField("s", StructType(Seq(
+      StructField("id", StringType), StructField("name", StringType),
+      StructField("rogue", StringType))))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq(Row(Row("7", "ada", "x")), Row(Row("-1", "", null))), 1), schema)
+    val c = Compiler.compile(col("s"), schema("s").dataType,
+      array(lit("s")), dc, Mode.Lax)
+    val rows = df.select(c.value.as("v"),
+      transform(c.violations, x => x.getField("type")).as("t")).collect()
+    assert(rows(0).getSeq[String](1) == Seq("extra_forbidden"))
+    assert(rows(0).getStruct(0).toSeq == Seq(7L, "ada"))
+    assert(rows(1).getSeq[String](1).toSet ==
+      Set("greater_than_equal", "string_too_short"))
+    // wrong input type
+    val bad = Compiler.compile(lit("nope"), StringType, array(lit("x")),
+      dc, Mode.Lax)
+    val r = spark.range(1).select(
+      element_at(bad.violations, 1).getField("type").as("t"),
+      element_at(bad.violations, 1).getField("msg").as("m")).collect().head
+    assert(r.getString(0) == "dataclass_type")
+    assert(r.getString(1) == "Input should be a dictionary or an instance of User")
+  }
 }

@@ -57,6 +57,31 @@ class VectorOpsSpec extends SparkTestBase {
       s"expected whole-stage codegen in:\n$plan")
   }
 
+  test("lshBucket: native node is bit-identical to the chain, null -> bucket 0") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val planes = Similarity.portablePlanes(12, 64)
+    val bad = e.select(
+      Similarity.lshBucket(col("embedding"), planes).as("native"),
+      Similarity.lshBucketChain(col("embedding"), planes).as("chain"))
+      .filter(col("native") =!= col("chain")).count()
+    assert(bad == 0)
+    // chain semantics on nulls: when(d > 0, ...).otherwise(0) -> bucket 0
+    val nulls = e.limit(1).select(
+      Similarity.lshBucket(lit(null).cast("array<float>"), planes).as("n"),
+      Similarity.lshBucketChain(lit(null).cast("array<float>"), planes).as("c"))
+      .collect().head
+    assert(nulls.getLong(0) == 0L && nulls.getLong(1) == 0L)
+    // interpreted path agrees with codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val bad2 = e.select(
+        Similarity.lshBucket(col("embedding"), planes).as("native"),
+        Similarity.lshBucketChain(col("embedding"), planes).as("chain"))
+        .filter(col("native") =!= col("chain")).count()
+      assert(bad2 == 0)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("annLshMulti: recall dominates single-table at every rank") {
     val dim = 16
     val vecs = (0L until 60L).map { i =>
