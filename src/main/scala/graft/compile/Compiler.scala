@@ -181,6 +181,13 @@ object Compiler {
     case s: TupleSpec => compileTuple(input, inputType, loc, s, mode)
     case s: NamedTupleSpec => compileNamedTuple(input, inputType, loc, s, mode)
     case s: DataclassSpec => compileDataclass(input, inputType, loc, s, mode)
+    // recursive schemas: compile-time bounded unroll (definitions.rs analog
+    // — see DefinitionsSpec scaladoc for the deviation statement)
+    case s: DefinitionsSpec =>
+      compile(input, inputType, loc,
+        Definitions.unroll(s.root, s.defs, s.maxUnroll), mode)
+    case RefSpec(name) => throw new IllegalArgumentException(
+      s"definition ref '$name' outside a DefinitionsSpec container")
     case s: SetSpec => compileSet(input, inputType, loc, s, mode)
     case s: DictSpec => compileDict(input, inputType, loc, s, mode)
     case s: JsonSpec => compileJson(input, inputType, loc, s, mode)

@@ -32,6 +32,8 @@ import graft.spec.{ModelSpec, NullableSpec, Spec, WithDefaultSpec}
  *                                (`functional_serializers.py:20-230`)
  *  - ser_json_timedelta/bytes -> [[timedeltaJson]] / [[bytesJson]]
  *                                (`serializers/config.rs:121-138`)
+ *  - ser_json_inf_nan         -> DumpSpec.serJsonInfNan: null | constants |
+ *                                strings (`serializers/config.rs:142-143`)
  *  - mode=json                -> `to_json(struct(...))` one codegen'd
  *                                projection; round_trip = write + re-read
  */
@@ -51,7 +53,13 @@ object Serializer {
       excludeNone: Boolean = false,
       excludeUnset: Boolean = false,
       excludeDefaults: Boolean = false,
-      fieldSerializers: Map[String, FieldSer] = Map.empty)
+      fieldSerializers: Map[String, FieldSer] = Map.empty,
+      /** `ser_json_inf_nan` (`serializers/config.rs:142-143`):
+       * 'null' (reference default: nonfinite floats render as JSON null) |
+       * 'strings' ("Infinity"/"-Infinity"/"NaN" quoted) |
+       * 'constants' (bare Infinity/NaN tokens — invalid JSON, like the
+       * reference). Applies to top-level float fields of the dump. */
+      serJsonInfNan: String = "null")
 
   /** The field's declared default, if any (top-level or under Nullable). */
   private def defaultOf(spec: Spec): Option[String] = spec match {
@@ -115,9 +123,38 @@ object Serializer {
                outCol: String = "json"): DataFrame = {
     val ignoreNulls =
       spec.excludeNone || spec.excludeUnset || spec.excludeDefaults
-    df.select(to_json(
-      struct(dumpColumns(model, spec, json = true): _*),
-      Map("ignoreNullFields" -> ignoreNulls.toString)).as(outCol))
+    // ser_json_inf_nan: Spark's to_json natively QUOTES nonfinite doubles
+    // ("NaN"/"Infinity"/"-Infinity") — exactly the reference's 'strings'
+    // mode. 'null' pre-nulls nonfinite values; 'constants' unquotes the
+    // rendered tokens per float field (bare Infinity/NaN — invalid JSON,
+    // faithfully mirroring pydantic). Top-level float fields only; with
+    // excludeNone/Unset/Defaults set, a 'null'-mode nonfinite field is
+    // omitted rather than rendered null (documented deviation).
+    val probe = df.select(dumpColumns(model, spec, json = true): _*)
+    val floatFields = probe.schema.fields
+      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+      .map(_.name)
+    val adjusted: Seq[Column] = probe.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      if (floatFields.contains(f.name) && spec.serJsonInfNan == "null")
+        when(isnan(c) || abs(c) === lit(Double.PositiveInfinity),
+          lit(null).cast(f.dataType)).otherwise(c).as(f.name)
+      else c.as(f.name)
+    }
+    val rendered = to_json(struct(adjusted: _*),
+      Map("ignoreNullFields" -> ignoreNulls.toString))
+    val out = spec.serJsonInfNan match {
+      case "null" | "strings" => rendered
+      case "constants" =>
+        floatFields.foldLeft(rendered) { (j, fn) =>
+          regexp_replace(j,
+            "(\"" + java.util.regex.Pattern.quote(fn) + "\":)\"(NaN|Infinity|-Infinity)\"",
+            "$1$2")
+        }
+      case other => throw new IllegalArgumentException(
+        s"ser_json_inf_nan must be null|constants|strings, got $other")
+    }
+    probe.select(out.as(outCol))
   }
 
   /** Round-trip check column: serialize then re-parse equals the

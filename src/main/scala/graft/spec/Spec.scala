@@ -334,6 +334,26 @@ final case class TupleSpec(
     failFast: Boolean = false
 ) extends Spec
 
+/** Reference to a named definition — reference `definition-ref`
+ * (`validators/definitions.rs`). Only meaningful inside a
+ * [[DefinitionsSpec]], which substitutes it at compile time. */
+final case class RefSpec(name: String) extends Spec
+
+/** Recursive-schema container — reference `definitions` schema
+ * (`validators/definitions.rs:134`). The reference resolves refs lazily at
+ * runtime and raises `recursion_loop` on cyclic DATA; a columnar engine's
+ * input types have finite static depth, so refs are UNROLLED at compile
+ * time instead: each [[RefSpec]] expansion spends one unit of `maxUnroll`,
+ * and refs beyond the budget compile to [[AnySpec]] (data deeper than the
+ * unrolled schema passes unvalidated — the documented deviation; there is
+ * no runtime recursion over a fixed-depth column). Unroll depth only needs
+ * to cover the INPUT column's nesting depth. */
+final case class DefinitionsSpec(
+    defs: Map[String, Spec],
+    root: Spec,
+    maxUnroll: Int = 8
+) extends Spec
+
 /** NamedTuple schema — reference `validators/named_tuple.rs` (385 LoC).
  * Array input binds positionally (index locs; extra items -> ONE
  * `too_long` with `actual_length`, `named_tuple.rs:367-377`); struct

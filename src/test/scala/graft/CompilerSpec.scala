@@ -281,4 +281,49 @@ class CompilerSpec extends SparkTestBase {
     assert(out(0)._2 == Seq())
     assert(out(1)._2 == Seq("json_invalid"))
   }
+
+  test("definitions: recursive schema unrolls to input depth (definitions.rs analog)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import graft.compile.Compiler
+    // Category { name: str(min 1), sub?: Category | None } — the classic
+    // self-referential model (pydantic tests/test_forward_ref.py shape)
+    val cat = ModelSpec("Category", Seq(
+      FieldSpec("name", StrSpec(minLength = Some(1))),
+      FieldSpec("sub", NullableSpec(RefSpec("Category")), required = false)))
+    val spec = DefinitionsSpec(Map("Category" -> cat), RefSpec("Category"))
+    val lvl1 = StructType(Seq(StructField("name", StringType)))
+    val lvl2 = StructType(Seq(StructField("name", StringType),
+      StructField("sub", lvl1)))
+    val lvl3 = StructType(Seq(StructField("name", StringType),
+      StructField("sub", lvl2)))
+    val schema = StructType(Seq(StructField("x", lvl3)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Row("a", Row("b", Row("c")))),
+      Row(Row("a", Row("", Row(""))))), 1), schema)
+    val c = Compiler.compile(col("x"), lvl3, array(lit("x")), spec, Mode.Lax)
+    val rows = df.select(
+      transform(c.violations, v => v.getField("type")).as("t"),
+      transform(c.violations, v =>
+        concat_ws("/", v.getField("loc"))).as("l")).collect()
+    assert(rows(0).getSeq[String](0) == Seq())
+    // violations at nested ref levels carry the full loc path
+    assert(rows(1).getSeq[String](0) == Seq("string_too_short", "string_too_short"))
+    assert(rows(1).getSeq[String](1).toSet ==
+      Set("x/sub/name", "x/sub/sub/name"))
+    // budget cutoff: maxUnroll=1 validates only the first ref level
+    val cut = Compiler.compile(col("x"), lvl3, array(lit("x")),
+      spec.copy(maxUnroll = 2), Mode.Lax)
+    val cutRows = df.select(
+      transform(cut.violations, v => v.getField("type")).as("t")).collect()
+    assert(cutRows(1).getSeq[String](0) == Seq("string_too_short")) // depth-3 passes unchecked
+    // mutually recursive refs terminate
+    val a = ModelSpec("A", Seq(FieldSpec("name", StrSpec()),
+      FieldSpec("sub", NullableSpec(RefSpec("B")), required = false)))
+    val bm = ModelSpec("B", Seq(FieldSpec("name", StrSpec()),
+      FieldSpec("sub", NullableSpec(RefSpec("A")), required = false)))
+    val mut = DefinitionsSpec(Map("A" -> a, "B" -> bm), RefSpec("A"))
+    val mc = Compiler.compile(col("x"), lvl3, array(lit("x")), mut, Mode.Lax)
+    assert(df.select(size(mc.violations)).collect()(0).getInt(0) == 0)
+  }
 }

@@ -106,6 +106,35 @@ class SerializeSpec extends SparkTestBase {
     assert(b.select(Serializer.bytesJson(col("b"), "hex")).as[String].head() == "686921")
   }
 
+  test("ser_json_inf_nan: null/constants/strings match pydantic (config.rs:142)") {
+    val fm = ModelSpec("f", Seq(
+      FieldSpec("x", FloatSpec()), FieldSpec("y", FloatSpec()),
+      FieldSpec("d", FloatSpec())))
+    val fdf = Seq((Double.PositiveInfinity, Double.NaN, 1.5))
+      .toDF("x", "y", "d")
+    // default = 'null' (pinned against pydantic: {"x":null,"y":null})
+    assert(Serializer.dumpJson(fdf, fm).as[String].head() ==
+      """{"x":null,"y":null,"d":1.5}""")
+    assert(Serializer.dumpJson(fdf, fm,
+      DumpSpec(serJsonInfNan = "strings")).as[String].head() ==
+      """{"x":"Infinity","y":"NaN","d":1.5}""")
+    assert(Serializer.dumpJson(fdf, fm,
+      DumpSpec(serJsonInfNan = "constants")).as[String].head() ==
+      """{"x":Infinity,"y":NaN,"d":1.5}""")
+    // -Infinity too
+    val neg = Seq((Double.NegativeInfinity, 0.0, 2.0)).toDF("x", "y", "d")
+    assert(Serializer.dumpJson(neg, fm,
+      DumpSpec(serJsonInfNan = "constants")).as[String].head() ==
+      """{"x":-Infinity,"y":0.0,"d":2.0}""")
+    // a STRING field whose value is literally "NaN" is not unquoted
+    val sm = ModelSpec("s", Seq(
+      FieldSpec("x", FloatSpec()), FieldSpec("s", StrSpec())))
+    val sdf = Seq((Double.NaN, "NaN")).toDF("x", "s")
+    assert(Serializer.dumpJson(sdf, sm,
+      DumpSpec(serJsonInfNan = "constants")).as[String].head() ==
+      """{"x":NaN,"s":"NaN"}""")
+  }
+
   test("round trip: serialize then parse is identity on valid rows") {
     val ok = df.select(Serializer.roundTripOk(df, m).as("ok"))
       .as[Boolean].collect()
