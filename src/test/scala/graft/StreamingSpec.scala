@@ -159,4 +159,51 @@ class StreamingSpec extends SparkTestBase {
       .select("user", "type").as[(String, String)].collect().toSet
     assert(rows == Set(("bob", "less_than_equal"), ("x", "greater_than_equal")))
   }
+
+  test("streaming PSI drift: windowed histogram vs batch reference; matches batch psi") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.checks.Drift
+    import graft.streaming.StreamDrift
+    // reference profile: uniform lengths 0..99 (10 buckets x 10 rows)
+    val ref = (0 until 100).map(i => i.toDouble).toDF("len")
+    val refHist = StreamDrift.referenceHistogram(ref, col("len"), 0, 100, 10)
+    assert(refHist == Seq.fill(10)(10L))
+
+    val mem = MemoryStream[(Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "len")
+    val mon = StreamDrift.psiByWindow(stream, col("len"), "ts",
+      lo = 0, hi = 100, nBuckets = 10, refHist = refHist,
+      windowDur = "10 minutes", watermark = "5 minutes")
+    val q = mon.writeStream.format("memory").queryName("drift_sink")
+      .outputMode("append").start()
+    try {
+      // window A: same uniform shape -> psi ~ 0
+      val ta = Timestamp.valueOf("2026-01-01 10:01:00")
+      mem.addData((0 until 100).map(i => (ta, i.toDouble)): _*)
+      // window B: all mass in one bucket -> large psi
+      val tb = Timestamp.valueOf("2026-01-01 10:11:00")
+      mem.addData((0 until 100).map(_ => (tb, 5.0)): _*)
+      // advance watermark to close both
+      mem.addData((Timestamp.valueOf("2026-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("drift_sink")
+        .select("window_start", "n_rows", "psi", "drifted")
+        .as[(Timestamp, Long, Double, Boolean)].collect()
+        .sortBy(_._1.getTime)
+      assert(out.length >= 2)
+      val a = out(0); val b = out(1)
+      assert(a._2 == 100L && math.abs(a._3) < 1e-9 && !a._4)
+      assert(b._2 == 100L && b._3 > 0.2 && b._4)
+      // window PSI == batch PSI over the same rows (shared closed form)
+      val batchRows = (0 until 100).map(_ => 5.0).toDF("len")
+      val hist = Drift.histogram(batchRows, lit("w"),
+        Drift.bucketize(col("len"), 0, 100, 10))
+      val refH = Drift.histogram(ref, lit("all"),
+        Drift.bucketize(col("len"), 0, 100, 10))
+        .select(col("bucket"), col("cnt").as("ref_cnt"))
+      val batchPsi = Drift.psi(hist, refH)
+        .select("psi").as[Double].collect().head
+      assert(math.abs(batchPsi - b._3) < 1e-12)
+    } finally q.stop()
+  }
 }
