@@ -73,11 +73,16 @@ object Bench {
     // cost is bounded to the throttle victims, not every query.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warmSec = time(force(fn(spark, sfDir))) // warm (codegen + shuffles)
+      // queries that persist internal stages (d_jaccard_ngram,
+      // p_corpus_clean) must rebuild them in the TIMED run — a leaked
+      // warm-run cache would bill only the post-materialization steady
+      // state. Clearing here also keeps query N's storage away from N+1.
+      spark.sharedState.cacheManager.clearCache()
       val t1 = time(force(fn(spark, sfDir)))
-      val t = if (t1 > math.max(warmSec, 1.0)) math.min(t1, time(force(fn(spark, sfDir))))
-              else t1
-      // queries that persist an internal index (d_jaccard_ngram) must not
-      // pin executor storage while LATER queries are timed
+      val t = if (t1 > math.max(warmSec, 1.0)) {
+        spark.sharedState.cacheManager.clearCache()
+        math.min(t1, time(force(fn(spark, sfDir))))
+      } else t1
       spark.sharedState.cacheManager.clearCache()
       name -> t
     }

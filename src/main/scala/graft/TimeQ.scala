@@ -10,9 +10,12 @@ object TimeQ {
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       Bench.force(fn(spark, dir)) // warm
+      // rebuild any operator-internal persisted stages in the timed run
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       val n = Bench.force(fn(spark, dir))
       println(f"TIMEQ $name ${(System.nanoTime()-t0)/1e9}%.2f s rows=$n")
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

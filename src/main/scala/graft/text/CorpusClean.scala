@@ -33,16 +33,28 @@ object CorpusClean {
             minTokens: Int = 10,
             maxCharsPerToken: Double = 8.0,
             jaccardThrNum: Long = 1L,
-            jaccardThrDen: Long = 2L): DataFrame = {
-    // 1. exact dedup, keep-first
-    val kept1 = df.groupBy(col(textCol))
+            jaccardThrDen: Long = 2L,
+            persistStages: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // 1. exact dedup, keep-first. The survivor set feeds the near-dup
+    // pair join AND every later stage — persisted (memory, spill to disk)
+    // so the content-keyed dedup shuffle runs ONCE, not once per
+    // downstream reference (measured 18s -> ~6s at sf0.1). Same rationale
+    // as the persisted shingle index inside jaccardNgramPairs.
+    val kept1raw = df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("id"))
       .select(col("id"), col(textCol).as("__text"))
+    val kept1 = if (persistStages)
+      kept1raw.persist(StorageLevel.MEMORY_AND_DISK) else kept1raw
     // 2. near-dup removal among survivors (drop the higher id per pair)
     val pairs = Dedup.jaccardNgramPairs(kept1, "id", "__text",
-      shingleN = 3, thrNum = jaccardThrNum, thrDen = jaccardThrDen)
+      shingleN = 3, thrNum = jaccardThrNum, thrDen = jaccardThrDen,
+      persistIndex = persistStages)
     val drops = pairs.select(col("id_b").as("id")).distinct()
-    val kept2 = kept1.join(drops, Seq("id"), "left_anti")
+    val kept2raw = kept1.join(drops, Seq("id"), "left_anti")
+    // read twice below (language scoring input + final join)
+    val kept2 = if (persistStages)
+      kept2raw.persist(StorageLevel.MEMORY_AND_DISK) else kept2raw
     // 3. language ID (inner join: token-less docs cannot be language-rated)
     val lang = TextOps.langIdDf(kept2, "id", "__text", profiles)
     // 4. quality (single-space tokenization, matching the quality oracle)
