@@ -119,8 +119,14 @@ case class VectorDot(left: Expression, right: Expression)
  * Semantics are bit-identical to the chain form (pinned by
  * StatefulAndIvfSpec): per-cell d2 is the in-order left fold of
  * `(v[i]-c[i])²` with float->double casts; selection is lexicographic
- * (d2, cid) — strictly-smaller d2 replaces, equal d2 keeps the earlier
- * cid. Null array or null element -> null. Returns `array<int>` of length
+ * (d2, cid) under Spark's SQL double ordering (`Double.compare`: NaN
+ * sorts above everything and equal to itself, so an all-NaN row yields
+ * cids 0..nprobe-1 exactly like `array_sort` in the chain and `ORDER BY`
+ * in the DuckDB oracle). Null array, null element, or an array SHORTER
+ * than the centroid dim (the ANSI chain would THROW there; the oracle's
+ * list indexing yields all-NULL d2) -> null;
+ * [[graft.similarity.Similarity.ivfAssign]] coalesces that to the
+ * oracle's all-ties result. Returns `array<int>` of length
  * `min(nprobe, k)` in (d2, cid) order.
  */
 case class VectorNearestCells(child: Expression,
@@ -167,45 +173,55 @@ case class VectorNearestCells(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val isF = elemIsFloat
-    val n = math.min(v.numElements(), dim)
-    val bestD = Array.fill(np)(Double.PositiveInfinity)
-    val bestC = new Array[Int](np)
+    if (v.numElements() < dim) return null // chain: past-end element_at -> null d2
+    val d2 = new Array[Double](k)
     var c = 0
     while (c < k) {
       var s = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         if (v.isNullAt(i)) return null
         val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
         val d = x - flat(c * dim + i)
         s += d * d
         i += 1
       }
-      // strict < keeps the earlier cid on ties (cids scanned ascending)
-      var j = np - 1
-      if (s < bestD(j)) {
-        while (j > 0 && s < bestD(j - 1)) {
-          bestD(j) = bestD(j - 1); bestC(j) = bestC(j - 1); j -= 1
-        }
-        bestD(j) = s; bestC(j) = c
-      }
+      d2(c) = s
       c += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      java.util.Arrays.copyOf(bestC, np))
+    // np rounds of argmin under Double.compare (NaN == NaN, NaN > finite),
+    // ascending-cid scan => ties keep the smaller cid — exactly the
+    // chain's array_sort((d2, cid)) order
+    val out = new Array[Int](np)
+    val used = new Array[Boolean](k)
+    var slot = 0
+    while (slot < np) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) &&
+            (best < 0 || java.lang.Double.compare(d2(c2), d2(best)) < 0))
+          best = c2
+        c2 += 1
+      }
+      used(best) = true; out(slot) = best
+      slot += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val cents = ctx.addReferenceObj("centroids", flat, "double[]")
-      val n = ctx.freshName("n")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
-      val bd = ctx.freshName("bestD")
-      val bc = ctx.freshName("bestC")
+      val d2 = ctx.freshName("d2")
+      val out = ctx.freshName("out")
+      val used = ctx.freshName("used")
+      val slot = ctx.freshName("slot")
+      val best = ctx.freshName("best")
       val get = if (elemIsFloat) s"(double) $v.getFloat($i)"
                 else s"$v.getDouble($i)"
       val nullCheck =
@@ -213,27 +229,30 @@ case class VectorNearestCells(child: Expression,
           s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $dim);
-         |double[] $bd = new double[$np];
-         |int[] $bc = new int[$np];
-         |java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+         |if ($v.numElements() < $dim) { ${ev.isNull} = true; }
+         |double[] $d2 = new double[$k];
          |for (int $c = 0; $c < $k && !${ev.isNull}; $c++) {
          |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $dim; $i++) {
          |    $nullCheck
          |    double $d = $get - $cents[$c * $dim + $i];
          |    $s += $d * $d;
          |  }
-         |  int $j = ${np - 1};
-         |  if ($s < $bd[$j]) {
-         |    while ($j > 0 && $s < $bd[$j - 1]) {
-         |      $bd[$j] = $bd[$j - 1]; $bc[$j] = $bc[$j - 1]; $j--;
+         |  $d2[$c] = $s;
+         |}
+         |int[] $out = new int[$np];
+         |if (!${ev.isNull}) {
+         |  boolean[] $used = new boolean[$k];
+         |  for (int $slot = 0; $slot < $np; $slot++) {
+         |    int $best = -1;
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      if (!$used[$c] && ($best < 0 ||
+         |          java.lang.Double.compare($d2[$c], $d2[$best]) < 0)) $best = $c;
          |    }
-         |    $bd[$j] = $s; $bc[$j] = $c;
+         |    $used[$best] = true; $out[$slot] = $best;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  java.util.Arrays.copyOf($bc, $np));
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
@@ -253,8 +272,10 @@ case class VectorNearestCells(child: Expression,
  *
  * Semantics are bit-identical to the chain (pinned by a spec test): each
  * plane's dot is the in-order left fold of `v[i]·plane[i]` with
- * float->double casts; a NULL array or any NULL element makes every dot
- * NULL, so no bit is set — bucket 0, exactly like the chain's
+ * float->double casts; a NULL array, any NULL element, or an array
+ * SHORTER than the plane dim (the ANSI chain would THROW there; the
+ * oracle's list indexing yields NULL) makes every dot NULL, so no bit is
+ * set — bucket 0, exactly like the chain's
  * `when(d > 0, bit).otherwise(0)` and the DuckDB oracle's
  * `CASE WHEN d > 0 THEN bit ELSE 0 END`.
  */
@@ -300,14 +321,14 @@ case class VectorLshBucket(child: Expression, planes: Seq[Seq[Int]])
     val raw = child.eval(input)
     if (raw == null) return 0L
     val v = raw.asInstanceOf[ArrayData]
+    if (v.numElements() < dim) return 0L // chain: past-end element_at -> null dot
     val isF = elemIsFloat
-    val n = math.min(v.numElements(), dim)
     var bucket = 0L
     var p = 0
     while (p < np) {
       var s = 0.0
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         if (v.isNullAt(i)) return 0L // null element -> every dot NULL
         val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
         s += x * flat(p * dim + i)
@@ -325,7 +346,6 @@ case class VectorLshBucket(child: Expression, planes: Seq[Seq[Int]])
     val pls = ctx.addReferenceObj("planes", flat, "double[]")
     val childGen = child.genCode(ctx)
     val v = childGen.value
-    val n = ctx.freshName("n")
     val p = ctx.freshName("p")
     val i = ctx.freshName("i")
     val s = ctx.freshName("s")
@@ -336,12 +356,11 @@ case class VectorLshBucket(child: Expression, planes: Seq[Seq[Int]])
     val body =
       s"""
          |long $bkt = 0L;
-         |if (!${childGen.isNull}) {
-         |  int $n = java.lang.Math.min($v.numElements(), $dim);
+         |if (!${childGen.isNull} && $v.numElements() >= $dim) {
          |  boolean $nn = false;
          |  for (int $p = 0; $p < $np && !$nn; $p++) {
          |    double $s = 0.0;
-         |    for (int $i = 0; $i < $n; $i++) {
+         |    for (int $i = 0; $i < $dim; $i++) {
          |      if ($v.isNullAt($i)) { $nn = true; break; }
          |      $s += $get * $pls[$p * $dim + $i];
          |    }

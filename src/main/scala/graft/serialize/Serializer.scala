@@ -125,11 +125,12 @@ object Serializer {
       spec.excludeNone || spec.excludeUnset || spec.excludeDefaults
     // ser_json_inf_nan: Spark's to_json natively QUOTES nonfinite doubles
     // ("NaN"/"Infinity"/"-Infinity") — exactly the reference's 'strings'
-    // mode. 'null' pre-nulls nonfinite values; 'constants' unquotes the
-    // rendered tokens per float field (bare Infinity/NaN — invalid JSON,
-    // faithfully mirroring pydantic). Top-level float fields only; with
-    // excludeNone/Unset/Defaults set, a 'null'-mode nonfinite field is
-    // omitted rather than rendered null (documented deviation).
+    // mode. 'null' pre-nulls nonfinite values; 'constants' renders bare
+    // Infinity/NaN tokens (invalid JSON, faithfully mirroring pydantic)
+    // by assembling the object from per-field fragments. Top-level float
+    // fields only; with excludeNone/Unset/Defaults set, a 'null'-mode
+    // nonfinite field is omitted rather than rendered null (documented
+    // deviation).
     val probe = df.select(dumpColumns(model, spec, json = true): _*)
     val floatFields = probe.schema.fields
       .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
@@ -141,16 +142,35 @@ object Serializer {
           lit(null).cast(f.dataType)).otherwise(c).as(f.name)
       else c.as(f.name)
     }
-    val rendered = to_json(struct(adjusted: _*),
-      Map("ignoreNullFields" -> ignoreNulls.toString))
     val out = spec.serJsonInfNan match {
-      case "null" | "strings" => rendered
+      case "null" | "strings" =>
+        to_json(struct(adjusted: _*),
+          Map("ignoreNullFields" -> ignoreNulls.toString))
       case "constants" =>
-        floatFields.foldLeft(rendered) { (j, fn) =>
-          regexp_replace(j,
-            "(\"" + java.util.regex.Pattern.quote(fn) + "\":)\"(NaN|Infinity|-Infinity)\"",
-            "$1$2")
+        // Rebuild the object from PER-FIELD to_json fragments so the bare
+        // Infinity/NaN tokens are swapped in only for the actual top-level
+        // float fields — a nested or string field that happens to be named
+        // like one, or to contain "NaN", is untouched. Field order and
+        // number rendering are to_json's own (one field per fragment).
+        val frags = probe.schema.fields.toSeq.map { f =>
+          val c = col(f.name)
+          val std = regexp_replace(
+            to_json(struct(c.as(f.name)),
+              Map("ignoreNullFields" -> ignoreNulls.toString)),
+            "^\\{|\\}$", "")
+          val frag =
+            if (floatFields.contains(f.name)) {
+              val key = lit("\"" + f.name + "\":")
+              when(isnan(c), concat(key, lit("NaN")))
+                .when(c === lit(Double.PositiveInfinity),
+                  concat(key, lit("Infinity")))
+                .when(c === lit(Double.NegativeInfinity),
+                  concat(key, lit("-Infinity")))
+                .otherwise(std)
+            } else std
+          nullif(frag, lit("")) // omitted fields -> null, skipped by concat_ws
         }
+        concat(lit("{"), concat_ws(",", frags: _*), lit("}"))
       case other => throw new IllegalArgumentException(
         s"ser_json_inf_nan must be null|constants|strings, got $other")
     }

@@ -311,8 +311,13 @@ object Similarity {
    * StatefulAndIvfSpec). Assumes centroid ids are 0..k-1 in order, as
    * [[ivfCentroids]]/[[ivfCentroidsPortable]] emit. */
   def ivfAssign(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
-    element_at(graft.functions.VectorOps.nearestCells(
-      vec, centroids.sortBy(_._1).map(_._2), 1), 1)
+    // null/short vectors: every chain d2 is NULL, so the chain's tie-reduce
+    // keeps the FIRST cid — coalesce reproduces that (and the oracle's
+    // all-ties ORDER BY d2, cid)
+    coalesce(
+      element_at(graft.functions.VectorOps.nearestCells(
+        vec, centroids.sortBy(_._1).map(_._2), 1), 1),
+      lit(centroids.map(_._1).min))
 
   /** Round-1 Column-chain form of [[ivfAssign]], kept for the
    * native-vs-chain equivalence test. */
@@ -331,9 +336,14 @@ object Similarity {
   /** `nprobe` nearest centroid ids, as an array column (for query-side
    * multi-probe) — same native node as [[ivfAssign]]. */
   def ivfProbes(vec: Column, centroids: Seq[(Int, Seq[Double])],
-                nprobe: Int): Column =
-    graft.functions.VectorOps.nearestCells(
-      vec, centroids.sortBy(_._1).map(_._2), nprobe)
+                nprobe: Int): Column = {
+    val sorted = centroids.sortBy(_._1)
+    // null/short vectors: all-NULL d2 ties -> first nprobe cids in cid
+    // order, matching the chain's array_sort and the oracle's ORDER BY
+    coalesce(
+      graft.functions.VectorOps.nearestCells(vec, sorted.map(_._2), nprobe),
+      typedLit(sorted.map(_._1).take(math.min(nprobe, sorted.size))))
+  }
 
   /** Round-1 Column-chain form of [[ivfProbes]] (array_sort over
    * struct(d2,cid) literals), kept for the equivalence test. */

@@ -9,8 +9,10 @@ import graft.checks.Drift
  * Streaming distribution-drift monitor: PSI of each event-time window's
  * metric histogram against a batch-profiled reference histogram —
  * the streaming face of [[graft.checks.Drift]] (same epsilon-smoothed
- * closed form, same bucketizer, so a window's PSI equals the batch PSI of
- * the same rows; pinned by StreamingSpec).
+ * closed form, same bucketizer, same ref-bucket term set, so a window's
+ * PSI equals the batch PSI of the same rows up to float-fold reordering —
+ * batch sums terms in hash-aggregate order, this folds by ascending
+ * bucket; StreamingSpec pins agreement to 1e-12).
  *
  * Plan shape: ONE watermarked `groupBy(window)` aggregation whose
  * per-bucket counts are conditional sums over the FIXED bucket count

@@ -133,6 +133,19 @@ class SerializeSpec extends SparkTestBase {
     assert(Serializer.dumpJson(sdf, sm,
       DumpSpec(serJsonInfNan = "constants")).as[String].head() ==
       """{"x":NaN,"s":"NaN"}""")
+    // a NESTED string field named like the float field is untouched too
+    // (computed struct with inner key "x" holding the literal "NaN")
+    val nested = Serializer.dumpJson(sdf, sm, DumpSpec(
+      serJsonInfNan = "constants",
+      computed = Seq("inner" -> struct(col("s").as("x"))))).as[String].head()
+    assert(nested == """{"x":NaN,"s":"NaN","inner":{"x":"NaN"}}""")
+    // constants + excludeNone still omits genuinely-null fields
+    val ndf = Seq((Option.empty[Double], 2.0)).toDF("x", "y")
+    val nm = ModelSpec("n", Seq(
+      FieldSpec("x", FloatSpec()), FieldSpec("y", FloatSpec())))
+    assert(Serializer.dumpJson(ndf, nm, DumpSpec(
+      serJsonInfNan = "constants", excludeNone = true)).as[String].head() ==
+      """{"y":2.0}""")
   }
 
   test("round trip: serialize then parse is identity on valid rows") {

@@ -79,11 +79,24 @@ class StatefulAndIvfSpec extends SparkTestBase {
       Similarity.ivfProbesChain(col("embedding"), cents, 3).as("cprobes"))
     assert(cmp.filter(col("native") =!= col("chain") ||
       col("nprobes") =!= col("cprobes")).count() == 0)
-    // null vector -> null (the chain form instead decays to cell 0; the
-    // native node's null is the documented semantics)
+    // null vector: every chain d2 is NULL -> tie-reduce keeps cell 0 and
+    // probes fall back to the first cids in order (matches the oracle's
+    // ORDER BY d2, cid with all-NULL ties)
     val nullRow = e.limit(1).select(
-      Similarity.ivfAssign(lit(null).cast("array<float>"), cents).as("c"))
-    assert(nullRow.collect().head.isNullAt(0))
+      Similarity.ivfAssign(lit(null).cast("array<float>"), cents).as("c"),
+      Similarity.ivfProbes(lit(null).cast("array<float>"), cents, 2).as("p"))
+      .collect().head
+    assert(nullRow.getInt(0) == 0 && nullRow.getSeq[Int](1) == Seq(0, 1))
+    // short vector (chain: past-end element_at nulls every d2) -> same
+    val shortRow = e.limit(1).select(
+      Similarity.ivfAssign(array(lit(1.0f)), cents).as("c")).collect().head
+    assert(shortRow.getInt(0) == 0)
+    // NaN component: all d2 NaN tie under SQL double ordering -> probes
+    // are the first cids in order, NOT a duplicated cell
+    val nanVec = array((lit(Float.NaN) +: Seq.fill(63)(lit(0.0f))): _*)
+    val nanRow = e.limit(1).select(
+      Similarity.ivfProbes(nanVec, cents, 2).as("p")).collect().head
+    assert(nanRow.getSeq[Int](0) == Seq(0, 1))
   }
 
   test("fail_fast list keeps only the first element violation (list.rs:21)") {

@@ -71,6 +71,13 @@ class VectorOpsSpec extends SparkTestBase {
       Similarity.lshBucketChain(lit(null).cast("array<float>"), planes).as("c"))
       .collect().head
     assert(nulls.getLong(0) == 0L && nulls.getLong(1) == 0L)
+    // short vector: the ANSI chain THROWS on past-end element_at, but the
+    // DuckDB oracle's list indexing yields NULL dots -> bucket 0; the
+    // native node follows the ORACLE (the driver-compare ground truth)
+    val short = e.limit(1).select(
+      Similarity.lshBucket(array(lit(1.0f)), planes).as("n"))
+      .collect().head
+    assert(short.getLong(0) == 0L)
     // interpreted path agrees with codegen
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
