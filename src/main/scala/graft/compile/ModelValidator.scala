@@ -197,6 +197,11 @@ object ModelValidator {
     case FunctionAfterSpec(i, _) => 1 + specWeight(i)
     case FunctionWrapSpec(i, _) => 1 + specWeight(i)
     case JsonSpec(_, i, _) => 1 + i.map(specWeight(_)).getOrElse(0)
+    case nt: NamedTupleSpec => 1 + nt.fields.map(f => specWeight(f.spec)).sum
+    case dc: DataclassSpec => 1 + dc.fields.map(f => specWeight(f.spec)).sum
+    // weigh the UNROLLED tree — that is what compiles
+    case d: DefinitionsSpec =>
+      specWeight(graft.spec.Definitions.unroll(d.root, d.defs, d.maxUnroll))
     case _ => 1
   }
 

@@ -28,6 +28,12 @@ object JsonSchemaGen {
 
   private def str(s: String): String = s""""${esc(s)}""""
 
+  private def defaulted(s: Spec): Boolean = s match {
+    case _: WithDefaultSpec => true
+    case NullableSpec(inner) => defaulted(inner)
+    case _ => false
+  }
+
   def toJson(spec: Spec): String = spec match {
     case s: StrSpec =>
       obj(Seq("type" -> str("string")) ++
@@ -120,6 +126,34 @@ object JsonSchemaGen {
             "maxItems" -> s.items.size.toString)
         else s.minLength.map(v => "minItems" -> v.toString).toSeq ++
           s.maxLength.map(v => "maxItems" -> v.toString)))
+    case _: TimeSpec =>
+      obj(Seq("type" -> str("string"), "format" -> str("time")))
+    case _: TimedeltaSpec =>
+      obj(Seq("type" -> str("string"), "format" -> str("duration")))
+    case s: NamedTupleSpec =>
+      // pydantic: prefixItems per field, minItems = required (no-default)
+      // count, maxItems = field count
+      val required = s.fields.count(f => f.required && !defaulted(f.spec))
+      obj(Seq(
+        "maxItems" -> s.fields.size.toString,
+        "minItems" -> required.toString,
+        "prefixItems" -> s.fields.map(f => toJson(f.spec))
+          .mkString("[", ", ", "]"),
+        "type" -> str("array")))
+    case dc: DataclassSpec =>
+      // same object schema as a model (pydantic renders dataclasses so)
+      toJson(ModelSpec(dc.name, dc.fields, dc.extra))
+    case DefinitionsSpec(defs, root, _) =>
+      // pydantic: {"$defs": {...}, <root, usually a $ref>} — refs stay
+      // symbolic here (no unrolling; JSON Schema is natively recursive)
+      val d = defs.toSeq.sortBy(_._1)
+        .map { case (n, sp) => s""""${esc(n)}": ${toJson(sp)}""" }
+        .mkString("{", ", ", "}")
+      val rootBody = toJson(root).drop(1).dropRight(1).trim
+      if (rootBody.isEmpty) s"""{"$$defs": $d}"""
+      else s"""{"$$defs": $d, $rootBody}"""
+    case RefSpec(name) =>
+      obj(Seq("$ref" -> str(s"#/$$defs/$name")))
     // function validators wrap/replace inner schemas — pydantic emits the
     // handler schema (or {} for plain, which is opaque)
     case FunctionBeforeSpec(_, inner, _) => toJson(inner)

@@ -175,6 +175,31 @@ class SerializeSpec extends SparkTestBase {
         "title string, type string")).getField("title")).collect()
   }
 
+  test("json schema export: named-tuple, dataclass, time/timedelta, recursive $defs (pinned vs pydantic)") {
+    // pydantic: {"maxItems":2,"minItems":1,"prefixItems":[...],"type":"array"}
+    val nt = JsonSchemaGen.toJson(NamedTupleSpec("Pt", Seq(
+      FieldSpec("x", IntSpec()),
+      FieldSpec("y", WithDefaultSpec(StrSpec(), default = "d")))))
+    assert(nt.contains(""""maxItems": 2""") && nt.contains(""""minItems": 1"""))
+    assert(nt.contains(""""prefixItems": [{"type": "integer"}"""))
+    // dataclass renders as an object schema like a model
+    val dc = JsonSchemaGen.toJson(DataclassSpec("DC", Seq(
+      FieldSpec("id", IntSpec()))))
+    assert(dc.contains(""""title": "DC"""") && dc.contains(""""type": "object""""))
+    assert(JsonSchemaGen.toJson(TimeSpec()) ==
+      """{"type": "string", "format": "time"}""")
+    assert(JsonSchemaGen.toJson(TimedeltaSpec()) ==
+      """{"type": "string", "format": "duration"}""")
+    // recursive: {"$defs": {"Cat": {...with $ref inside...}}, "$ref": "#/$defs/Cat"}
+    val cat = ModelSpec("Cat", Seq(
+      FieldSpec("name", StrSpec()),
+      FieldSpec("sub", NullableSpec(RefSpec("Cat")), required = false)))
+    val rec = JsonSchemaGen.toJson(DefinitionsSpec(Map("Cat" -> cat), RefSpec("Cat")))
+    assert(rec.startsWith("""{"$defs": {"Cat": """))
+    assert(rec.endsWith(""""$ref": "#/$defs/Cat"}"""))
+    assert(rec.contains("""{"$ref": "#/$defs/Cat"}""")) // the inner self-ref
+  }
+
   test("pipeline DSL builds the same specs as explicit ADT construction") {
     val viaDsl = model("rec",
       field("name", validateAsStr.strip.minLen(1).toLowerCase),
