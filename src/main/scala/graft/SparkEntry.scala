@@ -199,6 +199,13 @@ object SparkEntry {
         round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
     }),
 
+    // ---- text: Gopher-style repetition metrics (duplicate-token and
+    // top-bigram fractions — the standard corpus-quality repetition rules)
+    "t_repetition" -> ((s, dir) => {
+      TextOps.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- text: BPE-ish token count (regex pretokenizer)
     "t_bpe_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -736,6 +743,28 @@ object SparkEntry {
         |       WHEN coalesce(doc_id % 7 = 0, FALSE) THEN 'missing'
         |       WHEN n_chars > 1000 THEN 'less_than_equal' END AS vtype
         |FROM documents""".stripMargin,
+
+    // Replays repetitionMetrics: same tokenization (single-space split),
+    // same bigram adjacency, integer counts, one IEEE division per
+    // fraction -> hash-exact.
+    "t_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |tok0 AS (SELECT doc_id, arr,
+        |    unnest(generate_series(1, len(arr))) AS pos FROM tk),
+        |tok AS (SELECT doc_id, arr[pos] AS tok,
+        |    CASE WHEN pos + 1 <= len(arr)
+        |         THEN arr[pos] || ' ' || arr[pos + 1] END AS bg
+        |  FROM tok0),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+        |  FROM tok GROUP BY doc_id),
+        |bgc AS (SELECT doc_id, bg, count(*) AS c FROM tok
+        |  WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+        |topb AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM bgc GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  (b.n_tokens - b.n_distinct) * 1.0 / b.n_tokens AS dup_token_frac,
+        |  coalesce(t.top_c, 0) * 2.0 / b.n_tokens AS top_bigram_frac
+        |FROM base b LEFT JOIN topb t USING (doc_id)""".stripMargin,
 
     "t_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe

@@ -135,4 +135,43 @@ object TextOps {
    * first 15 hex chars of md5, parsed base-16. */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /**
+   * Gopher-style repetition quality metrics (Rae et al. 2021, appendix
+   * A1.1 repetition filters; the same family as C4's duplicate rules) per
+   * document:
+   *  - `dup_token_frac`: 1 - distinct(tokens)/tokens — the fraction of
+   *    tokens that are repeats of an earlier token;
+   *  - `top_bigram_frac`: 2·occurrences(most frequent bigram)/tokens —
+   *    the fraction of tokens sitting inside copies of the top 2-gram.
+   *
+   * Plan shape (100-TB safe): ONE posexplode of the token array with the
+   * next token fetched by `try_element_at(arr, pos+2)` — no per-doc
+   * window, no HOF lambdas — then map-side-combined aggregations. Counts
+   * are exact integers and each fraction is a single IEEE division, so
+   * the DuckDB oracle replays bit-exactly.
+   */
+  def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("arr"))
+      .select(col("id"), col("arr"),
+        posexplode(col("arr")).as(Seq("pos", "tok")))
+      .withColumn("bg",
+        concat(col("tok"), lit(" "), try_element_at(col("arr"), col("pos") + 2)))
+      .select("id", "tok", "bg")
+    val base = toks.groupBy("id").agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct"))
+    val topBigram = toks.filter(col("bg").isNotNull)
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_c"))
+    base.join(topBigram, Seq("id"), "left")
+      .select(col("id"),
+        col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast(DoubleType) /
+          col("n_tokens")).as("dup_token_frac"),
+        (coalesce(col("top_c"), lit(0L)).cast(DoubleType) * 2 /
+          col("n_tokens")).as("top_bigram_frac"))
+  }
 }

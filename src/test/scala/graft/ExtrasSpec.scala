@@ -40,4 +40,19 @@ class ExtrasSpec extends SparkTestBase {
       .as[String].head()
     assert(red == "**********")
   }
+
+  test("repetition metrics: duplicate-token and top-bigram fractions (Gopher A1.1)") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "a b a b a"),      // 5 tokens, 2 distinct; "a b" x2 -> 4/5
+      (2L, "x y z"),          // no repeats; each bigram once -> 2/3
+      (3L, "solo")            // single token, no bigram
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionMetrics(df, "doc_id", "text")
+      .orderBy("id")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out(0) == ((1L, 5L, 3.0 / 5, 4.0 / 5)))
+    assert(out(1) == ((2L, 3L, 0.0, 2.0 / 3)))
+    assert(out(2) == ((3L, 1L, 0.0, 0.0)))
+  }
 }
