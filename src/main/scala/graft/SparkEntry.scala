@@ -333,6 +333,26 @@ object SparkEntry {
           col("invalid_rows").cast("double") / col("row_count") <= 0.5)
     }),
 
+    // ---- strict vs lax dialect on the SAME column: digits extracted from
+    // `source` are a string — lax coerces to int (int_parsing only when no
+    // digits), strict rejects the type outright (int_type, mod.rs strict
+    // semantics / `Strict` metadata types.py:123)
+    "v_strict" -> ((s, dir) => {
+      import graft.compile.Compiler
+      import org.apache.spark.sql.types.StringType
+      val d = t(s, dir, "documents")
+      val digits = regexp_extract(col("source"), "([0-9]+)", 1)
+      val lax = Compiler.compile(digits, StringType, array(lit("n")),
+        IntSpec(ge = Some(0)), Mode.Lax)
+      val strict = Compiler.compile(digits, StringType, array(lit("n")),
+        IntSpec(ge = Some(0)), Mode.Strict)
+      d.select(col("doc_id"),
+        size(lax.violations).as("lax_nviol"),
+        try_element_at(lax.violations, lit(1)).getField("type").as("lax_vtype"),
+        try_element_at(strict.violations, lit(1)).getField("type").as("strict_vtype"),
+        lax.value.as("lax_value"))
+    }),
+
     // ---- serialization: model_dump_json (by_alias + computed field)
     "z_dump_json" -> ((s, dir) => {
       import graft.serialize.Serializer
@@ -943,6 +963,21 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
          |      FROM sc)
          |WHERE rank <= 3""".stripMargin,
+
+    "v_strict" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN source IS NULL THEN 0
+        |       WHEN regexp_extract(source, '([0-9]+)', 1) = '' THEN 1
+        |       ELSE 0 END AS INT) AS lax_nviol,
+        |  CASE WHEN source IS NOT NULL
+        |         AND regexp_extract(source, '([0-9]+)', 1) = ''
+        |       THEN 'int_parsing' END AS lax_vtype,
+        |  CASE WHEN source IS NOT NULL THEN 'int_type' END AS strict_vtype,
+        |  CASE WHEN source IS NULL OR regexp_extract(source, '([0-9]+)', 1) = ''
+        |       THEN NULL
+        |       ELSE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+        |  END AS lax_value
+        |FROM documents""".stripMargin,
 
     "v_part_verdict" ->
       """WITH viol AS (

@@ -69,6 +69,27 @@ object Violations {
     case bs => concat(bs: _*)
   }
 
+  /** Docs-URL prefix — reference `validation_exception.rs:237-244`:
+   * `https://errors.pydantic.dev/{major.minor}/v/`, version from the
+   * grafted reference (pydantic 2.14.0b1 -> "2.14"). */
+  val UrlPrefix = "https://errors.pydantic.dev/2.14/v/"
+
+  /** Render-time completion of the `errors()` dict shape
+   * `{type, loc, msg, input, ctx, url}`: the reference's `ValLineError`
+   * carries no url either — `PyLineError` appends the prefix when
+   * `errors(include_url=True)` renders (`validation_exception.rs:246`).
+   * Same here: the stored bundle stays 5-field; call this when emitting
+   * user-facing error rows. (transform is a HOF — interpreted — but this
+   * is the cold render path, not the validation hot path.) */
+  def withUrl(bundle: Column): Column =
+    transform(bundle, v => struct(
+      v.getField("loc").as("loc"),
+      v.getField("type").as("type"),
+      v.getField("msg").as("msg"),
+      v.getField("input").as("input"),
+      v.getField("ctx").as("ctx"),
+      concat(lit(UrlPrefix), v.getField("type")).as("url")))
+
   /** Push an outer location segment onto every violation in a bundle —
    * reference: outer-loc pushing in `model_fields.rs:211-216`,
    * `line_error.rs:86-97`. */

@@ -200,4 +200,20 @@ class GoldenFixturesSpec extends SparkTestBase {
         "c96e505c-4c62-11ee-be56-0242ac120002",
         Map("expected_version" -> "4"))))
   }
+
+  test("errors() url key — validation_exception.rs:237-246 render-time prefix") {
+    import org.apache.spark.sql.functions._
+    import graft.compile.{Compiler, Violations}
+    // pydantic: {'type': 'int_parsing', ..., 'url':
+    //   'https://errors.pydantic.dev/<major.minor>/v/int_parsing'}
+    val c = Compiler.compile(lit("zz"), org.apache.spark.sql.types.StringType,
+      array(lit("x")), IntSpec(), Mode.Lax)
+    val r = spark.range(1)
+      .select(explode(Violations.withUrl(c.violations)).as("v"))
+      .select(col("v.type"), col("v.url"), col("v.msg")).collect().head
+    assert(r.getString(0) == "int_parsing")
+    assert(r.getString(1) == "https://errors.pydantic.dev/2.14/v/int_parsing")
+    assert(r.getString(2) ==
+      "Input should be a valid integer, unable to parse string as an integer")
+  }
 }
