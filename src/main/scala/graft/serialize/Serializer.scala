@@ -224,6 +224,57 @@ object Serializer {
         lit("P"), body))
   }
 
+  /** `ser_json_temporal` (`serializers/config.rs:150-190` TemporalMode)
+   * for datetime columns: 'iso8601' (speedate Display, pinned vs
+   * pydantic — the 6-digit microsecond fraction appears ONLY when
+   * nonzero, never trimmed), 'seconds' (epoch seconds as double) or
+   * 'milliseconds'. `utcSuffix` appends the aware-datetime 'Z'. */
+  def datetimeJson(ts: Column, mode: String = "iso8601",
+                   utcSuffix: Boolean = false): Column = mode match {
+    case "iso8601" =>
+      val base = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+      val micros = date_format(ts, "SSSSSS")
+      val full = when(micros =!= "000000", concat(base, lit("."), micros))
+        .otherwise(base)
+      if (utcSuffix) concat(full, lit("Z")) else full
+    case "seconds" => ts.cast(DoubleType)
+    case "milliseconds" => ts.cast(DoubleType) * 1000
+    case other => throw new IllegalArgumentException(
+      s"ser_json_temporal must be iso8601|seconds|milliseconds, got $other")
+  }
+
+  /** `ser_json_temporal` for date columns: 'seconds'/'milliseconds' are
+   * the MIDNIGHT-UTC epoch (reference `date_to_json`). */
+  def dateJson(d: Column, mode: String = "iso8601"): Column = mode match {
+    case "iso8601" => date_format(d, "yyyy-MM-dd")
+    case "seconds" => d.cast(TimestampType).cast(DoubleType)
+    case "milliseconds" => d.cast(TimestampType).cast(DoubleType) * 1000
+    case other => throw new IllegalArgumentException(
+      s"ser_json_temporal must be iso8601|seconds|milliseconds, got $other")
+  }
+
+  /** `ser_json_temporal` for time values (the engine's seconds-of-day
+   * doubles, [[graft.spec.TimeSpec]]): 'seconds' is seconds-since-
+   * midnight (reference `time_to_json`), 'milliseconds' x1000. */
+  def timeJson(secondsOfDay: Column, mode: String = "iso8601"): Column =
+    mode match {
+      case "iso8601" =>
+        val s = floor(secondsOfDay).cast(LongType)
+        val micro = round((secondsOfDay - floor(secondsOfDay)) * 1e6)
+          .cast(LongType)
+        val base = concat(
+          lpad((s / 3600).cast(LongType).cast(StringType), 2, "0"), lit(":"),
+          lpad(((s % 3600) / 60).cast(LongType).cast(StringType), 2, "0"), lit(":"),
+          lpad((s % 60).cast(StringType), 2, "0"))
+        when(micro > 0,
+          concat(base, lit("."), lpad(micro.cast(StringType), 6, "0")))
+          .otherwise(base)
+      case "seconds" => secondsOfDay.cast(DoubleType)
+      case "milliseconds" => secondsOfDay.cast(DoubleType) * 1000
+      case other => throw new IllegalArgumentException(
+        s"ser_json_temporal must be iso8601|seconds|milliseconds, got $other")
+    }
+
   /** `ser_json_bytes` (`serializers/config.rs:136`): utf8 | base64 | hex
    * over a BinaryType column. */
   def bytesJson(bytes: Column, mode: String = "utf8"): Column = mode match {

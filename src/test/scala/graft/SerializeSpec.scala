@@ -148,6 +148,38 @@ class SerializeSpec extends SparkTestBase {
       """{"y":2.0}""")
   }
 
+  test("ser_json_temporal: iso8601/seconds/milliseconds pinned vs pydantic (config.rs:150)") {
+    import java.sql.{Date, Timestamp}
+    val df = Seq(
+      (Timestamp.valueOf("2024-03-05 12:30:45.123456"), Date.valueOf("2024-03-05")),
+      (Timestamp.valueOf("2024-03-05 12:30:45"), Date.valueOf("2024-03-05")),
+      (Timestamp.valueOf("2024-03-05 12:30:45.0001"), Date.valueOf("2024-03-05"))
+    ).toDF("ts", "d")
+    val iso = df.select(Serializer.datetimeJson(col("ts")).as("s"))
+      .as[String].collect()
+    // pydantic: fraction only when nonzero, full 6 digits otherwise
+    assert(iso(0) == "2024-03-05T12:30:45.123456")
+    assert(iso(1) == "2024-03-05T12:30:45")
+    assert(iso(2) == "2024-03-05T12:30:45.000100")
+    // pydantic: {"d":1709641845.123456, date: 1709596800.0 / x1000}
+    val num = df.limit(1).select(
+      Serializer.datetimeJson(col("ts"), "seconds").as("a"),
+      Serializer.dateJson(col("d"), "seconds").as("b"),
+      Serializer.dateJson(col("d"), "milliseconds").as("c"))
+      .as[(Double, Double, Double)].head()
+    assert(num == ((1709641845.123456, 1709596800.0, 1709596800000.0)))
+    // aware datetime appends Z
+    assert(df.limit(1).select(Serializer.datetimeJson(col("ts"),
+      utcSuffix = true)).as[String].head().endsWith("Z"))
+    // time: seconds-of-day 3723.1204 -> "01:02:03.120400" / 3723.x / x1000
+    val t = Seq(3723.1204, 3723.0).toDF("t")
+    val tout = t.select(Serializer.timeJson(col("t")).as("iso"),
+      Serializer.timeJson(col("t"), "milliseconds").as("ms")).collect()
+    assert(tout(0).getString(0) == "01:02:03.120400")
+    assert(tout(1).getString(0) == "01:02:03")
+    assert(tout(0).getDouble(1) == 3723120.4)
+  }
+
   test("round trip: serialize then parse is identity on valid rows") {
     val ok = df.select(Serializer.roundTripOk(df, m).as("ok"))
       .as[Boolean].collect()
