@@ -341,7 +341,9 @@ object SparkEntry {
       import graft.compile.Compiler
       import org.apache.spark.sql.types.StringType
       val d = t(s, dir, "documents")
-      val digits = regexp_extract(col("source"), "([0-9]+)", 1)
+      // digit run capped at 17 chars: always inside Long range, so the
+      // oracle's CAST can never overflow where the engine try-casts
+      val digits = regexp_extract(col("source"), "([0-9]{1,17})", 1)
       val lax = Compiler.compile(digits, StringType, array(lit("n")),
         IntSpec(ge = Some(0)), Mode.Lax)
       val strict = Compiler.compile(digits, StringType, array(lit("n")),
@@ -964,18 +966,21 @@ object SparkEntry {
          |      FROM sc)
          |WHERE rank <= 3""".stripMargin,
 
+    // strict int_type is emitted even for a NULL input (pydantic: None
+    // against strict int is int_type; the engine's typeViolation is
+    // likewise ungated — nullability is the Nullable wrapper's concern)
     "v_strict" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN source IS NULL THEN 0
-        |       WHEN regexp_extract(source, '([0-9]+)', 1) = '' THEN 1
+        |       WHEN regexp_extract(source, '([0-9]{1,17})', 1) = '' THEN 1
         |       ELSE 0 END AS INT) AS lax_nviol,
         |  CASE WHEN source IS NOT NULL
-        |         AND regexp_extract(source, '([0-9]+)', 1) = ''
+        |         AND regexp_extract(source, '([0-9]{1,17})', 1) = ''
         |       THEN 'int_parsing' END AS lax_vtype,
-        |  CASE WHEN source IS NOT NULL THEN 'int_type' END AS strict_vtype,
-        |  CASE WHEN source IS NULL OR regexp_extract(source, '([0-9]+)', 1) = ''
+        |  'int_type' AS strict_vtype,
+        |  CASE WHEN source IS NULL OR regexp_extract(source, '([0-9]{1,17})', 1) = ''
         |       THEN NULL
-        |       ELSE CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+        |       ELSE CAST(regexp_extract(source, '([0-9]{1,17})', 1) AS BIGINT)
         |  END AS lax_value
         |FROM documents""".stripMargin,
 

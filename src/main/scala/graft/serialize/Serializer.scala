@@ -247,8 +247,12 @@ object Serializer {
    * the MIDNIGHT-UTC epoch (reference `date_to_json`). */
   def dateJson(d: Column, mode: String = "iso8601"): Column = mode match {
     case "iso8601" => date_format(d, "yyyy-MM-dd")
-    case "seconds" => d.cast(TimestampType).cast(DoubleType)
-    case "milliseconds" => d.cast(TimestampType).cast(DoubleType) * 1000
+    // datediff-based epoch is session-timezone-INDEPENDENT (a Date ->
+    // Timestamp cast would silently use spark.sql.session.timeZone and
+    // break the documented midnight-UTC contract off-UTC sessions)
+    case "seconds" => datediff(d, lit("1970-01-01")).cast(DoubleType) * 86400
+    case "milliseconds" =>
+      datediff(d, lit("1970-01-01")).cast(DoubleType) * 86400000
     case other => throw new IllegalArgumentException(
       s"ser_json_temporal must be iso8601|seconds|milliseconds, got $other")
   }
@@ -259,9 +263,11 @@ object Serializer {
   def timeJson(secondsOfDay: Column, mode: String = "iso8601"): Column =
     mode match {
       case "iso8601" =>
-        val s = floor(secondsOfDay).cast(LongType)
-        val micro = round((secondsOfDay - floor(secondsOfDay)) * 1e6)
-          .cast(LongType)
+        // derive whole seconds from TOTAL microseconds so a fraction that
+        // rounds up to 1e6 rolls into the seconds (not a truncated pad)
+        val totalMicro = round(secondsOfDay * 1e6).cast(LongType)
+        val s = floor(totalMicro / 1000000L).cast(LongType)
+        val micro = totalMicro % 1000000L
         val base = concat(
           lpad((s / 3600).cast(LongType).cast(StringType), 2, "0"), lit(":"),
           lpad(((s % 3600) / 60).cast(LongType).cast(StringType), 2, "0"), lit(":"),

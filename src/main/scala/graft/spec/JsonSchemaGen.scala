@@ -107,8 +107,10 @@ object JsonSchemaGen {
     case m: ModelSpec =>
       val props = m.fields.map(f => s""""${esc(f.name)}": ${toJson(f.spec)}""")
         .mkString("{", ", ", "}")
-      val req = m.fields.filter(_.required).map(f => str(f.name))
-        .mkString("[", ", ", "]")
+      // pydantic: a field with a default is NOT in `required`, matching
+      // the validator (which fills the default when the key is absent)
+      val req = m.fields.filter(f => f.required && !defaulted(f.spec))
+        .map(f => str(f.name)).mkString("[", ", ", "]")
       obj(Seq(
         "title" -> str(m.name),
         "type" -> str("object"),

@@ -152,14 +152,21 @@ object TextOps {
    * the DuckDB oracle replays bit-exactly.
    */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
-                        textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = df
+                        textCol: String,
+                        persistTokens: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val toks0 = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("arr"))
       .select(col("id"), col("arr"),
         posexplode(col("arr")).as(Seq("pos", "tok")))
       .withColumn("bg",
         concat(col("tok"), lit(" "), try_element_at(col("arr"), col("pos") + 2)))
       .select("id", "tok", "bg")
+    // two independent aggregations consume the exploded relation — persist
+    // it (memory, spill to disk) so the text split/explode runs once, same
+    // rationale as CorpusClean's staged persists
+    val toks = if (persistTokens)
+      toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else toks0
     val base = toks.groupBy("id").agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("tok")).as("n_distinct"))

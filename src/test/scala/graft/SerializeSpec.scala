@@ -178,6 +178,10 @@ class SerializeSpec extends SparkTestBase {
     assert(tout(0).getString(0) == "01:02:03.120400")
     assert(tout(1).getString(0) == "01:02:03")
     assert(tout(0).getDouble(1) == 3723120.4)
+    // a fraction that rounds up to a full second rolls over the seconds
+    val roll = Seq(3723.9999996).toDF("t")
+      .select(Serializer.timeJson(col("t"))).as[String].head()
+    assert(roll == "01:02:04")
   }
 
   test("round trip: serialize then parse is identity on valid rows") {
