@@ -199,6 +199,27 @@ object SparkEntry {
         round(nStop.cast("double") / nTok, 4).as("stopword_ratio"))
     }),
 
+    // ---- pipeline: per-source dataset card — the summary a training-data
+    // pipeline publishes per corpus slice: doc/char/token counts, language
+    // mix, exact-dup rate. One aggregation pyramid (groupBy source), all
+    // counts exact ints, rates a single division each.
+    "p_dataset_card" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val nTok = size(split(col("text"), " ")).cast("long")
+      val perSource = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        sum(nTok).as("n_tokens"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("lang") === "de", 1L).otherwise(0L)).as("n_de"),
+        sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("n_fr"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"))
+      perSource.select(col("source"), col("n_docs"), col("n_chars"),
+        col("n_tokens"), col("n_en"), col("n_de"), col("n_fr"),
+        ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+          .as("dup_rate"))
+    }),
+
     // ---- text: Gopher-style repetition metrics (duplicate-token and
     // top-bigram fractions — the standard corpus-quality repetition rules)
     "t_repetition" -> ((s, dir) => {
@@ -765,6 +786,17 @@ object SparkEntry {
         |       WHEN coalesce(doc_id % 7 = 0, FALSE) THEN 'missing'
         |       WHEN n_chars > 1000 THEN 'less_than_equal' END AS vtype
         |FROM documents""".stripMargin,
+
+    "p_dataset_card" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        |  (count(*) - count(DISTINCT sha256(text))) * 1.0 / count(*) AS dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
 
     // Replays repetitionMetrics: same tokenization (single-space split),
     // same bigram adjacency, integer counts, one IEEE division per

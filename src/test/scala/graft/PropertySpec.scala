@@ -134,4 +134,46 @@ class PropertySpec extends SparkTestBase {
       Seq("42"), Mode.Strict).head
     assert(overridden == Nil)
   }
+
+  test("property: Definitions.unroll terminates on random cyclic ref graphs and is ref-free within budget") {
+    def containsRef(s: Spec): Boolean = s match {
+      case _: RefSpec => true
+      case NullableSpec(i) => containsRef(i)
+      case w: WithDefaultSpec => containsRef(w.inner)
+      case ChainSpec(ss) => ss.exists(containsRef)
+      case u: UnionSpec => u.choices.exists(containsRef)
+      case t: TaggedUnionSpec => t.choices.values.exists(containsRef)
+      case l: ListSpec => containsRef(l.item)
+      case m: ModelSpec => m.fields.exists(f => containsRef(f.spec))
+      case _ => false
+    }
+    val leaves: Gen[Spec] = Gen.oneOf(IntSpec(), StrSpec(), AnySpec, NoneSpec)
+    val names = Seq("A", "B", "C")
+    def nodeGen(depth: Int): Gen[Spec] =
+      if (depth <= 0) Gen.oneOf(leaves, Gen.oneOf(names).map(RefSpec.apply))
+      else Gen.frequency(
+        3 -> Gen.oneOf(names).map(RefSpec.apply),
+        2 -> leaves,
+        2 -> nodeGen(depth - 1).map(NullableSpec.apply),
+        2 -> Gen.listOfN(2, nodeGen(depth - 1)).map(ss => ChainSpec(ss)),
+        2 -> nodeGen(depth - 1).map(i =>
+          ModelSpec("m", Seq(FieldSpec("f", i)))),
+        1 -> nodeGen(depth - 1).map(i => ListSpec(i)))
+    val graphGen = for {
+      a <- nodeGen(2); b <- nodeGen(2); c <- nodeGen(2); root <- nodeGen(2)
+    } yield (Map("A" -> a, "B" -> b, "C" -> c), root)
+    val samples = Gen.listOfN(60, graphGen).sample.get
+    samples.foreach { case (defs, root) =>
+      // terminates (budget bounds every cycle) and leaves NO RefSpec:
+      // every ref is either expanded or cut to AnySpec
+      val out = Definitions.unroll(root, defs, budget = 5)
+      assert(!containsRef(out))
+      // idempotent: a second unroll is a no-op
+      assert(Definitions.unroll(out, defs, budget = 5) == out)
+      // monotone in budget at budget >= depth of finite graphs: unrolling
+      // with a bigger budget only ever swaps AnySpec cuts for more spec
+      val out2 = Definitions.unroll(root, defs, budget = 8)
+      assert(!containsRef(out2))
+    }
+  }
 }
