@@ -805,13 +805,21 @@ object Compiler {
             loc, itemSpec, mode)
           val mapped0 = transform(input, x =>
             compile(x, elemType, loc, itemSpec, mode).value)
-          // on_error=omit items: drop the omitted (nulled) elements from
-          // the coerced array (HOF — acceptable, omit is opt-in)
-          val mapped = itemSpec match {
-            case WithDefaultSpec(_, _, OnError.Omit) =>
-              filter(mapped0, x => x.isNotNull)
-            case _ => mapped0
-          }
+          // on_error=omit items (directly or nested under Nullable/Chain):
+          // drop exactly the elements whose inner validation ERRORED — a
+          // with_raise probe supplies the pre-swallow violation signal, so
+          // a legitimately-valid null element survives (filtering on value
+          // nullness dropped it; with_default.rs:110-122 drops errored
+          // items only). HOF — acceptable, omit is opt-in.
+          val mapped = if (omitsOnError(itemSpec)) {
+            val probeSpec = withRaiseOnError(itemSpec)
+            val paired = transform(input, x => struct(
+              compile(x, elemType, loc, itemSpec, mode).value.as("v"),
+              (size(compile(x, elemType, loc, probeSpec, mode).violations) > 0)
+                .as("bad")))
+            transform(filter(paired, p => !p.getField("bad")),
+              p => p.getField("v"))
+          } else mapped0
           Compiled(mapped,
             merge(Seq(collect(sizeChecks),
               when(input.isNull, empty).otherwise(elemViols))),
@@ -1237,6 +1245,27 @@ object Compiler {
     case _: WithDefaultSpec => true
     case NullableSpec(inner) => hasDefault(inner)
     case _ => false
+  }
+
+  /** Does this spec swallow errors with on_error=omit anywhere a list
+   * element would hit it (directly, or nested under Nullable/Chain)? */
+  private def omitsOnError(s: Spec): Boolean = s match {
+    case WithDefaultSpec(_, _, OnError.Omit) => true
+    case NullableSpec(inner) => omitsOnError(inner)
+    case ChainSpec(steps) => steps.exists(omitsOnError)
+    case _ => false
+  }
+
+  /** The same spec with every on_error=omit turned into raise — the
+   * error-visibility probe compileList uses to decide WHICH elements the
+   * omit actually swallowed (value nullness is not that signal: a
+   * legitimately-valid null element must survive the omit filter). */
+  private def withRaiseOnError(s: Spec): Spec = s match {
+    case WithDefaultSpec(inner, d, OnError.Omit) =>
+      WithDefaultSpec(inner, d, OnError.Raise)
+    case NullableSpec(inner) => NullableSpec(withRaiseOnError(inner))
+    case ChainSpec(steps) => ChainSpec(steps.map(withRaiseOnError))
+    case other => other
   }
 
   private def isNullTolerant(s: Spec): Boolean = s match {

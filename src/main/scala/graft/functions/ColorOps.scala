@@ -107,9 +107,15 @@ object ColorOps {
       s.substr(lit(1), length(s) - 1).cast(DoubleType) / 100.0)
       .otherwise(num(s))
 
-  private def alphaOf(s: Column): Column =
+  private def alphaOf(s: Column): Column = {
+    // parse_float_alpha drops alpha via math.isclose(alpha, 1) — default
+    // rel_tol 1e-9, abs_tol 0 (color.py:383-410) — not exact equality:
+    // 0.9999999999 must collapse to null exactly like pydantic
+    val a = alphaRaw(s)
+    val close1 = abs(a - 1.0) <= lit(1e-9) * greatest(abs(a), lit(1.0))
     when(s === "" || s.isNull, dnull)
-      .otherwise(when(alphaRaw(s) === 1.0, dnull).otherwise(alphaRaw(s)))
+      .otherwise(when(close1, dnull).otherwise(a))
+  }
 
   private def alphaBad(s: Column): Column =
     s =!= "" && s.isNotNull && (alphaRaw(s) < 0.0 || alphaRaw(s) > 1.0)

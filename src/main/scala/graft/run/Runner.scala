@@ -139,7 +139,20 @@ object Runner {
     // instead of buckets/waveSize scans. The staging write is itself
     // resumable state: reused if present.
     val withPart = if (stageBuckets) {
-      val stagedPath = s"$outDir/_staged"
+      // The staging layout is a function of (key column, bucket count) —
+      // both are embedded in the path, so a resume with a CHANGED buckets
+      // or keyCol restages instead of reusing a copy whose __part ids no
+      // longer line up (a stale reuse silently committed 0-row 'passed'
+      // verdicts for every new bucket id beyond the staged range). Input
+      // DATA immutability under one outDir is already the ledger's own
+      // contract (completed parts are trusted across runs) — staging
+      // inherits it rather than fingerprinting the input.
+      val keySig = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(keyCol.getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString.take(8)
+      }
+      val stagedPath = s"$outDir/_staged_b${buckets}_k$keySig"
       // _SUCCESS gates reuse: a killed staging write restages from scratch
       if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
         df.withColumn("__part", partitionId(col(keyCol), buckets))

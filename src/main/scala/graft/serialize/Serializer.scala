@@ -90,9 +90,13 @@ object Serializer {
         else fn(withDefault)
       case None => withDefault
     }
+    // NATIVE-typed default comparison: the analyzer coerces the string
+    // default literal to the field's type (a DoubleType field with default
+    // "1" suppresses value 1.0 — a cast-to-string compare rendered "1.0"
+    // != "1" and never suppressed)
     val v1 =
       if (spec.excludeDefaults && dflt.isDefined)
-        when(withDefault.cast(StringType) === dflt.get, lit(null)).otherwise(served)
+        when(withDefault === lit(dflt.get), lit(null)).otherwise(served)
       else served
     if (spec.excludeUnset) when(base.isNotNull, v1) else v1
   }
@@ -201,24 +205,35 @@ object Serializer {
 
   /** speedate `Duration::to_string`: absolute-value decomposition with a
    * leading '-' for negatives, zero units omitted, fractional seconds
-   * trimmed of trailing zeros, 'PT0S' for zero. */
+   * trimmed of trailing zeros, 'PT0S' for zero. Every unit derives from
+   * ONE rounded total-microseconds value (like [[timeJson]]) so a fraction
+   * that rounds up to a full second/minute rolls into the larger unit —
+   * 119.9999999s renders 'PT2M', never the invalid 'PT1M60S'. */
   def timedeltaIso(totalSeconds: Column): Column = {
-    val a = abs(totalSeconds)
-    val d = floor(a / 86400).cast(LongType)
-    val h = floor((a % 86400) / 3600).cast(LongType)
-    val m = floor((a % 3600) / 60).cast(LongType)
-    // decimal(16,6) then trim: "4.000000"->"4", "59.500000"->"59.5"
-    val sNum = round(a % 60, 6)
-    val sStr = regexp_replace(
-      sNum.cast(DecimalType(16, 6)).cast(StringType), "\\.?0+$", "")
+    val totalMicro = round(abs(totalSeconds) * 1e6).cast(LongType)
+    // Column `/` is double division — decompose with exact integer
+    // arithmetic: subtract the remainder first so the division is over an
+    // exact multiple (bit-exact for any duration under 2^53 microseconds)
+    def idiv(x: Column, y: Long): Column =
+      ((x - x % y) / y).cast(LongType)
+    val d = idiv(totalMicro, 86400000000L)
+    val h = idiv(totalMicro % 86400000000L, 3600000000L)
+    val m = idiv(totalMicro % 3600000000L, 60000000L)
+    val micro = totalMicro % 60000000L // microseconds within the minute
+    val sWhole = idiv(micro, 1000000L)
+    val frac = micro % 1000000L
+    val sStr = when(frac > 0,
+      concat(sWhole.cast(StringType), lit("."),
+        regexp_replace(lpad(frac.cast(StringType), 6, "0"), "0+$", "")))
+      .otherwise(sWhole.cast(StringType))
     val body = concat(
       when(d > 0, concat(d.cast(StringType), lit("D"))).otherwise(lit("")),
-      when(h > 0 || m > 0 || sNum > 0, lit("T")).otherwise(lit("")),
+      when(h > 0 || m > 0 || micro > 0, lit("T")).otherwise(lit("")),
       when(h > 0, concat(h.cast(StringType), lit("H"))).otherwise(lit("")),
       when(m > 0, concat(m.cast(StringType), lit("M"))).otherwise(lit("")),
-      when(sNum > 0, concat(sStr, lit("S"))).otherwise(lit("")))
+      when(micro > 0, concat(sStr, lit("S"))).otherwise(lit("")))
     when(totalSeconds.isNull, lit(null).cast(StringType))
-      .when(a === 0, lit("PT0S"))
+      .when(totalMicro === 0, lit("PT0S"))
       .otherwise(concat(
         when(totalSeconds < 0, lit("-")).otherwise(lit("")),
         lit("P"), body))

@@ -65,6 +65,24 @@ class RunnerSpec extends SparkTestBase {
     assert(a == b && a.size == 4)
   }
 
+  test("stageBuckets restages when the bucket count changes (no stale 0-row passes)") {
+    val out = freshDir()
+    Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 4, stageBuckets = true)
+    // resume under buckets=8: parts 4..7 are pending. A stale reuse of the
+    // b=4 staged copy (whose __part ids stop at 3) would commit them as
+    // passed with 0 rows — the staging path embeds the bucket count, so
+    // this run restages and the new parts carry real rows.
+    val r = Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 8, stageBuckets = true)
+    assert(r.ran.nonEmpty)
+    val newRows = Runner.results(spark, out)
+      .filter(col("part_id").isin(r.ran: _*))
+      .agg(sum("row_count")).collect().head.getLong(0)
+    assert(newRows > 0,
+      "changed-bucket resume must restage, not reuse the old staged copy")
+  }
+
   test("spec change invalidates completed partitions (lineage keyed by spec hash)") {
     val out = freshDir()
     Runner.run(spark, input, model, "repo", "content", out, buckets = 4)

@@ -68,6 +68,28 @@ class SerializeSpec extends SparkTestBase {
     assert(keep.contains("\"name\":\"beta\""))
   }
 
+  test("exclude_defaults compares in the field's native type (double vs default '1')") {
+    val md = ModelSpec("m", Seq(
+      FieldSpec("id", IntSpec()),
+      FieldSpec("v", WithDefaultSpec(FloatSpec(), default = "1"),
+        required = false)))
+    // value 1.0 equals default "1" natively (a string compare rendered
+    // "1.0" != "1" and never suppressed); 2.5 survives
+    val dfd = Seq((1L, 1.0), (2L, 2.5)).toDF("id", "v")
+    val out = Serializer.dumpJson(dfd, md, DumpSpec(excludeDefaults = true))
+      .as[String].collect()
+    assert(!out(0).contains("\"v\""), s"default value not suppressed: ${out(0)}")
+    assert(out(1).contains("\"v\":2.5"))
+  }
+
+  test("timedeltaIso rolls rounded-up fractions into the larger unit (no PT1M60S)") {
+    val out = Seq(119.9999999, 59.9999999, -119.9999999, 3599.9999999)
+      .toDF("s")
+      .select(Serializer.timedeltaJson(col("s"), "iso8601"))
+      .as[String].collect().toSeq
+    assert(out == Seq("PT2M", "PT1M", "-PT2M", "PT1H"))
+  }
+
   test("field_serializer with when_used gates (functional_serializers.py:46-52)") {
     import Serializer.FieldSer
     val spec = DumpSpec(fieldSerializers = Map(

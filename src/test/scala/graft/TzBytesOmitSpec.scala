@@ -122,4 +122,23 @@ class TzBytesOmitSpec extends SparkTestBase {
     assert(out.head._2 == Seq())
     assert(out.head._1.asInstanceOf[scala.collection.Seq[Any]] == Seq(1L, 3L))
   }
+
+  test("omit keeps legitimately-valid null elements (drop on error, not on nullness)") {
+    // Nullable OVER the omitting default: a null element is valid (nullable
+    // passes it through) and must survive the omit filter; only elements
+    // whose inner validation errored are dropped (with_default.rs:110-122)
+    val spec = ListSpec(NullableSpec(WithDefaultSpec(IntSpec(ge = Some(0)),
+      default = "0", onError = OnError.Omit)))
+    val out = run(spec, ArrayType(StringType), Seq(Seq("1", null, "x", "-2")))
+    assert(out.head._2 == Seq())
+    assert(out.head._1.asInstanceOf[scala.collection.Seq[Any]] == Seq(1L, null))
+  }
+
+  test("omit nested under a chain is honored by the containing list") {
+    val spec = ListSpec(ChainSpec(Seq(WithDefaultSpec(IntSpec(ge = Some(0)),
+      default = "0", onError = OnError.Omit))))
+    val out = run(spec, ArrayType(StringType), Seq(Seq("2", "-5", "7")))
+    assert(out.head._2 == Seq())
+    assert(out.head._1.asInstanceOf[scala.collection.Seq[Any]] == Seq(2L, 7L))
+  }
 }
