@@ -262,17 +262,24 @@ object SparkEntry {
     // removal -> language filter -> quality filter) — the composition a
     // training-data pipeline runs before tokenization
     "p_corpus_clean" -> ((s, dir) => {
+      // parquet-staged intermediates (the 100-TB form — and the timed
+      // bench run's re-materialization is I/O-shaped, not shuffle-shaped)
       graft.text.CorpusClean.clean(t(s, dir, "documents"), "doc_id", "text",
         TextOps.defaultProfiles, keepLangs = Seq("en"),
-        minTokens = 10, maxCharsPerToken = 8.0)
+        minTokens = 10, maxCharsPerToken = 8.0,
+        stagingDir = Some("/tmp/graft_stage_corpus"))
         .withColumnRenamed("id", "doc_id")
     }),
 
     // ---- dedup: EXACT n-gram Jaccard pairs (prefix-filtered All-Pairs;
     // the deterministic counterpart to d_minhash_lsh — same threshold)
     "d_jaccard_ngram" -> ((s, dir) => {
+      // shingle index staged to parquet (Dedup scaladoc's own scale
+      // recommendation): the All-Pairs inverted index is written once and
+      // read by the prefix + verify joins as files
       Dedup.jaccardNgramPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, thrNum = 1L, thrDen = 2L)
+        shingleN = 3, thrNum = 1L, thrDen = 2L,
+        stagingDir = Some("/tmp/graft_stage_jaccard"))
     }),
 
     // ---- dedup: 60-bit SimHash fingerprints (codegen'd explode+agg path)

@@ -145,7 +145,8 @@ object Dedup {
   def jaccardNgramPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, thrNum: Long = 1L,
                         thrDen: Long = 2L,
-                        persistIndex: Boolean = true): DataFrame = {
+                        persistIndex: Boolean = true,
+                        stagingDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(df, idCol, textCol, shingleN).distinct()
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -167,9 +168,18 @@ object Dedup {
       .withColumn("rk", row_number().over(wId.orderBy(col("df"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(wId))
       .select(col("id"), col("sh"), col("sz"), col("rk"))
-    val ranked = if (persistIndex)
-      ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else ranked0
+    // stagingDir: the 100-TB form of the persist — the index is written to
+    // parquet once and every later stage reads the files, so the plan does
+    // not depend on aggregate executor storage (and a re-run's cost is
+    // I/O-shaped, not shuffle-shaped). Values are identical either way.
+    val ranked = stagingDir match {
+      case Some(dir) =>
+        ranked0.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      case None if persistIndex =>
+        ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => ranked0
+    }
     // ceil(t*sz) with integer arithmetic: (thrNum*sz + thrDen - 1) div thrDen
     val ceilT = (lit(thrNum) * col("sz") + lit(thrDen - 1)) / lit(thrDen)
     val prefix = ranked

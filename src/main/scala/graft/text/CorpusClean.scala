@@ -34,27 +34,38 @@ object CorpusClean {
             maxCharsPerToken: Double = 8.0,
             jaccardThrNum: Long = 1L,
             jaccardThrDen: Long = 2L,
-            persistStages: Boolean = true): DataFrame = {
+            persistStages: Boolean = true,
+            stagingDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // stagingDir: stage the reused intermediates (dedup survivors, the
+    // jaccard shingle index, the near-dup survivors) to parquet instead of
+    // executor-storage persists — the 100-TB form, where the survivor set
+    // exceeds aggregate cluster memory. Same values either way.
+    def staged(d: DataFrame, name: String, wanted: Boolean): DataFrame =
+      stagingDir match {
+        case Some(dir) =>
+          d.write.mode("overwrite").parquet(s"$dir/$name")
+          d.sparkSession.read.parquet(s"$dir/$name")
+        case None if wanted => d.persist(StorageLevel.MEMORY_AND_DISK)
+        case None => d
+      }
     // 1. exact dedup, keep-first. The survivor set feeds the near-dup
     // pair join AND every later stage — persisted (memory, spill to disk)
     // so the content-keyed dedup shuffle runs ONCE, not once per
     // downstream reference (measured 18s -> ~6s at sf0.1). Same rationale
     // as the persisted shingle index inside jaccardNgramPairs.
-    val kept1raw = df.groupBy(col(textCol))
+    val kept1 = staged(df.groupBy(col(textCol))
       .agg(min(col(idCol)).as("id"))
-      .select(col("id"), col(textCol).as("__text"))
-    val kept1 = if (persistStages)
-      kept1raw.persist(StorageLevel.MEMORY_AND_DISK) else kept1raw
+      .select(col("id"), col(textCol).as("__text")), "kept1", persistStages)
     // 2. near-dup removal among survivors (drop the higher id per pair)
     val pairs = Dedup.jaccardNgramPairs(kept1, "id", "__text",
       shingleN = 3, thrNum = jaccardThrNum, thrDen = jaccardThrDen,
-      persistIndex = persistStages)
+      persistIndex = persistStages,
+      stagingDir = stagingDir.map(d => s"$d/jacc_index"))
     val drops = pairs.select(col("id_b").as("id")).distinct()
-    val kept2raw = kept1.join(drops, Seq("id"), "left_anti")
     // read twice below (language scoring input + final join)
-    val kept2 = if (persistStages)
-      kept2raw.persist(StorageLevel.MEMORY_AND_DISK) else kept2raw
+    val kept2 = staged(kept1.join(drops, Seq("id"), "left_anti"),
+      "kept2", persistStages)
     // 3. language ID (inner join: token-less docs cannot be language-rated)
     val lang = TextOps.langIdDf(kept2, "id", "__text", profiles)
     // 4. quality (single-space tokenization, matching the quality oracle)

@@ -153,7 +153,8 @@ object TextOps {
    */
   def repetitionMetrics(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String,
-                        persistTokens: Boolean = true): org.apache.spark.sql.DataFrame = {
+                        persistTokens: Boolean = true,
+                        stagingDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val toks0 = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("arr"))
       .select(col("id"), col("arr"),
@@ -163,10 +164,16 @@ object TextOps {
       .select("id", "tok", "bg")
     // two independent aggregations consume the exploded relation — persist
     // it (memory, spill to disk) so the text split/explode runs once, same
-    // rationale as CorpusClean's staged persists
-    val toks = if (persistTokens)
-      toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else toks0
+    // rationale as CorpusClean's staged persists. stagingDir is the 100-TB
+    // form: parquet files instead of executor storage.
+    val toks = stagingDir match {
+      case Some(dir) =>
+        toks0.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      case None if persistTokens =>
+        toks0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None => toks0
+    }
     val base = toks.groupBy("id").agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("tok")).as("n_distinct"))
