@@ -407,6 +407,22 @@ object SparkEntry {
           byAlias = Map("source" -> "src")))
     }),
 
+    // ---- serialization: nested IncEx include tree (filter.rs /
+    // main.py:79) — include={'doc_id': True, 'meta': {'lang': ...,
+    // 'n_chars': ...}} projected into the nested struct
+    "z_dump_nested" -> ((s, dir) => {
+      import graft.serialize.Serializer
+      import Serializer.IncEx
+      val m = ModelSpec("doc", Seq(
+        FieldSpec("doc_id", IntSpec()), FieldSpec("meta", AnySpec)))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+      Serializer.dumpJson(d, m, Serializer.DumpSpec(
+        includeTree = Map("doc_id" -> IncEx.Leaf,
+          "meta" -> IncEx.tree("lang" -> IncEx.Leaf,
+            "n_chars" -> IncEx.Leaf))))
+    }),
+
     // ---- tagged union: O(1) dispatch on event_type, per-branch model
     // (union.rs:292-352 -> CASE WHEN); unknown tags -> union_tag_invalid
     "q_tagged_union" -> ((s, dir) => {
@@ -1058,6 +1074,11 @@ object SparkEntry {
 
     "z_dump_proj" ->
       "SELECT doc_id, lang, source AS src FROM documents",
+
+    "z_dump_nested" ->
+      """SELECT to_json(struct_pack(doc_id := doc_id,
+        |  meta := struct_pack(lang := lang, n_chars := n_chars))) AS json
+        |FROM documents""".stripMargin,
 
     "q_tagged_union" ->
       """SELECT event_id,

@@ -117,11 +117,20 @@ object Compiler {
         when(input.isNull, empty).otherwise(c.violations),
         c.dataType)
 
-    case WithDefaultSpec(inner, default, onError) =>
+    case WithDefaultSpec(inner, default, onError, validateDefault) =>
       val c = compile(input, inputType, loc, inner, mode)
-      val defaultCol = lit(default).cast(c.dataType)
+      // validate_default (with_default.rs:143,204): the default itself is
+      // compiled through the inner spec — a constant-folded expression, so
+      // a wrong-typed default yields its violation on every defaulted row
+      // (pydantic raises at first use) instead of silently passing. The
+      // default is the engine's string literal -> lax coercion.
+      val (defaultCol, defaultViols) =
+        if (validateDefault) {
+          val dc = compile(lit(default), StringType, loc, inner, Mode.Lax)
+          (dc.value.cast(c.dataType), dc.violations)
+        } else (lit(default).cast(c.dataType), empty)
       val value0 = when(input.isNull, defaultCol).otherwise(c.value)
-      val viols0 = when(input.isNull, empty).otherwise(c.violations)
+      val viols0 = when(input.isNull, defaultViols).otherwise(c.violations)
       onError match {
         case OnError.Raise => Compiled(value0, viols0, c.dataType)
         case OnError.UseDefault =>
@@ -1250,7 +1259,7 @@ object Compiler {
   /** Does this spec swallow errors with on_error=omit anywhere a list
    * element would hit it (directly, or nested under Nullable/Chain)? */
   private def omitsOnError(s: Spec): Boolean = s match {
-    case WithDefaultSpec(_, _, OnError.Omit) => true
+    case WithDefaultSpec(_, _, OnError.Omit, _) => true
     case NullableSpec(inner) => omitsOnError(inner)
     case ChainSpec(steps) => steps.exists(omitsOnError)
     case _ => false
@@ -1261,8 +1270,8 @@ object Compiler {
    * omit actually swallowed (value nullness is not that signal: a
    * legitimately-valid null element must survive the omit filter). */
   private def withRaiseOnError(s: Spec): Spec = s match {
-    case WithDefaultSpec(inner, d, OnError.Omit) =>
-      WithDefaultSpec(inner, d, OnError.Raise)
+    case WithDefaultSpec(inner, d, OnError.Omit, vd) =>
+      WithDefaultSpec(inner, d, OnError.Raise, vd)
     case NullableSpec(inner) => NullableSpec(withRaiseOnError(inner))
     case ChainSpec(steps) => ChainSpec(steps.map(withRaiseOnError))
     case other => other

@@ -185,7 +185,7 @@ object ModelValidator {
     case UnionSpec(cs, UnionMode.Smart) => 1 + 2 * cs.map(specWeight).sum
     case UnionSpec(cs, _) => 1 + cs.map(specWeight).sum
     case NullableSpec(i) => 1 + specWeight(i)
-    case WithDefaultSpec(i, _, _) => 1 + specWeight(i)
+    case WithDefaultSpec(i, _, _, _) => 1 + specWeight(i)
     case ChainSpec(ss) => 1 + ss.map(specWeight).sum
     case CustomErrorSpec(i, _, _) => 1 + specWeight(i)
     case ListSpec(i, _, _, _) => 1 + specWeight(i)

@@ -43,11 +43,34 @@ object Serializer {
    * (`functional_serializers.py:46-52`). */
   final case class FieldSer(fn: Column => Column, whenUsed: String = "always")
 
+  /** Nested include/exclude tree — pydantic's IncEx
+   * (`pydantic/main.py:79`, applied by `pydantic-core/src/serializers/
+   * filter.rs`): `model_dump(include={'a': {'b': True}})`. `Leaf` is the
+   * python `True` (take/drop the whole field); `Tree` recurses into a
+   * nested struct's children. Applied to an array-of-struct field, a
+   * `Tree` projects EVERY element (`{'__all__': sub}` is honored too —
+   * an `__all__` key's subtree applies per element; integer sequence
+   * indices are a documented non-goal: a columnar projection is
+   * per-field, not per-row-position). */
+  sealed trait IncEx extends Serializable
+  object IncEx {
+    case object Leaf extends IncEx
+    final case class Tree(children: Map[String, IncEx]) extends IncEx
+    /** convenience: Tree from (name -> subtree) pairs */
+    def tree(kvs: (String, IncEx)*): Tree = Tree(kvs.toMap)
+  }
+
   /** Per-model serialization options — FieldInfo's serialization surface
    * plus call-level include/exclude/exclude_* (`main.py:472-485`). */
   final case class DumpSpec(
       include: Option[Seq[String]] = None,
       exclude: Set[String] = Set.empty,
+      /** Nested IncEx trees (supersede `include` when non-empty; an
+       * `excludeTree` entry of `Leaf` equals a flat `exclude` entry).
+       * Sub-`Tree`s require the dump call to receive the DataFrame (the
+       * projection needs the struct schema) — `dump`/`dumpJson` pass it. */
+      includeTree: Map[String, IncEx] = Map.empty,
+      excludeTree: Map[String, IncEx] = Map.empty,
       byAlias: Map[String, String] = Map.empty,
       computed: Seq[(String, Column)] = Nil,
       excludeNone: Boolean = false,
@@ -63,7 +86,7 @@ object Serializer {
 
   /** The field's declared default, if any (top-level or under Nullable). */
   private def defaultOf(spec: Spec): Option[String] = spec match {
-    case WithDefaultSpec(_, d, _) => Some(d)
+    case WithDefaultSpec(_, d, _, _) => Some(d)
     case NullableSpec(inner) => defaultOf(inner)
     case _ => None
   }
@@ -101,24 +124,120 @@ object Serializer {
     if (spec.excludeUnset) when(base.isNotNull, v1) else v1
   }
 
-  /** The serialized projection: model fields filtered by include/exclude,
-   * renamed by alias, plus computed fields — in model field order like the
-   * reference (fields serialize in definition order). */
+  // ------------------------------------------------------ nested IncEx
+
+  /** Some((subInclude, subExclude)) when child `name` survives the pair. */
+  private def keptChild(name: String, inc: Option[Map[String, IncEx]],
+                        exc: Map[String, IncEx])
+      : Option[(Option[Map[String, IncEx]], Map[String, IncEx])] = {
+    val incChild = inc.map(_.get(name))
+    if (incChild.exists(_.isEmpty)) None // include tree defined, child absent
+    else if (exc.get(name).contains(IncEx.Leaf)) None // excluded outright
+    else {
+      val si = incChild.flatten match {
+        case Some(IncEx.Tree(m)) => Some(m)
+        case _ => None
+      }
+      val se = exc.get(name) match {
+        case Some(IncEx.Tree(m)) => m
+        case _ => Map.empty[String, IncEx]
+      }
+      Some((si, se))
+    }
+  }
+
+  /** For arrays: an `__all__` subtree applies per element (filter.rs's
+   * sequence key); otherwise the maps project each element directly. */
+  private def elementTrees(inc: Option[Map[String, IncEx]],
+                           exc: Map[String, IncEx])
+      : (Option[Map[String, IncEx]], Map[String, IncEx]) = {
+    val si = inc match {
+      case Some(m) if m.contains("__all__") => m("__all__") match {
+        case IncEx.Tree(t) => Some(t)
+        case IncEx.Leaf => None
+      }
+      case other => other
+    }
+    val se = exc.get("__all__") match {
+      case Some(IncEx.Tree(t)) => t
+      case _ => exc
+    }
+    (si, se)
+  }
+
+  /** The data type [[projectIncEx]] produces for `dt` under (inc, exc). */
+  private def projectedType(dt: DataType, inc: Option[Map[String, IncEx]],
+                            exc: Map[String, IncEx]): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.flatMap { f =>
+        keptChild(f.name, inc, exc).map { case (si, se) =>
+          StructField(f.name, projectedType(f.dataType, si, se), f.nullable)
+        }
+      })
+    case ArrayType(et, n) =>
+      val (si, se) = elementTrees(inc, exc)
+      ArrayType(projectedType(et, si, se), n)
+    case other => other
+  }
+
+  /** Recursive nested-struct projection under an IncEx pair — one codegen'd
+   * expression per field (struct rebuild / per-element transform), no UDF. */
+  private def projectIncEx(c: Column, dt: DataType,
+                           inc: Option[Map[String, IncEx]],
+                           exc: Map[String, IncEx]): Column = dt match {
+    case st: StructType =>
+      val kept = st.fields.toSeq.flatMap { f =>
+        keptChild(f.name, inc, exc).map { case (si, se) =>
+          projectIncEx(c.getField(f.name), f.dataType, si, se).as(f.name)
+        }
+      }
+      // a null struct stays null (not a struct of nulls), like pydantic
+      when(c.isNull, lit(null).cast(projectedType(dt, inc, exc)))
+        .otherwise(struct(kept: _*))
+    case ArrayType(et, _) =>
+      val (si, se) = elementTrees(inc, exc)
+      transform(c, x => projectIncEx(x, et, si, se))
+    case _ => c
+  }
+
+  /** The serialized projection: model fields filtered by include/exclude
+   * (flat sets or nested IncEx trees), renamed by alias, plus computed
+   * fields — in model field order like the reference (fields serialize in
+   * definition order). `schema` (the source DataFrame's) is required only
+   * when a nested sub-`Tree` must project into a struct field. */
   def dumpColumns(model: ModelSpec, spec: DumpSpec = DumpSpec(),
-                  json: Boolean = false): Seq[Column] = {
+                  json: Boolean = false,
+                  schema: Option[StructType] = None): Seq[Column] = {
     val kept = model.fields.map(_.name)
-      .filter(n => spec.include.forall(_.contains(n)))
-      .filterNot(spec.exclude.contains)
-    kept.map(n => serValue(model, n, spec, json)
-      .as(spec.byAlias.getOrElse(n, n))) ++
-      spec.computed.map { case (n, c) => c.as(n) }
+      .filter(n => if (spec.includeTree.nonEmpty) spec.includeTree.contains(n)
+                   else spec.include.forall(_.contains(n)))
+      .filterNot(n => spec.exclude.contains(n) ||
+        spec.excludeTree.get(n).contains(IncEx.Leaf))
+    kept.map { n =>
+      val served = serValue(model, n, spec, json)
+      val si = spec.includeTree.get(n) match {
+        case Some(IncEx.Tree(m)) => Some(m)
+        case _ => None
+      }
+      val se = spec.excludeTree.get(n) match {
+        case Some(IncEx.Tree(m)) => m
+        case _ => Map.empty[String, IncEx]
+      }
+      val out = if (si.isDefined || se.nonEmpty) {
+        val dt = schema.getOrElse(throw new IllegalArgumentException(
+          s"nested IncEx on '$n' needs the source schema — use dump/dumpJson"))
+          .apply(n).dataType
+        projectIncEx(served, dt, si, se)
+      } else served
+      out.as(spec.byAlias.getOrElse(n, n))
+    } ++ spec.computed.map { case (n, c) => c.as(n) }
   }
 
   /** `model_dump` analog: typed projection (mode='python'). exclude_unset/
    * exclude_defaults surface as NULLs here — a relational row cannot omit
    * a column (documented deviation). */
   def dump(df: DataFrame, model: ModelSpec, spec: DumpSpec = DumpSpec()): DataFrame =
-    df.select(dumpColumns(model, spec, json = false): _*)
+    df.select(dumpColumns(model, spec, json = false, Some(df.schema)): _*)
 
   /** `model_dump_json` analog: one JSON string column per row. Fields
    * nulled by exclude_none/exclude_unset/exclude_defaults are omitted from
@@ -135,7 +254,8 @@ object Serializer {
     // fields only; with excludeNone/Unset/Defaults set, a 'null'-mode
     // nonfinite field is omitted rather than rendered null (documented
     // deviation).
-    val probe = df.select(dumpColumns(model, spec, json = true): _*)
+    val probe = df.select(dumpColumns(model, spec, json = true,
+      Some(df.schema)): _*)
     val floatFields = probe.schema.fields
       .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
       .map(_.name)

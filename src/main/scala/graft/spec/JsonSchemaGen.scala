@@ -75,7 +75,7 @@ object JsonSchemaGen {
     case AnySpec => "{}"
     case NullableSpec(inner) =>
       obj(Seq("anyOf" -> s"[${toJson(inner)}, ${obj(Seq("type" -> str("null")))}]"))
-    case WithDefaultSpec(inner, default, _) =>
+    case WithDefaultSpec(inner, default, _, _) =>
       // pydantic inlines `default` next to the inner schema
       val innerJson = toJson(inner)
       val d = s""""${esc(default)}""""

@@ -235,11 +235,18 @@ case object AnySpec extends Spec
 final case class NullableSpec(inner: Spec) extends Spec
 
 /** Default handling — reference `validators/with_default.rs:83-143`.
- * `onError` mirrors `on_error: raise | omit | default` (`:110-122,168-171`). */
+ * `onError` mirrors `on_error: raise | omit | default` (`:110-122,168-171`).
+ * `validateDefault` mirrors `validate_default` (`:143,204`): when true the
+ * injected default runs through the inner spec — coerced like any input,
+ * with violations at the field loc when it fails (pydantic raises at
+ * first use of a bad default; un-flagged defaults inject UN-validated).
+ * The engine's defaults are string literals, so they validate in lax
+ * mode regardless of the field's dialect. */
 final case class WithDefaultSpec(
     inner: Spec,
     default: String,
-    onError: OnError = OnError.Raise
+    onError: OnError = OnError.Raise,
+    validateDefault: Boolean = false
 ) extends Spec
 
 sealed trait OnError extends Serializable

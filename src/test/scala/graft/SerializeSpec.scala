@@ -68,6 +68,50 @@ class SerializeSpec extends SparkTestBase {
     assert(keep.contains("\"name\":\"beta\""))
   }
 
+  test("nested IncEx trees project into structs and arrays (filter.rs; pydantic goldens)") {
+    import Serializer.IncEx
+    // model: a={b:int,c:str}, d:int, items=[{x:int,y:str}] — goldens from
+    // pydantic 2.13 model_dump/model_dump_json with the same IncEx args
+    val md = ModelSpec("m", Seq(FieldSpec("a", AnySpec),
+      FieldSpec("d", IntSpec()), FieldSpec("items", AnySpec)))
+    val dfn = Seq((1L, "z", 7L)).toDF("b", "c", "d")
+      .select(struct(col("b"), col("c")).as("a"), col("d"),
+        array(struct(lit(1L).as("x"), lit("p").as("y")),
+          struct(lit(2L).as("x"), lit("q").as("y"))).as("items"))
+    // include={'a': {'b': True}} -> {'a': {'b': 1}}
+    val j1 = Serializer.dumpJson(dfn, md, DumpSpec(
+      includeTree = Map("a" -> IncEx.tree("b" -> IncEx.Leaf))))
+      .as[String].head()
+    assert(j1 == """{"a":{"b":1}}""")
+    // exclude={'a': {'c': True}, 'd': True} -> a.b + items intact
+    val j2 = Serializer.dumpJson(dfn, md, DumpSpec(
+      excludeTree = Map("a" -> IncEx.tree("c" -> IncEx.Leaf),
+        "d" -> IncEx.Leaf)))
+      .as[String].head()
+    assert(j2 == """{"a":{"b":1},"items":[{"x":1,"y":"p"},{"x":2,"y":"q"}]}""")
+    // include={'items': {'__all__': {'x': True}}} -> per-element projection
+    val j3 = Serializer.dumpJson(dfn, md, DumpSpec(
+      includeTree = Map("items" -> IncEx.tree("__all__" ->
+        IncEx.tree("x" -> IncEx.Leaf)))))
+      .as[String].head()
+    assert(j3 == """{"items":[{"x":1},{"x":2}]}""")
+    // mixed Leaf + Tree include, json mode
+    val j4 = Serializer.dumpJson(dfn, md, DumpSpec(
+      includeTree = Map("a" -> IncEx.tree("b" -> IncEx.Leaf),
+        "d" -> IncEx.Leaf)))
+      .as[String].head()
+    assert(j4 == """{"a":{"b":1},"d":7}""")
+    // dump (python mode): projected struct type, null struct stays null
+    val dfNull = Seq(Tuple1(Option.empty[Long])).toDF("pad")
+      .select(lit(null).cast("struct<b:bigint,c:string>").as("a"),
+        lit(7L).as("d"), lit(null).cast("array<struct<x:bigint,y:string>>")
+          .as("items"))
+    val pn = Serializer.dump(dfNull, md, DumpSpec(
+      includeTree = Map("a" -> IncEx.tree("b" -> IncEx.Leaf))))
+    assert(pn.schema("a").dataType.simpleString == "struct<b:bigint>")
+    assert(pn.collect().head.isNullAt(0))
+  }
+
   test("exclude_defaults compares in the field's native type (double vs default '1')") {
     val md = ModelSpec("m", Seq(
       FieldSpec("id", IntSpec()),

@@ -123,6 +123,31 @@ class TzBytesOmitSpec extends SparkTestBase {
     assert(out.head._1.asInstanceOf[scala.collection.Seq[Any]] == Seq(1L, 3L))
   }
 
+  // ------------------------------------------------- validate_default
+
+  test("validate_default: bad default emits its violation on defaulted rows (with_default.rs:204)") {
+    // pydantic golden (2.13, x: int = Field('zz', validate_default=True)):
+    // [{'type': 'int_parsing', 'loc': ('x',), 'input': 'zz', ...}]
+    val spec = WithDefaultSpec(IntSpec(), default = "zz",
+      validateDefault = true)
+    val out = run(spec, StringType, Seq(null, "5"))
+    assert(out(0)._2 == Seq("int_parsing"))
+    assert(out(1) == ((5L, Seq())))
+    // un-flagged: the default injects without validation (pydantic's
+    // validate_default=False default behavior)
+    val off = WithDefaultSpec(IntSpec(), default = "7")
+    assert(run(off, StringType, Seq(null)).head == ((7L, Seq())))
+  }
+
+  test("validate_default: default is coerced and constrained like any input") {
+    val low = WithDefaultSpec(IntSpec(ge = Some(10)), default = "7",
+      validateDefault = true)
+    assert(run(low, StringType, Seq(null)).head._2 == Seq("greater_than_equal"))
+    val ok = WithDefaultSpec(IntSpec(ge = Some(10)), default = "27",
+      validateDefault = true)
+    assert(run(ok, StringType, Seq(null)).head == ((27L, Seq())))
+  }
+
   test("omit keeps legitimately-valid null elements (drop on error, not on nullness)") {
     // Nullable OVER the omitting default: a null element is valid (nullable
     // passes it through) and must survive the omit filter; only elements
