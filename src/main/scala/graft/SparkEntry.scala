@@ -460,14 +460,24 @@ object SparkEntry {
         Extras.cardBrand(card).as("brand"))
     }),
 
-    // ---- extras: email shape check (EmailStr approximation)
+    // ---- extras: validate_email grammar (networks.py:1321 +
+    // email-validator v2 subset) — synthesized addresses PLUS the
+    // reference's own accept/reject fixture table (name + normalized
+    // email pinned per fixture via the oracle)
     "x_email" -> ((s, dir) => {
       import graft.functions.Extras
       val email = when(pmod(col("doc_id"), lit(10)) === 0,
         concat(col("source"), lit(" bad@x")))
         .otherwise(concat(col("source"), lit("@example.com")))
+      val n = emailFixtures.size
+      val fx = element_at(typedLit(emailFixtures.map(_._1)),
+        pmod(col("doc_id"), lit(n)).cast("int") + 1)
+      val parsed = Extras.parseNameEmail(fx)
       t(s, dir, "documents").select(col("doc_id"),
-        Extras.isEmail(email).as("email_ok"))
+        Extras.isEmail(email).as("email_ok"),
+        parsed.isNotNull.as("fix_ok"),
+        parsed.getField("name").as("fix_name"),
+        parsed.getField("email").as("fix_email"))
     }),
 
     // ---- extras: Color type (pydantic/color.py) — named / short hex /
@@ -549,6 +559,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("byte_size")).as("total_bytes"),
           count(when(col("frame_count") > 0, 1)).as("with_frames"))
+    }),
+
+    // ---- multimodal: REAL image-header decode — synthesize valid
+    // PNG/JPEG/GIF header bytes from doc_id, parse dimensions back with
+    // the codegen'd header expressions (MediaHeaders); the oracle
+    // recomputes (format, width, height) from the same arithmetic, so a
+    // single wrong offset anywhere in the byte round-trip breaks the hash
+    "m_image_dims" -> ((s, dir) => {
+      import graft.multimodal.MediaHeaders
+      val w = (pmod(col("doc_id"), lit(1000)) + 1).cast("int")
+      val h = (pmod(col("doc_id"), lit(700)) + 1).cast("int")
+      def be32(c: Column) = lpad(hex(c), 8, "0")
+      def be16(c: Column) = lpad(hex(c), 4, "0")
+      def le16(c: Column) = concat(
+        lpad(hex(pmod(c, lit(256))), 2, "0"),
+        lpad(hex((c / 256).cast("int")), 2, "0"))
+      val m = pmod(col("doc_id"), lit(3)).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be32(w), be32(h), lit("0806000000"))
+      val jpegHex = concat(lit("FFD8FFE000040000FFC0001108"),
+        be16(h), be16(w), lit("03011100021101031101"))
+      val gifHex = concat(lit("474946383961"), le16(w), le16(h), lit("00"))
+      val payload = unhex(when(m === 0, pngHex)
+        .when(m === 1, jpegHex).otherwise(gifHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), MediaHeaders.imageDims(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("fmt"),
+          col("d.width").as("width"), col("d.height").as("height"))
     }),
 
     // ---- function/custom validators: AfterValidator transform, named
@@ -642,6 +680,70 @@ object SparkEntry {
 
   /** Where ns_verdict persists its generated input for the oracle. */
   private val nsInputPath = "/tmp/graft_ns_input"
+
+  /** (input, expected name, expected normalized email) — transcribed from
+   * the reference's validate_email test table
+   * (`tests/test_networks.py:905-976`; nulls = the reject rows). The
+   * punycode-decoding fixture (`foobar@xn--80ak6aa92e.com` ->
+   * `foobar@аррӏе.com`) is excluded: IDNA decode is a documented
+   * deviation of [[graft.functions.Extras.parseNameEmail]]. */
+  private[graft] val emailFixtures: Seq[(String, String, String)] = Seq(
+    ("foobar@example.com", "foobar", "foobar@example.com"),
+    ("s@muelcolvin.com", "s", "s@muelcolvin.com"),
+    ("Samuel Colvin <s@muelcolvin.com>", "Samuel Colvin", "s@muelcolvin.com"),
+    ("foobar <foobar@example.com>", "foobar", "foobar@example.com"),
+    (" foo.bar@example.com", "foo.bar", "foo.bar@example.com"),
+    ("foo.bar@example.com ", "foo.bar", "foo.bar@example.com"),
+    ("foo BAR <foobar@example.com >", "foo BAR", "foobar@example.com"),
+    ("FOO bar   <foobar@example.com> ", "FOO bar", "foobar@example.com"),
+    (" Whatever <foobar@example.com>", "Whatever", "foobar@example.com"),
+    ("Whatever < foobar@example.com>", "Whatever", "foobar@example.com"),
+    ("Whatever <foobar@example.com >", "Whatever", "foobar@example.com"),
+    ("Whatever < foobar@example.com >", "Whatever", "foobar@example.com"),
+    ("<FOOBAR@example.com> ", "FOOBAR", "FOOBAR@example.com"),
+    ("ñoñó@example.com", "ñoñó", "ñoñó@example.com"),
+    ("我買@example.com", "我買", "我買@example.com"),
+    ("甲斐黒川日本@example.com", "甲斐黒川日本", "甲斐黒川日本@example.com"),
+    ("чебурашкаящик-с-апельсинами.рф@example.com",
+      "чебурашкаящик-с-апельсинами.рф",
+      "чебурашкаящик-с-апельсинами.рф@example.com"),
+    ("उदाहरण.परीक्ष@domain.with.idn.tld", "उदाहरण.परीक्ष",
+      "उदाहरण.परीक्ष@domain.with.idn.tld"),
+    ("foo.bar@exam-ple.com ", "foo.bar", "foo.bar@exam-ple.com"),
+    ("ιωάννης@εεττ.gr", "ιωάννης", "ιωάννης@εεττ.gr"),
+    ("foobar@аррӏе.com", "foobar", "foobar@аррӏе.com"),
+    ("аррӏе@example.com", "аррӏе", "аррӏе@example.com"),
+    ("xn--80ak6aa92e@example.com", "xn--80ak6aa92e",
+      "xn--80ak6aa92e@example.com"),
+    ("葉士豪@臺網中心.tw", "葉士豪", "葉士豪@臺網中心.tw"),
+    ("\"first.last\" <first.last@example.com>", "first.last",
+      "first.last@example.com"),
+    ("first.last <first.last@example.com>", "first.last",
+      "first.last@example.com"),
+    ("Shaquille O'Neal <shaq@example.com>", "Shaquille O'Neal",
+      "shaq@example.com"),
+    ("Homer J. Simpson <homer@thesimpsons.com>", "Homer J. Simpson",
+      "homer@thesimpsons.com"),
+    // reject rows
+    ("@example.com", null, null),
+    ("f oo.bar@example.com", null, null),
+    ("foobar", null, null),
+    ("foobar@localhost", null, null),
+    ("foobar@127.0.0.1", null, null),
+    ("foo.bar@exam\nple.com ", null, null),
+    ("foobar <foobar@example.com", null, null),
+    ("foobar@.example.com", null, null),
+    ("foobar@.com", null, null),
+    ("foo bar@example.com", null, null),
+    ("foo@bar@example.com", null, null),
+    ("\n@example.com", null, null),
+    (" @example.com", null, null),
+    ("\"@example.com", null, null),
+    (",@example.com", null, null),
+    ("foobar <foobar<@example.com>", null, null),
+    ("foobar <foobar@example.com>>", null, null),
+    ("foobar <<foobar<@example.com>", null, null),
+    ("foobar <>", null, null))
 
   /** Similarity tuning shared between the Spark queries and the oracle
    * SQL: target bucket loads and the degenerate-bucket guard. */
@@ -1075,6 +1177,14 @@ object SparkEntry {
     "z_dump_proj" ->
       "SELECT doc_id, lang, source AS src FROM documents",
 
+    "m_image_dims" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |       ELSE 'gif' END AS fmt,
+        |  CAST(doc_id % 1000 + 1 AS INT) AS width,
+        |  CAST(doc_id % 700 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
+
     "z_dump_nested" ->
       """SELECT to_json(struct_pack(doc_id := doc_id,
         |  meta := struct_pack(lang := lang, n_chars := n_chars))) AS json
@@ -1110,14 +1220,28 @@ object SparkEntry {
         |       ELSE 'other' END AS brand
         |FROM c""".stripMargin,
 
-    "x_email" ->
-      """SELECT doc_id,
-        |  regexp_matches(
-        |    CASE WHEN doc_id % 10 = 0 THEN source || ' bad@x'
-        |         ELSE source || '@example.com' END,
-        |    '^[A-Za-z0-9.!#$%&''*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$'
-        |  ) AS email_ok
-        |FROM documents""".stripMargin,
+    // The fixture expectations are the REFERENCE TEST TABLE itself
+    // (emailFixtures carries test_networks.py's expected name/email);
+    // the oracle replays them as index-keyed CASE lookups, so the driver
+    // compare pins the engine's grammar to pydantic's fixture-for-fixture.
+    "x_email" -> {
+      val n = emailFixtures.size
+      def q(s: String): String =
+        if (s == null) "NULL"
+        else "'" + s.replace("'", "''") + "'"
+      def cases(f: ((String, String, String)) => String): String =
+        emailFixtures.zipWithIndex
+          .map { case (t, i) => s"WHEN $i THEN ${f(t)}" }.mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 10 = 0 THEN FALSE ELSE TRUE END AS email_ok,
+         |  CASE CAST(doc_id % $n AS INT)
+         |    ${cases(t => if (t._2 == null) "FALSE" else "TRUE")} END AS fix_ok,
+         |  CASE CAST(doc_id % $n AS INT) ${cases(t => q(t._2))}
+         |    ELSE NULL END AS fix_name,
+         |  CASE CAST(doc_id % $n AS INT) ${cases(t => q(t._3))}
+         |    ELSE NULL END AS fix_email
+         |FROM documents""".stripMargin
+    },
 
     // Replays the generator + pydantic canonicalization: parse the synthetic
     // color back to channel bytes, then as_hex (short when every byte

@@ -87,6 +87,60 @@ object Drift {
       .groupBy("part").agg(max("gap").as("ks"))
   }
 
+  /**
+   * EXACT two-sample KS as a typed `Aggregator` — the unbucketed flavor
+   * (SURVEY §4.2 item 3): input rows are (value, isRef); the state holds
+   * per-sample value->count maps (map-side combined, order-independent
+   * merge), and finish() walks the union of distinct values once, taking
+   * the sup of |CDF_a - CDF_b| at every step boundary.
+   *
+   * Scale envelope: state size is the number of DISTINCT values in the
+   * group — exact KS cannot do better (the statistic is defined over the
+   * empirical CDFs' jump points). For continuous metrics at 100 TB use the
+   * histogram closed form ([[ks]]); this form is for discrete/bounded
+   * metrics (lengths, counts, bucketized values), where it equals [[ks]]
+   * run on the same discretization — pinned by ChecksSpec's property test.
+   */
+  final case class KsState(a: Map[Double, Long], b: Map[Double, Long])
+
+  class ExactKsAgg
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Double, Boolean), KsState, Double] {
+    override def zero: KsState = KsState(Map.empty, Map.empty)
+    private def bump(m: Map[Double, Long], k: Double): Map[Double, Long] =
+      m.updated(k, m.getOrElse(k, 0L) + 1L)
+    override def reduce(s: KsState, in: (Double, Boolean)): KsState =
+      if (in._2) s.copy(b = bump(s.b, in._1)) else s.copy(a = bump(s.a, in._1))
+    private def mergeMaps(x: Map[Double, Long],
+                          y: Map[Double, Long]): Map[Double, Long] =
+      y.foldLeft(x) { case (acc, (k, v)) =>
+        acc.updated(k, acc.getOrElse(k, 0L) + v)
+      }
+    override def merge(s1: KsState, s2: KsState): KsState =
+      KsState(mergeMaps(s1.a, s2.a), mergeMaps(s1.b, s2.b))
+    override def finish(s: KsState): Double = {
+      val na = s.a.valuesIterator.sum.toDouble
+      val nb = s.b.valuesIterator.sum.toDouble
+      if (na == 0 || nb == 0) return 0.0
+      var ca = 0L; var cb = 0L; var best = 0.0
+      (s.a.keySet ++ s.b.keySet).toArray.sorted.foreach { k =>
+        ca += s.a.getOrElse(k, 0L); cb += s.b.getOrElse(k, 0L)
+        val gap = math.abs(ca / na - cb / nb)
+        if (gap > best) best = gap
+      }
+      best
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[KsState] =
+      org.apache.spark.sql.Encoders.product[KsState]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** [[ExactKsAgg]] as an untyped aggregate column over
+   * (value double, isRef boolean). */
+  def exactKs(value: Column, isRef: Column): Column =
+    udaf(new ExactKsAgg()).apply(value.cast("double"), isRef)
+
   /** End-to-end drift verdicts for `metric` across `partCol`:
    * reference = the global distribution. Returns
    * (part, psi, ks, drifted = psi > psiThreshold || ks > ksThreshold). */

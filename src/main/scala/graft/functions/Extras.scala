@@ -15,11 +15,60 @@ import org.apache.spark.sql.types._
  */
 object Extras {
 
-  /** Pragmatic email shape check (the reference delegates to the
-   * email-validator package; this is the documented cheap approximation:
-   * local@domain with a dotted domain, no spaces/angle brackets). */
-  val emailPattern = "^[A-Za-z0-9.!#$%&'*+/=?^_`{|}~-]+@[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?(?:\\.[A-Za-z0-9](?:[A-Za-z0-9-]{0,61}[A-Za-z0-9])?)+$"
-  def isEmail(c: Column): Column = c.rlike(emailPattern)
+  // ------------------------------------------------------------- email
+
+  /** atext incl. RFC 6531 smtputf8 (email-validator v2 ATEXT_INTL):
+   * ascii atext plus any char >= U+0080. */
+  private val Atext = """[A-Za-z0-9!#$%&'*+\-/=?^_`{|}~\x{80}-\x{10FFFF}]"""
+  private val LocalRe = s"$Atext+(?:\\.$Atext+)*"
+  /** hostname label, 1-63 chars, LDH + internationalized, hyphen never
+   * first/last (email-validator DOT_ATOM_TEXT_HOSTNAME / IDNA shape). */
+  private val LabelCh = """[A-Za-z0-9\x{80}-\x{10FFFF}]"""
+  private val LabelRe = s"$LabelCh(?:(?:$LabelCh|-){0,61}$LabelCh)?"
+  /** >= 2 labels: email-validator rejects dotless domains ("It should
+   * have a period"). */
+  private val DomainRe = s"$LabelRe(?:\\.$LabelRe)+"
+  private val EmailRe = s"\\A($LocalRe)@($DomainRe)\\z"
+
+  /** pydantic's pretty_email_regex (`networks.py:1306-1314`): optional
+   * display name — unquoted word runs or a quoted string — then the
+   * address in angle brackets. \A..\z anchored (fullmatch), (?U) so \w
+   * covers unicode names like the reference's `re` module does. */
+  private val NameChars = """[\w.!#$%&'*+\-/=?^_`{|}~]"""
+  private val PrettyRe =
+    s"""(?U)\\A\\s*(?:((?:$NameChars+\\s+)*$NameChars+)|"([^"]+)")?\\s*<(.+)>\\s*\\z"""
+
+  /**
+   * `validate_email` (`pydantic/networks.py:1321-1372` + email-validator
+   * v2 syntax checks, check_deliverability=False): pretty-form unwrap,
+   * outer-whitespace strip, 2048-char cap, dot-atom local (smtputf8),
+   * dotted LDH/IDN domain with a non-numeric TLD, local <= 64 and
+   * domain <= 253 chars. Returns struct(name, email) — name falls back
+   * to the local part, email normalizes the domain to lowercase — or
+   * null when invalid. Documented deviations: no punycode->unicode
+   * domain decoding and no NFC normalization of the local part (the
+   * xn--80ak6aa92e.com fixture keeps its ascii form here); quoted-string
+   * locals ("a b"@x.com) stay rejected like email-validator's default.
+   */
+  def parseNameEmail(c: Column): Column = {
+    val unq = regexp_extract(c, PrettyRe, 1)
+    val q = regexp_extract(c, PrettyRe, 2)
+    val pretty = regexp_extract(c, PrettyRe, 3)
+    val email = trim(when(pretty =!= "", pretty).otherwise(c))
+    val local = regexp_extract(email, EmailRe, 1)
+    val domain = regexp_extract(email, EmailRe, 2)
+    val tld = regexp_extract(domain, "\\.([^.]*)\\z", 1)
+    val valid = length(c) <= 2048 && local =!= "" &&
+      length(local) <= 64 && length(domain) <= 253 &&
+      !tld.rlike("\\A[0-9]+\\z")
+    val name = when(unq =!= "", unq).when(q =!= "", q).otherwise(local)
+    when(valid, struct(name.as("name"),
+      concat(local, lit("@"), lower(domain)).as("email")))
+      .otherwise(lit(null).cast("struct<name:string,email:string>"))
+  }
+
+  /** EmailStr acceptance — the full [[parseNameEmail]] grammar. */
+  def isEmail(c: Column): Column = parseNameEmail(c).isNotNull
 
   /**
    * Luhn checksum (`pydantic/types.py:1964` PaymentCardNumber.validate_luhn

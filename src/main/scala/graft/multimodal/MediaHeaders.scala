@@ -1,0 +1,197 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.graft.ColumnShim
+
+/**
+ * REAL image-header decoding — the one part of the multimodal surface
+ * that needs no codec library, so it is not stubbed: width/height from
+ * the fixed-offset headers of PNG (IHDR: 8-byte signature, 4-byte
+ * length, "IHDR", then two big-endian u32) and GIF (6-byte signature
+ * then two little-endian u16), and from JPEG's SOF segment found by a
+ * marker-segment scan.
+ *
+ * PNG/GIF are pure Column expressions (hex + conv arithmetic — fully
+ * codegen'd, zero UDF). JPEG needs a variable-length scan, so it is a
+ * native Catalyst expression ([[JpegDims]]) with a primitive-loop
+ * `doGenCode` — the same pattern as
+ * [[graft.functions.VectorNearestCells]].
+ */
+object MediaHeaders {
+
+  private def be(bin: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(bin, pos, len)), 16, 10).cast(IntegerType)
+
+  /** One little-endian u16 at 1-based byte offset `pos`. */
+  private def le16(bin: Column, pos: Int): Column =
+    (be(bin, pos, 1) + be(bin, pos + 1, 1) * 256).cast(IntegerType)
+
+  def isPng(bin: Column): Column =
+    octet_length(bin) >= 24 &&
+      hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
+      hex(substring(bin, 13, 4)) === "49484452" // "IHDR"
+
+  /** struct(width, height) of a PNG payload (null when not a PNG). */
+  def pngDims(bin: Column): Column =
+    when(isPng(bin),
+      struct(be(bin, 17, 4).as("width"), be(bin, 21, 4).as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+
+  def isGif(bin: Column): Column =
+    octet_length(bin) >= 10 &&
+      (hex(substring(bin, 1, 6)) === "474946383761" || // GIF87a
+        hex(substring(bin, 1, 6)) === "474946383961")  // GIF89a
+
+  /** struct(width, height) of a GIF payload's logical screen descriptor. */
+  def gifDims(bin: Column): Column =
+    when(isGif(bin),
+      struct(le16(bin, 7).as("width"), le16(bin, 9).as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+
+  def isJpeg(bin: Column): Column =
+    octet_length(bin) >= 4 && hex(substring(bin, 1, 3)) === "FFD8FF"
+
+  /** [width, height] from the first SOF segment, or null. */
+  def jpegDims(bin: Column): Column =
+    ColumnShim.column(JpegDims(ColumnShim.expression(bin)))
+
+  /** Dispatch on magic bytes: struct(format, width, height), null for
+   * payloads that are none of PNG/JPEG/GIF. */
+  def imageDims(bin: Column): Column = {
+    val jd = jpegDims(bin)
+    when(isPng(bin), struct(lit("png").as("format"),
+      be(bin, 17, 4).as("width"), be(bin, 21, 4).as("height")))
+      .when(isJpeg(bin) && jd.isNotNull, struct(lit("jpeg").as("format"),
+        element_at(jd, 1).as("width"), element_at(jd, 2).as("height")))
+      .when(isGif(bin), struct(lit("gif").as("format"),
+        le16(bin, 7).as("width"), le16(bin, 9).as("height")))
+      .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))
+  }
+
+  /** Scala-side twin of [[imageDims]] for the `mapPartitions` decode path
+   * ([[Multimodal.extractFeatures]]): Some((format, width, height)) when
+   * the payload is a recognizable PNG/JPEG/GIF. Same offsets, same scan. */
+  def parseDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (b.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G' && u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' &&
+        u8(15) == 'R')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+      Some(("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8 && u8(2) == 0xFF)
+      JpegDims.scan(b).map { case (w, h) => ("jpeg", w, h) }
+    else None
+  }
+}
+
+/**
+ * JPEG frame-header scan as one native expression over a BinaryType
+ * column: walk the marker segments from SOI, skipping fill bytes and
+ * standalone markers (RSTn/SOI/EOI/TEM), until a SOF marker (C0-CF
+ * except the non-frame C4 DHT / C8 JPG / CC DAC), whose segment carries
+ * precision(1), height(2 BE), width(2 BE) after the length. Returns
+ * array<int> [width, height]; null for non-JPEG bytes, truncated input,
+ * or corrupt segment structure. Stops at SOS/EOI — dimensions always
+ * precede entropy-coded data, so the scan touches only header bytes
+ * regardless of payload size.
+ */
+case class JpegDims(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "jpeg_dims"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    JpegDims.scan(input.asInstanceOf[Array[Byte]]) match {
+      case Some((w, h)) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(w, h))
+      case None => null
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("marker")
+      val len = ctx.freshName("len")
+      val w = ctx.freshName("w")
+      val h = ctx.freshName("h")
+      val done = ctx.freshName("done")
+      s"""
+         |int $w = -1; int $h = -1;
+         |if ($b.length < 4 || ($b[0] & 0xFF) != 0xFF ||
+         |    ($b[1] & 0xFF) != 0xD8) { ${ev.isNull} = true; }
+         |else {
+         |  int $i = 2; boolean $done = false;
+         |  while (!$done && $i + 3 < $b.length) {
+         |    if (($b[$i] & 0xFF) != 0xFF) { $done = true; break; }
+         |    int $m = $b[$i + 1] & 0xFF;
+         |    if ($m == 0xFF) { $i++; continue; }           // fill byte
+         |    if ($m == 0x01 || ($m >= 0xD0 && $m <= 0xD9)) { $i += 2; continue; }
+         |    int $len = (($b[$i + 2] & 0xFF) << 8) | ($b[$i + 3] & 0xFF);
+         |    if ($len < 2) { $done = true; break; }
+         |    if ($m >= 0xC0 && $m <= 0xCF && $m != 0xC4 && $m != 0xC8 &&
+         |        $m != 0xCC) {
+         |      if ($i + 8 < $b.length) {
+         |        $h = (($b[$i + 5] & 0xFF) << 8) | ($b[$i + 6] & 0xFF);
+         |        $w = (($b[$i + 7] & 0xFF) << 8) | ($b[$i + 8] & 0xFF);
+         |      }
+         |      $done = true; break;
+         |    }
+         |    if ($m == 0xDA) { $done = true; break; }      // SOS: give up
+         |    $i += 2 + $len;
+         |  }
+         |  if ($w < 0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |      new int[] { $w, $h }); }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): JpegDims =
+    copy(child = newChild)
+}
+
+object JpegDims {
+  /** The interpreter-mode scan; semantics identical to the generated code. */
+  def scan(b: Array[Byte]): Option[(Int, Int)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    if (b.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(i) != 0xFF) return None
+      val m = u8(i + 1)
+      if (m == 0xFF) { i += 1 }                         // fill byte
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD9)) { i += 2 }
+      else {
+        val len = (u8(i + 2) << 8) | u8(i + 3)
+        if (len < 2) return None
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          return if (i + 8 < b.length)
+            Some(((u8(i + 7) << 8) | u8(i + 8), (u8(i + 5) << 8) | u8(i + 6)))
+          else None
+        }
+        if (m == 0xDA) return None                      // SOS before SOF
+        i += 2 + len
+      }
+    }
+    None
+  }
+}

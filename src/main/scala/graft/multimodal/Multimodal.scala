@@ -118,8 +118,15 @@ object Multimodal {
       rows.map { r =>
         sha.reset()
         val digest = sha.digest(r.payload).map("%02x".format(_)).mkString
+        // REAL header decode first (PNG/JPEG/GIF dimensions need no codec
+        // library — MediaHeaders); the deterministic stub only covers
+        // payloads in formats the container cannot parse
         val (w, hgt) = r.kind match {
-          case "image" | "video" => Codecs.decodeImage(r.payload)
+          case "image" | "video" =>
+            MediaHeaders.parseDims(r.payload) match {
+              case Some((_, pw, ph)) => (pw, ph)
+              case None => Codecs.decodeImage(r.payload)
+            }
           case _ => (-1, -1)
         }
         // decode once per row — duration and frame count come from the

@@ -1,10 +1,8 @@
 package graft.run
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import java.util.UUID
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.checks.{Drift, TableChecks}
@@ -21,17 +19,13 @@ import graft.spec.ModelSpec
  * owns retries; at 10^12 rows the "caller" must be this: partition-level
  * units of work with exactly-once commit semantics.
  *
- * Storage layout under `outDir` (parquet-dir TableIO — an Iceberg results
- * table on a real cluster, same shape):
- *   violations/part_id=K/ (parquet)  dynamic-partition-overwritten per wave
- *   ledger/wave-<uuid>.json          one JSON-lines file per committed wave
- *                                    (written tmp + atomic rename)
- *   _ref_hist/ (parquet)             content-length reference histogram,
- *                                    frozen on first run (drift baseline)
+ * Storage is behind [[TableIO]]: [[ParquetDirIO]] under `outDir` by
+ * default (see its scaladoc for the on-disk layout), [[IcebergIO]] for a
+ * real cluster's catalog tables — the Runner's logic is identical.
  *
  * Partitions NOT present in the ledger are untrusted: a wave killed
- * mid-write leaves orphan parquet under violations/ which the next run
- * overwrites (partitionOverwriteMode=dynamic) and the reader ignores.
+ * mid-write leaves orphan rows in the violation sink which the next run
+ * overwrites and the reader ignores (ledger-gated semi-join).
  */
 object Runner {
 
@@ -70,39 +64,21 @@ object Runner {
   def partitionId(key: Column, buckets: Int): Column =
     pmod(xxhash64(key), lit(buckets)).cast("int")
 
-  // ------------------------------------------------------------- ledger IO
-
-  private def ledgerDir(outDir: String) = Paths.get(outDir, "ledger")
-
   /** Committed partitions (part_id -> attempt), only entries whose
    * spec_hash matches. */
-  def completedParts(spark: SparkSession, outDir: String,
-                     spec: String): Map[Int, Int] = {
-    val dir = ledgerDir(outDir)
-    if (!Files.isDirectory(dir)) return Map.empty
-    val files = Files.list(dir).toArray.map(_.toString)
-      .filter(_.endsWith(".json"))
-    if (files.isEmpty) return Map.empty
-    spark.read.json(files: _*)
-      .filter(col("spec_hash") === spec)
-      .groupBy("part_id").agg(max("attempt").as("attempt"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
-  }
+  def completedParts(spark: SparkSession, io: TableIO,
+                     spec: String): Map[Int, Int] =
+    io.ledger(spark) match {
+      case None => Map.empty
+      case Some(raw) =>
+        raw.filter(col("spec_hash") === spec)
+          .groupBy("part_id").agg(max("attempt").as("attempt"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    }
 
-  /** Atomic wave commit: JSON-lines tmp file + rename. */
-  private def commitWave(outDir: String, results: Seq[PartitionResult]): Unit = {
-    Files.createDirectories(ledgerDir(outDir))
-    val json = results.map { r =>
-      s"""{"part_id":${r.part_id},"spec_hash":"${r.spec_hash}","row_count":${r.row_count},""" +
-        s""""violation_count":${r.violation_count},"invalid_rows":${r.invalid_rows},""" +
-        s""""sha_checksum":${r.sha_checksum},"psi":${r.psi},"passed":${r.passed},""" +
-        s""""attempt":${r.attempt},"completed_at_ms":${r.completed_at_ms}}"""
-    }.mkString("", "\n", "\n")
-    val tmp = ledgerDir(outDir).resolve(s".tmp-${UUID.randomUUID()}")
-    Files.writeString(tmp, json)
-    Files.move(tmp, ledgerDir(outDir).resolve(s"wave-${UUID.randomUUID()}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  def completedParts(spark: SparkSession, outDir: String,
+                     spec: String): Map[Int, Int] =
+    completedParts(spark, new ParquetDirIO(outDir), spec)
 
   // ---------------------------------------------------------------- driver
 
@@ -125,9 +101,11 @@ object Runner {
           maxViolationRate: Double = 0.05, maxPsi: Double = 0.25,
           histLo: Double = 0, histHi: Double = 8192,
           histBuckets: Int = 40,
-          stageBuckets: Boolean = false): RunReport = {
+          stageBuckets: Boolean = false,
+          io: Option[TableIO] = None): RunReport = {
+    val tio = io.getOrElse(new ParquetDirIO(outDir))
     val spec = specHash(model)
-    val done = completedParts(spark, outDir, spec)
+    val done = completedParts(spark, tio, spec)
     val all = 0 until buckets
     val pending = all.filterNot(done.contains)
     // Wave inputs: without staging, every wave re-filters the FULL input —
@@ -136,52 +114,35 @@ object Runner {
     // stageBuckets=true writes ONE bucketed staging copy up front
     // (partitioned by __part), so each wave's read partition-prunes to
     // exactly its buckets: total I/O = 1 write + 1 read of the table
-    // instead of buckets/waveSize scans. The staging write is itself
-    // resumable state: reused if present.
+    // instead of buckets/waveSize scans. The staging copy is itself
+    // resumable state, reused when present — its signature embeds
+    // (key column, bucket count), so a resume with a CHANGED buckets or
+    // keyCol restages instead of reusing a copy whose __part ids no
+    // longer line up (a stale reuse silently committed 0-row 'passed'
+    // verdicts for every new bucket id beyond the staged range). Input
+    // DATA immutability under one state dir is already the ledger's own
+    // contract (completed parts are trusted across runs) — staging
+    // inherits it rather than fingerprinting the input.
     val withPart = if (stageBuckets) {
-      // The staging layout is a function of (key column, bucket count) —
-      // both are embedded in the path, so a resume with a CHANGED buckets
-      // or keyCol restages instead of reusing a copy whose __part ids no
-      // longer line up (a stale reuse silently committed 0-row 'passed'
-      // verdicts for every new bucket id beyond the staged range). Input
-      // DATA immutability under one outDir is already the ledger's own
-      // contract (completed parts are trusted across runs) — staging
-      // inherits it rather than fingerprinting the input.
       val keySig = {
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(keyCol.getBytes(StandardCharsets.UTF_8))
           .map("%02x".format(_)).mkString.take(8)
       }
-      val stagedPath = s"$outDir/_staged_b${buckets}_k$keySig"
-      // _SUCCESS gates reuse: a killed staging write restages from scratch
-      if (!Files.exists(Paths.get(stagedPath, "_SUCCESS"))) {
-        df.withColumn("__part", partitionId(col(keyCol), buckets))
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("__part").parquet(stagedPath)
-      }
-      spark.read.parquet(stagedPath)
+      val sig = s"b${buckets}_k$keySig"
+      if (!tio.stagedExists(sig))
+        tio.writeStaged(sig,
+          df.withColumn("__part", partitionId(col(keyCol), buckets)))
+      tio.readStaged(sig, spark)
     } else df.withColumn("__part",
       partitionId(col(keyCol), buckets))
 
     // freeze the drift reference histogram on first contact
-    val refHistPath = s"$outDir/_ref_hist"
-    if (!Files.isDirectory(Paths.get(refHistPath))) {
-      val tmp = s"$outDir/._ref_hist-${UUID.randomUUID()}"
+    tio.writeRefHistIfAbsent(
       Drift.histogram(withPart, lit("all"),
         Drift.bucketize(length(col(contentCol)), histLo, histHi, histBuckets))
-        .groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
-        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-      try Files.move(Paths.get(tmp), Paths.get(refHistPath),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        // concurrent run won the race; use theirs and drop our staging dir
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(tmp))
-      }
-    }
-    val refHist = spark.read.parquet(refHistPath)
+        .groupBy("bucket").agg(sum("cnt").as("ref_cnt")))
+    val refHist = tio.readRefHist(spark)
 
     var ranAll = Vector.empty[Int]
     var passedAll = Vector.empty[Int]
@@ -196,30 +157,18 @@ object Runner {
       // under different specs never collide. Dynamic partition overwrite
       // only rewrites partitions that produce >=1 violation row, so a
       // re-run bucket whose new result is CLEAN would leave stale rows from
-      // a previous (possibly killed) attempt — wipe this wave's partition
-      // dirs first. Deleting before the ledger commit is safe: a partition
+      // a previous (possibly killed) attempt — clear this wave's partitions
+      // first. Clearing before the ledger commit is safe: a partition
       // without a ledger entry is untrusted and will be re-run anyway.
-      wave.foreach { p =>
-        val partDir = Paths.get(outDir, "violations",
-          s"spec_hash=$spec", s"part_id=$p")
-        if (Files.isDirectory(partDir)) {
-          def rm(fl: java.io.File): Unit = {
-            Option(fl.listFiles()).foreach(_.foreach(rm)); fl.delete(); ()
-          }
-          rm(partDir.toFile)
-        }
-      }
-      planned.filter(size(col(ModelValidator.VIOLATIONS)) > 0)
-        .select(lit(spec).as("spec_hash"),
-          col("__part").as("part_id"), col(keyCol).as("key"),
-          explode(col(ModelValidator.VIOLATIONS)).as("v"))
-        .select(col("spec_hash"), col("part_id"), col("key"),
-          col("v.loc").as("loc"), col("v.type").as("type"),
-          col("v.msg").as("msg"), col("v.input").as("input"))
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("spec_hash", "part_id")
-        .parquet(s"$outDir/violations")
+      tio.clearViolationPartitions(spec, wave)
+      tio.writeViolations(
+        planned.filter(size(col(ModelValidator.VIOLATIONS)) > 0)
+          .select(lit(spec).as("spec_hash"),
+            col("__part").as("part_id"), col(keyCol).as("key"),
+            explode(col(ModelValidator.VIOLATIONS)).as("v"))
+          .select(col("spec_hash"), col("part_id"), col("key"),
+            col("v.loc").as("loc"), col("v.type").as("type"),
+            col("v.msg").as("msg"), col("v.input").as("input")))
 
       // per-partition metrics: ONE aggregation pass (partial+final)
       val metrics = planned.groupBy(col("__part").as("part_id")).agg(
@@ -260,7 +209,7 @@ object Runner {
           completed_at_ms = System.currentTimeMillis())
       }
       val committed = rows.toSeq ++ empties
-      commitWave(outDir, committed)
+      tio.commitWave(committed)
       ranAll ++= committed.map(_.part_id)
       passedAll ++= committed.filter(_.passed).map(_.part_id)
     }
@@ -276,13 +225,15 @@ object Runner {
    * the state dir may hold runs under more than one spec, otherwise an
    * old-spec commit would gate reads of the current run. */
   def results(spark: SparkSession, outDir: String,
-              specHash: Option[String] = None): DataFrame = {
-    val dir = ledgerDir(outDir)
-    if (!Files.isDirectory(dir))
-      return spark.emptyDataFrame
-    val files = Files.list(dir).toArray.map(_.toString)
-      .filter(_.endsWith(".json"))
-    val raw0 = spark.read.json(files: _*)
+              specHash: Option[String] = None): DataFrame =
+    results(spark, new ParquetDirIO(outDir), specHash)
+
+  def results(spark: SparkSession, io: TableIO,
+              specHash: Option[String]): DataFrame = {
+    val raw0 = io.ledger(spark) match {
+      case None => return spark.emptyDataFrame
+      case Some(df) => df
+    }
     val raw = specHash.fold(raw0)(h => raw0.filter(col("spec_hash") === h))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("part_id").orderBy(col("attempt").desc)
@@ -291,13 +242,17 @@ object Runner {
   }
 
   /** Violations of committed partitions only (ledger-gated read — orphan
-   * files from killed waves are invisible). The gate joins on
+   * rows from killed waves are invisible). The gate joins on
    * (spec_hash, part_id), matching the sink layout. */
   def violations(spark: SparkSession, outDir: String,
-                 specHash: Option[String] = None): DataFrame = {
-    val committed = results(spark, outDir, specHash)
+                 specHash: Option[String] = None): DataFrame =
+    violations(spark, new ParquetDirIO(outDir), specHash)
+
+  def violations(spark: SparkSession, io: TableIO,
+                 specHash: Option[String]): DataFrame = {
+    val committed = results(spark, io, specHash)
       .select("spec_hash", "part_id")
-    spark.read.parquet(s"$outDir/violations")
+    io.readViolations(spark)
       .join(committed, Seq("spec_hash", "part_id"), "left_semi")
   }
 }

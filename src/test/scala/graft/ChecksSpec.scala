@@ -79,4 +79,31 @@ class ChecksSpec extends SparkTestBase {
       .map("%02x".format(_)).mkString
     assert(h.getString(1) == expect)
   }
+
+  test("exact-KS Aggregator equals the histogram closed form on discrete values") {
+    import spark.implicits._
+    // property: over an already-discrete metric, the unbucketed Aggregator
+    // and the bucket-histogram Window form compute the SAME statistic
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 2000).map { _ =>
+      (s"p${rnd.nextInt(4)}", rnd.nextInt(20))
+    }
+    val df = rows.toDF("part", "v")
+    val hist = Drift.histogram(df, col("part"), col("v"))
+    val ref = hist.groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+    val hks = Drift.ks(hist, ref).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // exact form per part: sample A = the part's rows, sample B = all rows
+    val parts = rows.map(_._1).distinct
+    val tagged = parts.flatMap { p =>
+      rows.filter(_._1 == p).map(r => (p, r._2.toDouble, false)) ++
+        rows.map(r => (p, r._2.toDouble, true))
+    }.toDF("part", "v", "isRef")
+    val eks = tagged.groupBy("part")
+      .agg(Drift.exactKs(col("v"), col("isRef")).as("ks"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    parts.foreach { p =>
+      assert(math.abs(hks(p) - eks(p)) < 1e-12, s"part $p: ${hks(p)} vs ${eks(p)}")
+    }
+  }
 }

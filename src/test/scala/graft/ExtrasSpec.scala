@@ -27,6 +27,18 @@ class ExtrasSpec extends SparkTestBase {
       Some(2097152L), Some(1000000000L), None))
   }
 
+  test("validate_email reference fixture table (test_networks.py:905-976)") {
+    val df = SparkEntry.emailFixtures.map(_._1).toDF("c")
+    val p = Extras.parseNameEmail(col("c"))
+    val out = df.select(p.getField("name"), p.getField("email")).collect()
+    SparkEntry.emailFixtures.zip(out).foreach { case ((in, nm, em), row) =>
+      val gotName = if (row.isNullAt(0)) null else row.getString(0)
+      val gotEmail = if (row.isNullAt(1)) null else row.getString(1)
+      assert(gotName == nm, s"name of ${in.take(40)}: got $gotName")
+      assert(gotEmail == em, s"email of ${in.take(40)}: got $gotEmail")
+    }
+  }
+
   test("email + base64 + redaction") {
     assert(Seq("a.b@ex.com").toDF("c").select(Extras.isEmail(col("c")))
       .as[Boolean].head())

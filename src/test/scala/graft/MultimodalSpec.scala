@@ -44,6 +44,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(sizes == Seq(7, 7, 7))
   }
 
+  test("real header decode: PNG/JPEG/GIF dimensions from hand-built bytes") {
+    import graft.multimodal.MediaHeaders
+    def u32(v: Int) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      u32(13) ++ "IHDR".getBytes("UTF-8") ++ u32(640) ++ u32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    // realistic segment order: SOI, APP0(JFIF), DQT, then SOF0 — plus a
+    // fill byte before APP0 to exercise the 0xFF-padding skip
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte) ++
+      Array(0xFF.toByte, 0xE0.toByte) ++ u16(16) ++
+      "JFIF".getBytes("UTF-8") ++ Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+      Array(0xFF.toByte, 0xDB.toByte) ++ u16(67) ++ Array.fill[Byte](65)(1) ++
+      Array(0xFF.toByte, 0xC0.toByte) ++ u16(17) ++ Array[Byte](8) ++
+      u16(768) ++ u16(1024) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val gif = "GIF89a".getBytes("UTF-8") ++
+      Array[Byte](0x40, 0x01, 0xC8.toByte, 0x00, 0x00) // 320 x 200 LE
+    val junk = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    val df = Seq(Tuple1(png), Tuple1(jpeg), Tuple1(gif), Tuple1(junk))
+      .toDF("payload")
+    val out = df.select(MediaHeaders.imageDims(col("payload")).as("d"))
+      .select(col("d.format"), col("d.width"), col("d.height")).collect()
+    assert(out(0).toSeq == Seq("png", 640, 480))
+    assert(out(1).toSeq == Seq("jpeg", 1024, 768))
+    assert(out(2).toSeq == Seq("gif", 320, 200))
+    assert(out(3).toSeq == Seq(null, null, null))
+    // Scala twin agrees with the expression path
+    assert(MediaHeaders.parseDims(png).contains(("png", 640, 480)))
+    assert(MediaHeaders.parseDims(jpeg).contains(("jpeg", 1024, 768)))
+    assert(MediaHeaders.parseDims(gif).contains(("gif", 320, 200)))
+    assert(MediaHeaders.parseDims(junk).isEmpty)
+    // extractFeatures now reports REAL dimensions for parseable payloads
+    val rows = Seq(Multimodal.MediaRow(0L, "image", png, Map.empty),
+      Multimodal.MediaRow(1L, "image", jpeg, Map.empty)).toDS()
+    val feats = Multimodal.extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(feats(0).width == 640 && feats(0).height == 480)
+    assert(feats(1).width == 1024 && feats(1).height == 768)
+  }
+
   test("frame sampling plan: pure-expression sequence+explode") {
     val feats = Multimodal.extractFeatures(media.filter(col("kind") === "video"))
     val plan = Multimodal.frameSamplePlan(feats, everyMs = 1000L, maxFrames = 5)
