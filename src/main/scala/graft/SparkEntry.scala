@@ -589,6 +589,33 @@ object SparkEntry {
           col("d.width").as("width"), col("d.height").as("height"))
     }),
 
+    // ---- multimodal: REAL WAV header decode — canonical RIFF/WAVE bytes
+    // synthesized from doc_id, metadata parsed back via pure hex/conv
+    // expressions; duration = data bytes * 1000 / byte rate
+    "m_wav_info" -> ((s, dir) => {
+      import graft.multimodal.MediaHeaders
+      val sr = (lit(8000) + pmod(col("doc_id"), lit(8)).cast("int") * 4000)
+        .cast("int")
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val br = sr * ch * 2
+      val ds = ((pmod(col("doc_id"), lit(1000)) + 1) * 256).cast("int")
+      def le16hex(c: Column) = concat(
+        lpad(hex(pmod(c, lit(256))), 2, "0"),
+        lpad(hex((c / 256).cast("int")), 2, "0"))
+      def le32hex(c: Column) = concat(
+        le16hex(pmod(c, lit(65536)).cast("int")),
+        le16hex((c / 65536).cast("int")))
+      val hdr = concat(
+        lit("52494646"), le32hex(ds + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), le16hex(ch),
+        le32hex(sr), le32hex(br), le16hex(ch * 2), lit("1000"),
+        lit("64617461"), le32hex(ds))
+      t(s, dir, "documents")
+        .select(col("doc_id"), MediaHeaders.wavInfo(unhex(hdr)).as("w"))
+        .select(col("doc_id"), col("w.sample_rate"), col("w.channels"),
+          col("w.byte_rate"), col("w.duration_ms"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -1176,6 +1203,15 @@ object SparkEntry {
 
     "z_dump_proj" ->
       "SELECT doc_id, lang, source AS src FROM documents",
+
+    "m_wav_info" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST((8000 + (doc_id % 8) * 4000) * (doc_id % 2 + 1) * 2 AS INT) AS byte_rate,
+        |  CAST(((doc_id % 1000 + 1) * 256) * 1000 //
+        |    ((8000 + (doc_id % 8) * 4000) * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "m_image_dims" ->
       """SELECT doc_id,

@@ -75,6 +75,60 @@ object MediaHeaders {
       .otherwise(lit(null).cast("struct<format:string,width:int,height:int>"))
   }
 
+  /** One little-endian u32 at 1-based byte offset `pos`, as a long. */
+  private def le32(bin: Column, pos: Int): Column =
+    (be(bin, pos, 1).cast(LongType) +
+      be(bin, pos + 1, 1).cast(LongType) * 256L +
+      be(bin, pos + 2, 1).cast(LongType) * 65536L +
+      be(bin, pos + 3, 1).cast(LongType) * 16777216L)
+
+  /** Canonical-layout WAV: RIFF/WAVE signature with the fmt chunk at
+   * offset 12 and the data chunk immediately after (offset 36) — the
+   * layout nearly every encoder writes. Non-canonical chunk orders
+   * (LIST/INFO before data) return null; documented. */
+  def isWav(bin: Column): Column =
+    octet_length(bin) >= 44 &&
+      hex(substring(bin, 1, 4)) === "52494646" &&   // "RIFF"
+      hex(substring(bin, 9, 4)) === "57415645" &&   // "WAVE"
+      hex(substring(bin, 13, 4)) === "666D7420" &&  // "fmt "
+      hex(substring(bin, 37, 4)) === "64617461"     // "data"
+
+  /** struct(sample_rate, channels, byte_rate, duration_ms) of a
+   * canonical WAV payload — REAL audio metadata from pure hex/conv
+   * arithmetic; duration = data-chunk bytes · 1000 / byte-rate. */
+  def wavInfo(bin: Column): Column = {
+    val channels = le16(bin, 23)
+    val sampleRate = le32(bin, 25).cast(IntegerType)
+    val byteRate = le32(bin, 29)
+    val dataSize = le32(bin, 41)
+    val ms = dataSize * 1000L
+    val durationMs = ((ms - ms % byteRate) / byteRate).cast(LongType)
+    when(isWav(bin) && byteRate > 0,
+      struct(sampleRate.as("sample_rate"), channels.as("channels"),
+        byteRate.cast(IntegerType).as("byte_rate"),
+        durationMs.as("duration_ms")))
+      .otherwise(lit(null).cast(
+        "struct<sample_rate:int,channels:int,byte_rate:int,duration_ms:bigint>"))
+  }
+
+  /** Scala twin of [[wavInfo]]: Some((sampleRate, channels, durationMs)). */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def le32i(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (ch, j) => u8(i + j) == ch.toInt }
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") ||
+        !tag(12, "fmt ") || !tag(36, "data")) return None
+    val channels = u8(22) | (u8(23) << 8)
+    val sampleRate = le32i(24)
+    val byteRate = le32i(28)
+    val dataSize = le32i(40)
+    if (byteRate <= 0) None
+    else Some((sampleRate.toInt, channels, dataSize * 1000L / byteRate))
+  }
+
   /** Scala-side twin of [[imageDims]] for the `mapPartitions` decode path
    * ([[Multimodal.extractFeatures]]): Some((format, width, height)) when
    * the payload is a recognizable PNG/JPEG/GIF. Same offsets, same scan. */

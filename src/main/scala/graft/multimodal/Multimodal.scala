@@ -132,7 +132,11 @@ object Multimodal {
         // decode once per row — duration and frame count come from the
         // same demux call (round 1 decoded videos twice)
         val (dur, frames) = r.kind match {
-          case "audio" => (Codecs.decodeAudio(r.payload), -1)
+          case "audio" =>
+            // canonical WAV headers decode for real (MediaHeaders);
+            // other audio formats fall back to the stub
+            (MediaHeaders.parseWav(r.payload).map(_._3)
+              .getOrElse(Codecs.decodeAudio(r.payload)), -1)
           case "video" => Codecs.decodeVideo(r.payload)
           case _ => (-1L, -1)
         }

@@ -76,6 +76,9 @@ object Serializer {
       excludeNone: Boolean = false,
       excludeUnset: Boolean = false,
       excludeDefaults: Boolean = false,
+      /** `exclude_computed_fields` (`main.py:480,503`): drop every
+       * computed column from the dump. */
+      excludeComputedFields: Boolean = false,
       fieldSerializers: Map[String, FieldSer] = Map.empty,
       /** `ser_json_inf_nan` (`serializers/config.rs:142-143`):
        * 'null' (reference default: nonfinite floats render as JSON null) |
@@ -230,7 +233,8 @@ object Serializer {
         projectIncEx(served, dt, si, se)
       } else served
       out.as(spec.byAlias.getOrElse(n, n))
-    } ++ spec.computed.map { case (n, c) => c.as(n) }
+    } ++ (if (spec.excludeComputedFields) Nil
+          else spec.computed.map { case (n, c) => c.as(n) })
   }
 
   /** `model_dump` analog: typed projection (mode='python'). exclude_unset/

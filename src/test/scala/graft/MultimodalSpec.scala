@@ -85,6 +85,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(1).width == 1024 && feats(1).height == 768)
   }
 
+  test("real WAV header decode: canonical RIFF layout") {
+    import graft.multimodal.MediaHeaders
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    // 44100 Hz stereo 16-bit, 1 second of data (176400 bytes declared)
+    val wav = "RIFF".getBytes ++ le32(176400 + 36) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(44100) ++
+      le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(176400)
+    assert(MediaHeaders.parseWav(wav).contains((44100, 2, 1000L)))
+    val row = Seq(Tuple1(wav)).toDF("payload")
+      .select(MediaHeaders.wavInfo(col("payload")).as("w"))
+      .select(col("w.sample_rate"), col("w.channels"), col("w.byte_rate"),
+        col("w.duration_ms")).collect().head
+    assert(row.toSeq == Seq(44100, 2, 176400, 1000L))
+    // non-WAV bytes -> null
+    assert(MediaHeaders.parseWav("nope".getBytes).isEmpty)
+    // audio features use the real duration for WAV payloads
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(0L, "audio", wav, Map.empty)).toDS()).collect()
+    assert(feats.head.duration_ms == 1000L)
+  }
+
   test("frame sampling plan: pure-expression sequence+explode") {
     val feats = Multimodal.extractFeatures(media.filter(col("kind") === "video"))
     val plan = Multimodal.frameSamplePlan(feats, everyMs = 1000L, maxFrames = 5)

@@ -68,6 +68,16 @@ class SerializeSpec extends SparkTestBase {
     assert(keep.contains("\"name\":\"beta\""))
   }
 
+  test("exclude_computed_fields drops computed columns (main.py:480)") {
+    val md = ModelSpec("m", Seq(FieldSpec("id", IntSpec())))
+    val spec0 = DumpSpec(computed = Seq("y" -> (col("id") * 2)))
+    val withC = Serializer.dumpJson(df.limit(1), md, spec0).as[String].head()
+    assert(withC.contains("\"y\""))
+    val without = Serializer.dumpJson(df.limit(1), md,
+      spec0.copy(excludeComputedFields = true)).as[String].head()
+    assert(!without.contains("\"y\""))
+  }
+
   test("nested IncEx trees project into structs and arrays (filter.rs; pydantic goldens)") {
     import Serializer.IncEx
     // model: a={b:int,c:str}, d:int, items=[{x:int,y:str}] — goldens from
