@@ -589,6 +589,62 @@ object SparkEntry {
           col("d.width").as("width"), col("d.height").as("height"))
     }),
 
+    // ---- complex numbers (validators/complex.rs -> Python complex()
+    // grammar): six synthesized literal forms incl. parens, pure-j,
+    // exponents and a reject; value + str(complex)-style rendering
+    "q_complex" -> ((s, dir) => {
+      import graft.compile.Compiler
+      import graft.serialize.Serializer
+      import org.apache.spark.sql.types.StringType
+      val a = pmod(col("doc_id"), lit(100)).cast("long")
+      val b = pmod(col("doc_id"), lit(7)).cast("long")
+      val c50 = pmod(col("doc_id"), lit(50)).cast("long")
+      val b9 = pmod(col("doc_id"), lit(9)).cast("long")
+      val b30 = pmod(col("doc_id"), lit(30)).cast("long")
+      val m = pmod(col("doc_id"), lit(6)).cast("int")
+      val input = when(m === 0,
+          concat(a.cast("string"), lit("+"), b.cast("string"), lit("j")))
+        .when(m === 1, concat(lit("("), c50.cast("string"), lit("-"),
+          b9.cast("string"), lit(".5j)")))
+        .when(m === 2, concat(b30.cast("string"), lit("j")))
+        .when(m === 3, lit("j"))
+        .when(m === 4, concat(a.cast("string"), lit("."),
+          b.cast("string"), lit("e2")))
+        .otherwise(lit("bad"))
+      val cc = Compiler.compile(input, StringType, array(lit("z")),
+        ComplexSpec, Mode.Lax)
+      t(s, dir, "documents").select(col("doc_id"),
+        (size(cc.violations) === 0).as("ok"),
+        cc.value.getField("re").as("re"), cc.value.getField("im").as("im"),
+        Serializer.complexJson(cc.value).as("cjson"))
+    }),
+
+    // ---- exact rationals (validators/fraction.rs -> fractions.Fraction):
+    // n/d, decimal, negative-int, exponent and reject forms; reduced
+    // num/den + str(Fraction) rendering (DuckDB replays with gcd())
+    "q_fraction" -> ((s, dir) => {
+      import graft.compile.Compiler
+      import graft.serialize.Serializer
+      import org.apache.spark.sql.types.StringType
+      val a = (pmod(col("doc_id"), lit(97)) + 1).cast("long")
+      val b = (pmod(col("doc_id"), lit(13)) + 1).cast("long")
+      val d1 = pmod(col("doc_id"), lit(10)).cast("long")
+      val m = pmod(col("doc_id"), lit(5)).cast("int")
+      val input = when(m === 0,
+          concat(a.cast("string"), lit("/"), b.cast("string")))
+        .when(m === 1, concat(a.cast("string"), lit("."), d1.cast("string")))
+        .when(m === 2, concat(lit("-"), a.cast("string")))
+        .when(m === 3, concat(a.cast("string"), lit("e-2")))
+        .otherwise(when(pmod(col("doc_id"), lit(2)) === 0, lit("x"))
+          .otherwise(lit("3/0")))
+      val cf = Compiler.compile(input, StringType, array(lit("z")),
+        FractionSpec(), Mode.Lax)
+      t(s, dir, "documents").select(col("doc_id"),
+        cf.value.getField("num").as("num"), cf.value.getField("den").as("den"),
+        try_element_at(cf.violations, lit(1)).getField("type").as("vtype"),
+        Serializer.fractionJson(cf.value).as("fjson"))
+    }),
+
     // ---- multimodal: REAL WAV header decode — canonical RIFF/WAVE bytes
     // synthesized from doc_id, metadata parsed back via pure hex/conv
     // expressions; duration = data bytes * 1000 / byte rate
@@ -1203,6 +1259,49 @@ object SparkEntry {
 
     "z_dump_proj" ->
       "SELECT doc_id, lang, source AS src FROM documents",
+
+    "q_complex" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 6 AS INT) m,
+        |  CAST(doc_id % 100 AS BIGINT) a, CAST(doc_id % 7 AS BIGINT) b,
+        |  CAST(doc_id % 50 AS BIGINT) c50, CAST(doc_id % 9 AS BIGINT) b9,
+        |  CAST(doc_id % 30 AS BIGINT) b30 FROM documents)
+        |SELECT doc_id, m <> 5 AS ok,
+        |  CASE m WHEN 0 THEN CAST(a AS DOUBLE) WHEN 1 THEN CAST(c50 AS DOUBLE)
+        |         WHEN 2 THEN 0.0 WHEN 3 THEN 0.0
+        |         WHEN 4 THEN CAST(a*100 + b*10 AS DOUBLE) END AS re,
+        |  CASE m WHEN 0 THEN CAST(b AS DOUBLE) WHEN 1 THEN -(b9 + 0.5)
+        |         WHEN 2 THEN CAST(b30 AS DOUBLE) WHEN 3 THEN 1.0
+        |         WHEN 4 THEN 0.0 END AS im,
+        |  CASE WHEN m = 0 AND a = 0 THEN CAST(b AS VARCHAR) || 'j'
+        |       WHEN m = 0 THEN CAST(a AS VARCHAR) || '+' || CAST(b AS VARCHAR) || 'j'
+        |       WHEN m = 1 AND c50 = 0 THEN '-' || CAST(b9 AS VARCHAR) || '.5j'
+        |       WHEN m = 1 THEN CAST(c50 AS VARCHAR) || '-' || CAST(b9 AS VARCHAR) || '.5j'
+        |       WHEN m = 2 THEN CAST(b30 AS VARCHAR) || 'j'
+        |       WHEN m = 3 THEN '1j'
+        |       WHEN m = 4 AND a*100 + b*10 = 0 THEN '0j'
+        |       WHEN m = 4 THEN CAST(a*100 + b*10 AS VARCHAR) || '+0j'
+        |  END AS cjson
+        |FROM f""".stripMargin,
+
+    "q_fraction" ->
+      """WITH f AS (SELECT doc_id, CAST(doc_id % 5 AS INT) m,
+        |  CAST(doc_id % 97 + 1 AS BIGINT) a, CAST(doc_id % 13 + 1 AS BIGINT) b,
+        |  CAST(doc_id % 10 AS BIGINT) d1 FROM documents),
+        |r AS (SELECT doc_id, m,
+        |  CASE m WHEN 0 THEN a WHEN 1 THEN a*10 + d1 WHEN 2 THEN -a
+        |         WHEN 3 THEN a END num0,
+        |  CASE m WHEN 0 THEN b WHEN 1 THEN 10 WHEN 2 THEN 1
+        |         WHEN 3 THEN 100 END den0 FROM f)
+        |SELECT doc_id,
+        |  CAST(num0 // gcd(abs(num0), den0) AS BIGINT) AS num,
+        |  CAST(den0 // gcd(abs(num0), den0) AS BIGINT) AS den,
+        |  CASE WHEN m = 4 THEN 'fraction_parsing' END AS vtype,
+        |  CASE WHEN m = 4 THEN NULL
+        |       WHEN den0 // gcd(abs(num0), den0) = 1
+        |         THEN CAST(num0 // gcd(abs(num0), den0) AS VARCHAR)
+        |       ELSE CAST(num0 // gcd(abs(num0), den0) AS VARCHAR) || '/' ||
+        |            CAST(den0 // gcd(abs(num0), den0) AS VARCHAR) END AS fjson
+        |FROM r""".stripMargin,
 
     "m_wav_info" ->
       """SELECT doc_id,

@@ -164,6 +164,8 @@ object Compiler {
     case s: FloatSpec => compileFloat(input, inputType, loc, s, mode)
     case s: BoolSpec => compileBool(input, inputType, loc, s, mode)
     case s: DecimalSpec => compileDecimal(input, inputType, loc, s, mode)
+    case ComplexSpec => compileComplex(input, inputType, loc)
+    case s: FractionSpec => compileFraction(input, inputType, loc, s, mode)
     case s: DateSpec => compileDate(input, inputType, loc, s, mode)
     case s: DatetimeSpec => compileDatetime(input, inputType, loc, s, mode)
     case s: TimeSpec => compileTime(input, inputType, loc, s, mode)
@@ -390,6 +392,200 @@ object Compiler {
   }
 
   // ---------------------------------------------------------------- decimal
+
+  // --------------------------------------------------------------- fraction
+
+  private val FractionOut: DataType =
+    StructType(Seq(StructField("num", LongType), StructField("den", LongType)))
+
+  /** Python `fractions.Fraction` string grammar (`_RATIONAL_FORMAT`):
+   * sign, integer digits, then EITHER `/denominator` OR optional
+   * `.decimals` and optional exponent; underscores between digits;
+   * at least one digit overall. Groups: 1 sign, 2 int digits,
+   * 3 denominator, 4 decimals, 5 exponent. */
+  private val FrD = "[0-9](?:_?[0-9])*"
+  private val FrRe = s"\\A([+-]?)(?=[0-9]|\\.[0-9])($FrD)?" +
+    s"(?:/($FrD)|(?:\\.($FrD)?)?(?:[eE]([+-]?$FrD))?)\\z"
+
+  /** Compile-time parse of a rational bound string, reduced. */
+  private def parseRat(s: String): (Long, Long) = {
+    val (n, d) = s.split("/") match {
+      case Array(a) => (a.trim.toLong, 1L)
+      case Array(a, b) => (a.trim.toLong, b.trim.toLong)
+      case _ => throw new IllegalArgumentException(s"bad rational bound: $s")
+    }
+    val r = graft.functions.FractionReduce.reduce(n, d)
+    require(r != null, s"bad rational bound: $s")
+    (r(0), r(1))
+  }
+
+  private def ratStr(nd: (Long, Long)): String =
+    if (nd._2 == 1) nd._1.toString else s"${nd._1}/${nd._2}"
+
+  private def compileFraction(input: Column, t: DataType, loc: Column,
+                              s: FractionSpec, mode: Mode): Compiled = {
+    import graft.functions.FractionOps
+    val parseMsg = "Input is not a valid fraction"
+    val typeMsg =
+      "Fraction input should be an integer, float, string or Fraction object"
+
+    def fromArr(arr: Column): Column =
+      when(arr.isNotNull, struct(
+        element_at(arr, 1).as("num"), element_at(arr, 2).as("den")))
+
+    // value + parse-failure flag per input type
+    val (value0, parseFail): (Column, Column) = t match {
+      case tt if isIntegral(tt) =>
+        (when(input.isNotNull,
+          struct(input.cast(LongType).as("num"), lit(1L).as("den"))),
+          lit(false))
+      case tt if isFloating(tt) =>
+        val arr = FractionOps.fromDouble(input.cast(DoubleType))
+        (fromArr(arr), input.isNotNull && arr.isNull)
+      case _: DecimalType =>
+        // exact via the string grammar (decimal renders canonically)
+        return compileFraction(input.cast(StringType), StringType, loc, s, mode)
+      case StringType =>
+        val s1 = trim(input)
+        val matched = s1.rlike(FrRe)
+        def g(i: Int) = regexp_extract(s1, FrRe, i)
+        val sign = when(g(1) === "-", lit(-1L)).otherwise(lit(1L))
+        val intD = regexp_replace(g(2), "_", "")
+        val denD = regexp_replace(g(3), "_", "")
+        val decD = regexp_replace(g(4), "_", "")
+        val expD = regexp_replace(g(5), "_", "")
+        // Long-bounded arithmetic: significand digits + exponent must fit
+        // 18 decimal digits (documented engine deviation from bignum)
+        val e = coalesce(nullif(expD, lit("")).cast(IntegerType), lit(0))
+        val digits = concat(intD, decD)
+        // value = sign * digits * 10^(e - len(decimals))
+        val combined = e - length(decD)
+        val scaleUp = greatest(combined, lit(0))
+        val scaleDn = greatest(-combined, lit(0))
+        val fits = length(digits) + scaleUp <= 18 && scaleDn <= 18 &&
+          length(coalesce(nullif(denD, lit("")), lit("1"))) <= 18
+        def pow10(n: Column): Column =
+          concat(lit("1"), lit("0" * 18).substr(lit(1), n)).cast(LongType)
+        val baseNum = nullif(digits, lit("")).cast(LongType)
+        val num = sign * baseNum * pow10(scaleUp)
+        val den = when(g(3) =!= "", nullif(denD, lit("")).cast(LongType))
+          .otherwise(pow10(scaleDn))
+        val arr = FractionOps.reduce(num, den)
+        val okRow = input.isNotNull && matched && fits && arr.isNotNull
+        (when(okRow, fromArr(arr)), input.isNotNull && !okRow)
+      case st: StructType if st.fieldNames.sorted.toSeq == Seq("den", "num") =>
+        val arr = FractionOps.reduce(input.getField("num").cast(LongType),
+          input.getField("den").cast(LongType))
+        (fromArr(arr), input.isNotNull && arr.isNull)
+      case _ =>
+        return typeViolation(loc, "fraction_type", typeMsg, input, FractionOut)
+    }
+
+    // strict: only a Fraction object (struct input) passes —
+    // `fraction.rs:331-358` raises is_instance_of otherwise
+    val isStruct = t.isInstanceOf[StructType]
+    if (strictOf(s.strict, mode) && !isStruct)
+      return typeViolation(loc, "is_instance_of",
+        "Input should be an instance of Fraction", input, FractionOut)
+
+    // ordered checks by cross-multiplication in decimal(38,0) — exact,
+    // no overflow for long terms; bounds render like str(Fraction)
+    val n = value0.getField("num").cast(DecimalType(38, 0))
+    val d = value0.getField("den").cast(DecimalType(38, 0))
+    def cmp(bOpt: Option[String], cond: (Column, Column) => Column,
+            typ: String, word: String, key: String): Option[Column] =
+      bOpt.map { b =>
+        val (p, q) = parseRat(b)
+        when(value0.isNotNull && !cond(n * q, d * p),
+          oneS(loc, typ, s"Input should be $word ${ratStr((p, q))}", input,
+            Map(key -> ratStr((p, q)))))
+      }
+    val checks = Seq(
+      cmp(s.gt, _ > _, T.greaterThan, "greater than", "gt"),
+      cmp(s.ge, _ >= _, T.greaterThanEqual, "greater than or equal to", "ge"),
+      cmp(s.lt, _ < _, T.lessThan, "less than", "lt"),
+      cmp(s.le, _ <= _, T.lessThanEqual, "less than or equal to", "le")
+    ).flatten
+    Compiled(value0,
+      merge(Seq(
+        collect(Seq(when(parseFail, oneS(loc, "fraction_parsing", parseMsg,
+          input)))),
+        collect(checks))),
+      FractionOut)
+  }
+
+  // ---------------------------------------------------------------- complex
+
+  private val ComplexOut: DataType =
+    StructType(Seq(StructField("re", DoubleType), StructField("im", DoubleType)))
+
+  /** Python `complex()` literal grammar (the reference delegates string
+   * parsing to it — `complex.rs:66-93` string_to_complex): floats with
+   * single underscores between digits, optional fraction/exponent,
+   * inf/infinity/nan, in the shapes `float`, `float±[float]J`,
+   * `[±][float]J`. Exactly three capturing groups (real; signed
+   * imaginary of the two-part form; signed imaginary of the pure-J
+   * form) — everything else non-capturing so regexp_extract indices
+   * hold. */
+  private val CxD = "[0-9](?:_?[0-9])*"
+  private val CxF = s"(?:(?:$CxD(?:\\.(?:$CxD)?)?|\\.$CxD)(?:[eE][+-]?$CxD)?" +
+    "|[iI][nN][fF](?:[iI][nN][iI][tT][yY])?|[nN][aA][nN])"
+  private val CxCore =
+    s"\\A(?:([+-]?$CxF)(?:([+-](?:$CxF)?)[jJ])?|([+-]?(?:$CxF)?)[jJ])\\z"
+
+  private def compileComplex(input: Column, t: DataType,
+                             loc: Column): Compiled = {
+    val strParseMsg = "Input should be a valid complex string following " +
+      "the rules at https://docs.python.org/3/library/functions.html#complex"
+    val typeMsg = "Input should be a valid python complex object, a number, " +
+      "or a valid complex string following the rules at " +
+      "https://docs.python.org/3/library/functions.html#complex"
+    t match {
+      case tt if isNumeric(tt) =>
+        ok(when(input.isNotNull,
+          struct(input.cast(DoubleType).as("re"), lit(0.0).as("im"))),
+          ComplexOut)
+      case st: StructType if st.fieldNames.sorted.toSeq == Seq("im", "re") =>
+        ok(when(input.isNotNull,
+          struct(input.getField("re").cast(DoubleType).as("re"),
+            input.getField("im").cast(DoubleType).as("im"))), ComplexOut)
+      case StringType =>
+        // complex() strips outer whitespace, then at most ONE paren pair
+        // (whitespace allowed again inside): '( 1+2j )' ok, '((1+2j))' not
+        val s1 = trim(input)
+        val core = when(s1.rlike("\\A\\(.*\\)\\z"),
+          trim(regexp_extract(s1, "\\A\\((.*)\\)\\z", 1))).otherwise(s1)
+        val matched = core.rlike(CxCore)
+        val g1 = regexp_extract(core, CxCore, 1)
+        val g2 = regexp_extract(core, CxCore, 2)
+        val g3 = regexp_extract(core, CxCore, 3)
+        // total (hoisting-safe) string->double: underscores out, inf/nan
+        // rewritten to the spellings Spark's ANSI cast accepts, ''->null
+        def toD(sc: Column): Column = {
+          val noUs = regexp_replace(sc, "_", "")
+          val norm = regexp_replace(
+            regexp_replace(noUs, "(?i)inf(inity)?", "Infinity"),
+            "(?i)nan", "NaN")
+          nullif(norm, lit("")).cast(DoubleType)
+        }
+        // a bare sign (or nothing) before J means magnitude 1: 'j' = 1j
+        def imOf(sc: Column): Column =
+          when(sc === "" || sc === "+", lit(1.0))
+            .when(sc === "-", lit(-1.0))
+            .otherwise(toD(sc))
+        val re = when(g1 === "", lit(0.0)).otherwise(toD(g1))
+        val im = when(g1 =!= "",
+            when(g2 === "", lit(0.0)).otherwise(imOf(g2)))
+          .otherwise(imOf(g3))
+        Compiled(
+          when(input.isNotNull && matched, struct(re.as("re"), im.as("im"))),
+          collect(Seq(when(input.isNotNull && !matched,
+            oneS(loc, "complex_str_parsing", strParseMsg, input)))),
+          ComplexOut)
+      case _ =>
+        typeViolation(loc, "complex_type", typeMsg, input, ComplexOut)
+    }
+  }
 
   private def compileDecimal(input: Column, t: DataType, loc: Column,
                              s: DecimalSpec, mode: Mode): Compiled = {

@@ -420,6 +420,62 @@ object Serializer {
         s"ser_json_temporal must be iso8601|seconds|milliseconds, got $other")
     }
 
+  /** One part of a complex rendering, matching the reference's float
+   * formatting (`to_json(complex)` goldens): nan/inf lowercase,
+   * integral values without a fraction (1e20 renders as its full
+   * digits, not e-notation), plain decimals trimmed of zeros. */
+  private def cxPart(x: Column): Column = {
+    // ANSI-total casts: each decimal cast sees only values in its range
+    // (guards INSIDE the cast input so codegen CSE cannot hoist an
+    // overflowing cast above its branch). Non-integral doubles are
+    // always < 2^53, so the (38,18) path covers them; integral values
+    // beyond decimal(38,0) fall back to double rendering (e-notation —
+    // documented deviation at |x| >= 1e38).
+    val small = when(abs(x) < 1e18, x).otherwise(lit(0.0))
+    val trimmed = regexp_replace(regexp_replace(
+      small.cast(DecimalType(38, 18)).cast(StringType), "0+$", ""),
+      "\\.$", "")
+    val big = when(abs(x) >= 9.2e18 && abs(x) < 1e38, x).otherwise(lit(0.0))
+    val bigStr = big.cast(DecimalType(38, 0)).cast(StringType)
+    // |x| >= 2^53 is integral by construction (ulp >= 1) — floor() there
+    // would overflow its LongType result; test it only below 2^53
+    val integral = abs(x) >= 9.007199254740992e15 ||
+      (when(abs(x) < 9.007199254740992e15, x).otherwise(lit(0.0)) ===
+        floor(when(abs(x) < 9.007199254740992e15, x).otherwise(lit(0.0))) &&
+        abs(x) < 9.007199254740992e15)
+    when(isnan(x), lit("nan"))
+      .when(x === Double.PositiveInfinity, lit("inf"))
+      .when(x === Double.NegativeInfinity, lit("-inf"))
+      .when(integral && abs(x) < 9.2e18, x.cast(LongType).cast(StringType))
+      .when(integral && abs(x) < 1e38, bigStr)
+      .when(integral, x.cast(StringType))
+      .otherwise(trimmed)
+  }
+
+  /** complex (`struct<re,im>`) -> the reference's JSON string form
+   * (goldens from `SchemaSerializer(complex_schema()).to_json`):
+   * `"1+2j"`, `"2j"` when re == 0, `"1.5-2.5j"`, `"3+0j"`, `"0j"`,
+   * `"inf+1j"`. Values beyond decimal(38,18) and negative-zero real
+   * parts are documented deviations. */
+  def complexJson(c: Column): Column = {
+    val re = c.getField("re"); val im = c.getField("im")
+    when(c.isNull, lit(null).cast(StringType))
+      .when(re === 0.0, concat(cxPart(im), lit("j")))
+      .otherwise(concat(cxPart(re),
+        when(im < 0 || im === Double.NegativeInfinity, lit(""))
+          .otherwise(lit("+")),
+        cxPart(im), lit("j")))
+  }
+
+  /** Fraction (`struct<num,den>`, reduced) -> `str(Fraction)`:
+   * `"3/4"`, or just `"3"` when the denominator is 1. */
+  def fractionJson(c: Column): Column =
+    when(c.isNull, lit(null).cast(StringType))
+      .when(c.getField("den") === 1L,
+        c.getField("num").cast(StringType))
+      .otherwise(concat(c.getField("num").cast(StringType), lit("/"),
+        c.getField("den").cast(StringType)))
+
   /** `ser_json_bytes` (`serializers/config.rs:136`): utf8 | base64 | hex
    * over a BinaryType column. */
   def bytesJson(bytes: Column, mode: String = "utf8"): Column = mode match {

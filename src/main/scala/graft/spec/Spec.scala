@@ -226,6 +226,38 @@ case object NoneSpec extends Spec
 /** Any — always passes (`validators/any.rs`). */
 case object AnySpec extends Spec
 
+/** Exact rationals — reference `validators/fraction.rs` (delegates to
+ * Python's `fractions.Fraction`; ValueError/ZeroDivision/Overflow ->
+ * `fraction_parsing`, TypeError -> `fraction_type`,
+ * `fraction.rs:146-175`). Columnar output: `struct<num:long, den:long>`
+ * in lowest terms, sign on the numerator, den > 0. Inputs: integers,
+ * floats (the EXACT binary ratio, `Fraction(0.1)` =
+ * 3602879701896397/36028797018963968), the Fraction string grammar
+ * (`'3/4'`, `'1.5'`, `'2e-3'`, underscores), and `struct<num,den>` (the
+ * Fraction-object analog). Bounds are rational strings (`"3/4"`,
+ * `"2"`); violations use the ordered-check types with the bound
+ * rendered like `str(Fraction)`. Engine deviation (documented):
+ * rationals are Long-bounded — values whose reduced terms exceed 2^62
+ * raise `fraction_parsing` instead of going bignum. */
+final case class FractionSpec(
+    gt: Option[String] = None,
+    ge: Option[String] = None,
+    lt: Option[String] = None,
+    le: Option[String] = None,
+    strict: Option[Boolean] = None
+) extends Spec
+
+/** Complex numbers — reference `validators/complex.rs` (string inputs
+ * delegate to Python's `complex()` literal grammar, `:66-93`). Columnar
+ * output: `struct<re:double, im:double>`. Numeric inputs become
+ * `(x, 0)`; a `struct<re,im>` input is the python-complex-object analog;
+ * strings parse the full literal grammar (underscores, exponents,
+ * inf/infinity/nan, one optional paren pair). Failed string parse emits
+ * `complex_str_parsing` (the JSON-mode type — engine columns are typed
+ * data, documented choice); unsupported input types emit
+ * `complex_type`. */
+case object ComplexSpec extends Spec
+
 // ---------------------------------------------------------------------------
 // Combinators
 // ---------------------------------------------------------------------------
