@@ -645,6 +645,25 @@ object SparkEntry {
         Serializer.fractionJson(cf.value).as("fjson"))
     }),
 
+    // ---- multimodal: REAL MP4 mvhd decode — ftyp+moov/mvhd boxes
+    // synthesized from doc_id, walked back by the native box-scan
+    // expression; duration_ms = duration * 1000 / timescale
+    "m_mp4_info" -> ((s, dir) => {
+      import graft.multimodal.MediaHeaders
+      val ts = ((pmod(col("doc_id"), lit(3)) + 1) * 600).cast("int")
+      val dur = (pmod(col("doc_id"), lit(9000)) + 1000).cast("int")
+      def be32(c: Column) = lpad(hex(c), 8, "0")
+      val hdr = concat(
+        lit("0000001066747970" + "69736F6D00000000"), // ftyp isom
+        lit("000000246D6F6F76"),                       // moov, size 36
+        lit("0000001C6D766864" + "00000000" + "00000000" + "00000000"),
+        be32(ts), be32(dur))                           // mvhd v0 ts+dur
+      t(s, dir, "documents")
+        .select(col("doc_id"), MediaHeaders.mp4Info(unhex(hdr)).as("m"))
+        .select(col("doc_id"), col("m.timescale"), col("m.duration"),
+          col("m.duration_ms"))
+    }),
+
     // ---- multimodal: REAL WAV header decode — canonical RIFF/WAVE bytes
     // synthesized from doc_id, metadata parsed back via pure hex/conv
     // expressions; duration = data bytes * 1000 / byte rate
@@ -1302,6 +1321,14 @@ object SparkEntry {
         |       ELSE CAST(num0 // gcd(abs(num0), den0) AS VARCHAR) || '/' ||
         |            CAST(den0 // gcd(abs(num0), den0) AS VARCHAR) END AS fjson
         |FROM r""".stripMargin,
+
+    "m_mp4_info" ->
+      """SELECT doc_id,
+        |  CAST((doc_id % 3 + 1) * 600 AS INT) AS timescale,
+        |  CAST(doc_id % 9000 + 1000 AS BIGINT) AS duration,
+        |  CAST((doc_id % 9000 + 1000) * 1000 //
+        |    ((doc_id % 3 + 1) * 600) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "m_wav_info" ->
       """SELECT doc_id,

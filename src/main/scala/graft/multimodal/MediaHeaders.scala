@@ -129,6 +129,22 @@ object MediaHeaders {
     else Some((sampleRate.toInt, channels, dataSize * 1000L / byteRate))
   }
 
+  def isMp4(bin: Column): Column =
+    octet_length(bin) >= 12 && hex(substring(bin, 5, 4)) === "66747970"
+
+  /** struct(timescale, duration, duration_ms) from an MP4 moov/mvhd box
+   * (ISO BMFF box walk — [[Mp4Info]]); null for non-MP4 bytes or files
+   * whose moov lies beyond the scanned payload. */
+  def mp4Info(bin: Column): Column = {
+    val arr = ColumnShim.column(Mp4Info(ColumnShim.expression(bin)))
+    when(arr.isNotNull, struct(
+      element_at(arr, 1).cast(IntegerType).as("timescale"),
+      element_at(arr, 2).as("duration"),
+      element_at(arr, 3).as("duration_ms")))
+      .otherwise(lit(null).cast(
+        "struct<timescale:int,duration:bigint,duration_ms:bigint>"))
+  }
+
   /** Scala-side twin of [[imageDims]] for the `mapPartitions` decode path
    * ([[Multimodal.extractFeatures]]): Some((format, width, height)) when
    * the payload is a recognizable PNG/JPEG/GIF. Same offsets, same scan. */
@@ -221,6 +237,105 @@ case class JpegDims(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): JpegDims =
     copy(child = newChild)
+}
+
+/**
+ * MP4 (ISO BMFF) movie-header scan as one native expression over a
+ * BinaryType column: walk the top-level boxes ([u32 size][4cc type],
+ * size 1 = 64-bit extended, size 0 = to-EOF) to `moov`, then its
+ * children to `mvhd`, and read (timescale, duration) — version 0's
+ * u32 pair or version 1's u32/u64. Returns array<long>
+ * [timescale, duration, duration_ms]; null when the payload is not MP4
+ * or `moov` is not within the scanned bytes (mdat-first files whose
+ * moov trails the payload window — callers that need those fetch the
+ * tail). One static method backs both eval and the generated code.
+ */
+case class Mp4Info(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "mp4_info"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = Mp4Info.scan(input.asInstanceOf[Array[Byte]])
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.multimodal.Mp4Info.scan($b);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Mp4Info =
+    copy(child = newChild)
+}
+
+object Mp4Info {
+  def scan(b: Array[Byte]): Array[Long] = {
+    @inline def u8(i: Long): Int = b(i.toInt) & 0xFF
+    @inline def u32(i: Long): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    @inline def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
+    @inline def typeIs(i: Long, t: String): Boolean =
+      u8(i + 4) == t.charAt(0) && u8(i + 5) == t.charAt(1) &&
+        u8(i + 6) == t.charAt(2) && u8(i + 7) == t.charAt(3)
+    val len = b.length.toLong
+    if (len < 12 || !typeIs(0, "ftyp")) return null
+
+    // (size, headerLen) of the box at i; null-marker (-1) on corruption
+    def boxAt(i: Long): (Long, Long) = {
+      val sz0 = u32(i)
+      if (sz0 == 1) {
+        if (i + 16 > len) return (-1L, 0L)
+        (u64(i + 8), 16L)
+      } else if (sz0 == 0) (len - i, 8L)
+      else (sz0, 8L)
+    }
+
+    var i = 0L
+    while (i + 8 <= len) {
+      val (sz, hdr) = boxAt(i)
+      if (sz < hdr) return null
+      if (typeIs(i, "moov")) {
+        var j = i + hdr
+        val end = math.min(i + sz, len)
+        while (j + 8 <= end) {
+          val (csz, chdr) = boxAt(j)
+          if (csz < chdr) return null
+          if (typeIs(j, "mvhd")) {
+            val p = j + chdr
+            if (p + 20 > len) return null
+            val ver = u8(p)
+            val (ts, dur) =
+              if (ver == 1) {
+                if (p + 32 > len) return null
+                (u32(p + 20), u64(p + 24))
+              } else (u32(p + 12), u32(p + 16))
+            if (ts <= 0) return null
+            return Array(ts, dur, dur * 1000L / ts)
+          }
+          j += csz
+        }
+        return null
+      }
+      i += sz
+    }
+    null
+  }
 }
 
 object JpegDims {

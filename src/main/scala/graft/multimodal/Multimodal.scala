@@ -137,7 +137,13 @@ object Multimodal {
             // other audio formats fall back to the stub
             (MediaHeaders.parseWav(r.payload).map(_._3)
               .getOrElse(Codecs.decodeAudio(r.payload)), -1)
-          case "video" => Codecs.decodeVideo(r.payload)
+          case "video" =>
+            // canonical MP4 moov/mvhd decodes for real; frame counts need
+            // the stts box, so they stay stubbed (documented)
+            Mp4Info.scan(r.payload) match {
+              case a if a != null => (a(2), Codecs.decodeVideo(r.payload)._2)
+              case _ => Codecs.decodeVideo(r.payload)
+            }
           case _ => (-1L, -1)
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest,

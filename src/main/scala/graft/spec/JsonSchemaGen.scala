@@ -130,6 +130,11 @@ object JsonSchemaGen {
           s.maxLength.map(v => "maxItems" -> v.toString)))
     case _: TimeSpec =>
       obj(Seq("type" -> str("string"), "format" -> str("time")))
+    // pydantic: TypeAdapter(complex).json_schema() == {'type': 'string'};
+    // Fraction adds format 'fraction'
+    case ComplexSpec => obj(Seq("type" -> str("string")))
+    case _: FractionSpec =>
+      obj(Seq("format" -> str("fraction"), "type" -> str("string")))
     case _: TimedeltaSpec =>
       obj(Seq("type" -> str("string"), "format" -> str("duration")))
     case s: NamedTupleSpec =>

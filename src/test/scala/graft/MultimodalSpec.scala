@@ -109,6 +109,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.head.duration_ms == 1000L)
   }
 
+  test("real MP4 mvhd decode: box walk to timescale/duration") {
+    import graft.multimodal.{MediaHeaders, Mp4Info}
+    def u32(v: Long) = Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val ftyp = u32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ u32(0)
+    val mvhd = u32(28) ++ "mvhd".getBytes ++
+      Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(1500)
+    // a free box before mvhd exercises the child walk
+    val free = u32(12) ++ "free".getBytes ++ Array[Byte](0, 0, 0, 0)
+    val moov = u32(8 + free.length + mvhd.length) ++ "moov".getBytes ++
+      free ++ mvhd
+    val mp4 = ftyp ++ moov
+    // 1500 units at timescale 600 = 2500 ms
+    assert(Mp4Info.scan(mp4).toSeq == Seq(600L, 1500L, 2500L))
+    val row = Seq(Tuple1(mp4)).toDF("payload")
+      .select(MediaHeaders.mp4Info(col("payload")).as("m"))
+      .select(col("m.timescale"), col("m.duration"), col("m.duration_ms"))
+      .collect().head
+    assert(row.toSeq == Seq(600, 1500L, 2500L))
+    assert(Mp4Info.scan("nope not an mp4".getBytes) == null)
+    // video features pick up the real duration
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(0L, "video", mp4, Map.empty)).toDS()).collect()
+    assert(feats.head.duration_ms == 2500L)
+  }
+
   test("frame sampling plan: pure-expression sequence+explode") {
     val feats = Multimodal.extractFeatures(media.filter(col("kind") === "video"))
     val plan = Multimodal.frameSamplePlan(feats, everyMs = 1000L, maxFrames = 5)
