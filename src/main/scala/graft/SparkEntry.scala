@@ -584,7 +584,9 @@ object SparkEntry {
       val payload = unhex(when(m === 0, pngHex)
         .when(m === 1, jpegHex).otherwise(gifHex))
       t(s, dir, "documents")
-        .select(col("doc_id"), MediaHeaders.imageDims(payload).as("d"))
+        .select(col("doc_id"), payload.as("__img"))
+        .select(col("doc_id"),
+          MediaHeaders.imageDims(col("__img")).as("d"))
         .select(col("doc_id"), col("d.format").as("fmt"),
           col("d.width").as("width"), col("d.height").as("height"))
     }),
@@ -613,10 +615,17 @@ object SparkEntry {
         .otherwise(lit("bad"))
       val cc = Compiler.compile(input, StringType, array(lit("z")),
         ComplexSpec, Mode.Lax)
-      t(s, dir, "documents").select(col("doc_id"),
-        (size(cc.violations) === 0).as("ok"),
-        cc.value.getField("re").as("re"), cc.value.getField("im").as("im"),
-        Serializer.complexJson(cc.value).as("cjson"))
+      // materialize the parse ONCE: the outer projection references the
+      // struct 4+ ways (and complexJson ~15 more inside cxPart), so an
+      // inlined tree re-evaluates the grammar regexes ~30x — measured
+      // 29s -> sub-second with the projection boundary (CollapseProject
+      // keeps it: merging would duplicate a non-cheap expression)
+      t(s, dir, "documents")
+        .select(col("doc_id"), cc.value.as("__cx"),
+          size(cc.violations).as("__nv"))
+        .select(col("doc_id"), (col("__nv") === 0).as("ok"),
+          col("__cx.re").as("re"), col("__cx.im").as("im"),
+          Serializer.complexJson(col("__cx")).as("cjson"))
     }),
 
     // ---- exact rationals (validators/fraction.rs -> fractions.Fraction):
@@ -639,10 +648,14 @@ object SparkEntry {
           .otherwise(lit("3/0")))
       val cf = Compiler.compile(input, StringType, array(lit("z")),
         FractionSpec(), Mode.Lax)
-      t(s, dir, "documents").select(col("doc_id"),
-        cf.value.getField("num").as("num"), cf.value.getField("den").as("den"),
-        try_element_at(cf.violations, lit(1)).getField("type").as("vtype"),
-        Serializer.fractionJson(cf.value).as("fjson"))
+      // same two-projection split as q_complex (the fraction parse tree
+      // is referenced 5 ways downstream)
+      t(s, dir, "documents")
+        .select(col("doc_id"), cf.value.as("__fr"),
+          try_element_at(cf.violations, lit(1)).getField("type").as("vtype"))
+        .select(col("doc_id"), col("__fr.num").as("num"),
+          col("__fr.den").as("den"), col("vtype"),
+          Serializer.fractionJson(col("__fr")).as("fjson"))
     }),
 
     // ---- multimodal: REAL MP4 mvhd decode — ftyp+moov/mvhd boxes
@@ -685,8 +698,12 @@ object SparkEntry {
         lit("666D7420"), lit("10000000"), lit("0100"), le16hex(ch),
         le32hex(sr), le32hex(br), le16hex(ch * 2), lit("1000"),
         lit("64617461"), le32hex(ds))
+      // payload materialized in its own projection: wavInfo reads ~20
+      // byte offsets, each a hex/conv over the payload — inlining the
+      // unhex(concat(...)) tree 20x cost ~1.3s at sf0.1
       t(s, dir, "documents")
-        .select(col("doc_id"), MediaHeaders.wavInfo(unhex(hdr)).as("w"))
+        .select(col("doc_id"), unhex(hdr).as("__wav"))
+        .select(col("doc_id"), MediaHeaders.wavInfo(col("__wav")).as("w"))
         .select(col("doc_id"), col("w.sample_rate"), col("w.channels"),
           col("w.byte_rate"), col("w.duration_ms"))
     }),
