@@ -96,6 +96,44 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: fraction parse ∘ render = id on random rationals") {
+    val pairs = Gen.listOfN(120, for {
+      n <- Gen.chooseNum(-1000000L, 1000000L)
+      d <- Gen.chooseNum(1L, 1000000L)
+    } yield (n, d)).sample.get
+    val reduced = pairs.map { case (n, d) =>
+      val r = graft.functions.FractionReduce.reduce(n, d); (r(0), r(1))
+    }
+    val rendered = reduced.map { case (n, d) =>
+      if (d == 1) n.toString else s"$n/$d"
+    }
+    val got = run(FractionSpec(), StringType, rendered)
+    reduced.zip(got).foreach { case ((n, d), (v, viols)) =>
+      assert(viols.isEmpty)
+      val row = v.asInstanceOf[Row]
+      assert((row.getLong(0), row.getLong(1)) == ((n, d)))
+    }
+  }
+
+  test("property: complex parse ∘ render = id on bounded random doubles") {
+    // decimal(38,18) keeps >= 17 significant digits in this range, which
+    // uniquely identifies a double — so render-then-parse must be exact
+    val vals = Gen.listOfN(80, for {
+      re <- Gen.chooseNum(-1e6, 1e6)
+      im <- Gen.chooseNum(-1e6, 1e6)
+    } yield (re, im)).sample.get
+    val renderedDf = vals.toDF("re", "im")
+      .select(Serializer.complexJson(struct(col("re"), col("im"))))
+      .as[String].collect().toSeq
+    val got = run(ComplexSpec, StringType, renderedDf)
+    vals.zip(got).zip(renderedDf).foreach { case (((re, im), (v, viols)), s) =>
+      assert(viols.isEmpty, s"$s")
+      val row = v.asInstanceOf[Row]
+      assert(row.getDouble(0) == re && row.getDouble(1) == im,
+        s"$s -> (${row.getDouble(0)}, ${row.getDouble(1)}) != ($re, $im)")
+    }
+  }
+
   test("property: serialize ∘ validate = id on valid rows (roundtrip)") {
     val model = ModelSpec("m", Seq(
       FieldSpec("a", IntSpec()), FieldSpec("b", StrSpec())))
