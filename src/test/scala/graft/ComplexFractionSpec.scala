@@ -155,6 +155,27 @@ class ComplexFractionSpec extends SparkTestBase {
     assert((r.getLong(0), r.getLong(1)) == ((3L, 4L)))
   }
 
+  test("two-projection split keeps the q_complex plan bounded (29s regression guard)") {
+    // the oracle query inlines the parse into 4+ outputs; the projection
+    // boundary must survive optimization or the grammar regexes evaluate
+    // ~30x per row (measured 29.3s at sf0.1 when it collapsed)
+    val df = Seq("1+2j").toDF("c")
+    import graft.compile.Compiler
+    import graft.serialize.Serializer
+    val cc = Compiler.compile(col("c"), StringType, array(lit("z")),
+      ComplexSpec, Mode.Lax)
+    val split = df
+      .select(col("c"), cc.value.as("__cx"), size(cc.violations).as("__nv"))
+      .select((col("__nv") === 0).as("ok"), col("__cx.re"), col("__cx.im"),
+        Serializer.complexJson(col("__cx")).as("cjson"))
+    val optNodes = split.queryExecution.optimizedPlan.expressions
+      .map(_.collect { case e => e }.size).sum
+    // one materialized parse (~1.5k nodes incl. complexJson) — the
+    // collapsed form measured ~8x that; guard well under it
+    assert(optNodes < 6000, s"q_complex optimized plan grew to $optNodes nodes")
+    assert(split.collect().length == 1)
+  }
+
   test("fraction: to_json renders str(Fraction)") {
     import graft.serialize.Serializer
     val df = Seq((3L, 4L), (3L, 1L), (-3L, 4L)).toDF("num", "den")
