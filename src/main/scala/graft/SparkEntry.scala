@@ -245,6 +245,28 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp"))
     }),
 
+    // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
+    // counts and a redacted-text hash, both replayed verbatim by the
+    // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
+    "t_pii" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3)).cast("int")
+      val injected = when(m === 0, lit("no personal data here"))
+        .when(m === 1, concat(lit("mail bob"),
+          pmod(col("doc_id"), lit(10)).cast("string"),
+          lit("@example.com now")))
+        .otherwise(concat(lit("ip 10.1."),
+          pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".7 and a@b.io plus tel +1 555-000-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      val pii = concat(col("text"), lit(" "), injected)
+      val cnts = TextOps.piiCounts(pii)
+      t(s, dir, "documents").select(col("doc_id"),
+        cnts.getField("n_email").as("n_email"),
+        cnts.getField("n_ipv4").as("n_ipv4"),
+        cnts.getField("n_phone").as("n_phone"),
+        sha2(TextOps.redactPii(pii), 256).as("redacted_sha"))
+    }),
+
     // ---- dedup: MinHash signatures (4 permutations, md5-portable)
     "d_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSignatureDf(t(s, dir, "documents"), "doc_id", "text",
@@ -294,6 +316,18 @@ object SparkEntry {
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, chunks = 4)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
+
+    // ---- dedup: connected components over the simhash near-dup pairs —
+    // pair edges -> transitive groups (component = min doc id), the step
+    // that makes "keep one per group" correct when a~b, b~c but the a~c
+    // edge was never emitted. Oracle replays with a recursive CTE.
+    "d_components" -> ((s, dir) => {
+      val pairs = Dedup.simhashPairs(t(s, dir, "documents"), "doc_id",
+        "text", maxHamming = 3, chunks = 4)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").cast("long").as("id"),
+          col("component").cast("long").as("component"))
     }),
 
     // ---- similarity: brute-force cosine top-5 (8 query vectors broadcast
@@ -1068,6 +1102,25 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
 
+    "t_pii" -> {
+      s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)
+         |  WHEN 0 THEN 'no personal data here'
+         |  WHEN 1 THEN 'mail bob' || CAST(doc_id % 10 AS VARCHAR) || '@example.com now'
+         |  ELSE 'ip 10.1.' || CAST(doc_id % 200 AS VARCHAR) ||
+         |    '.7 and a@b.io plus tel +1 555-000-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') END AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(s, '${TextOps.PiiEmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(s, '${TextOps.PiiIpv4Re}')) AS BIGINT) AS n_ipv4,
+         |  CAST(len(regexp_extract_all(s, '${TextOps.PiiPhoneRe}')) AS BIGINT) AS n_phone,
+         |  sha256(regexp_replace(regexp_replace(regexp_replace(s,
+         |    '${TextOps.PiiEmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.PiiIpv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PiiPhoneRe}', '<PHONE>', 'g')) AS redacted_sha
+         |FROM p""".stripMargin
+    },
+
     "t_lang_id" -> {
       val p = TextOps.defaultProfiles
       s"""WITH tk0 AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') tk FROM documents),
@@ -1181,6 +1234,24 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
+    // transitive closure via recursive CTE: min reachable id per node ==
+    // the engine's min-label-propagation fixpoint
+    "d_components" ->
+      s"""WITH RECURSIVE $simhashCteSql,
+         |p AS (SELECT a.doc_id id_a, b.doc_id id_b FROM sig a JOIN sig b
+         |      ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |e AS (SELECT id_a a, id_b b FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.id
+         |)
+         |SELECT id, CAST(min(r) AS BIGINT) AS component
+         |FROM reach GROUP BY id""".stripMargin,
 
     "s_ann_brute" ->
       s"""WITH $normCteSql,

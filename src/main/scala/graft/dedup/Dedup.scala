@@ -343,6 +343,64 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  // ------------------------------------------------- connected components
+
+  /**
+   * Connected components over near-dup pairs — the canonical-group step
+   * a dedup pipeline runs after pair generation (pairs are only edges;
+   * "keep one doc per GROUP" needs the transitive closure: a~b, b~c
+   * puts a,c in one group even when the a~c edge was never emitted).
+   *
+   * Iterative min-label propagation: every node's label becomes the min
+   * of its own and its neighbors' labels; converges in O(component
+   * diameter) rounds — near-dup components are shallow (diameter is
+   * small even for large boilerplate clusters, which are dense), so the
+   * default iteration cap is generous. Each round is ONE shuffle
+   * (groupBy node) against the persisted edge list; convergence is a
+   * changed-row existence check (limit-1 count, no full scan collect).
+   * At extreme pair counts the alternating large-star/small-star
+   * contraction (Kiveris et al., "Connected Components in MapReduce and
+   * Beyond", SoCC 2014) reduces round counts to O(log^2 n); this
+   * min-propagation is the simple exact form with identical output.
+   *
+   * Returns (id, component) for every node appearing in `pairs`, where
+   * component = the minimum node id of the group.
+   */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nm = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")),
+          Seq("dst"))
+        .groupBy("src").agg(min("ncomp").as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val next = labels.join(nm, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
+        .filter(col("comp") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
   // ----------------------------------------------------------- exact dedup
 
   /** Exact duplicate groups by full-content hash: one map-side-combined

@@ -63,7 +63,10 @@ object CorpusClean {
       persistIndex = persistStages,
       stagingDir = stagingDir.map(d => s"$d/jacc_index"))
     val drops = pairs.select(col("id_b").as("id")).distinct()
-    // read twice below (language scoring input + final join)
+    // read twice below (language scoring input + final join); staged so
+    // the near-dup pair joins upstream of `drops` run ONCE (an unstaged
+    // variant re-executed them per consumer — measured a wash at sf0.1
+    // where overhead dominates, and strictly worse at scale)
     val kept2 = staged(kept1.join(drops, Seq("id"), "left_anti"),
       "kept2", persistStages)
     // 3. language ID (inner join: token-less docs cannot be language-rated)

@@ -136,6 +136,32 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  // ------------------------------------------------------------------ PII
+
+  /** PII patterns shared by scan and redaction — deliberately limited to
+   * syntax valid in BOTH Java regex and RE2 (the DuckDB oracle replays
+   * them verbatim): email shapes, dotted IPv4, phone-like digit runs.
+   * A production pipeline extends the table; the plumbing (map-only
+   * count + global replace, fully codegen'd) is the point here. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  /** Per-document PII hit counts: struct(n_email, n_ipv4, n_phone). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(PiiEmailRe)).cast(LongType).as("n_email"),
+    regexp_count(text, lit(PiiIpv4Re)).cast(LongType).as("n_ipv4"),
+    regexp_count(text, lit(PiiPhoneRe)).cast(LongType).as("n_phone"))
+
+  /** Global PII redaction (emails first so their dotted domains never
+   * partially survive as IP-ish tokens, then IPs, then phone runs). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRe, "<EMAIL>"),
+        PiiIpv4Re, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
   /**
    * Gopher-style repetition quality metrics (Rae et al. 2021, appendix
    * A1.1 repetition filters; the same family as C4's duplicate rules) per

@@ -96,6 +96,28 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: connectedComponents equals driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val got = graft.dedup.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: union-find with union-by-min (root is the component min)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(got.keySet == nodes.toSet)
+    nodes.foreach { n => assert(got(n) == find(n), s"node $n") }
+  }
+
   test("property: fraction parse ∘ render = id on random rationals") {
     val pairs = Gen.listOfN(120, for {
       n <- Gen.chooseNum(-1000000L, 1000000L)
