@@ -35,7 +35,8 @@ object CorpusClean {
             jaccardThrNum: Long = 1L,
             jaccardThrDen: Long = 2L,
             persistStages: Boolean = true,
-            stagingDir: Option[String] = None): DataFrame = {
+            stagingDir: Option[String] = None,
+            useComponents: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // stagingDir: stage the reused intermediates (dedup survivors, the
     // jaccard shingle index, the near-dup survivors) to parquet instead of
@@ -62,7 +63,17 @@ object CorpusClean {
       shingleN = 3, thrNum = jaccardThrNum, thrDen = jaccardThrDen,
       persistIndex = persistStages,
       stagingDir = stagingDir.map(d => s"$d/jacc_index"))
-    val drops = pairs.select(col("id_b").as("id")).distinct()
+    // Near-dup drop policy: the default drops every pair's higher id —
+    // a valid maximal-independent-ish keep-first rule (no two kept docs
+    // form a PAIR), but transitively conservative: a~b, b~c with no a~c
+    // edge drops both b and c. useComponents=true runs the exact
+    // transitive grouping ([[Dedup.connectedComponents]]) and keeps ONE
+    // doc (the min id) per component — the canonical corpus-dedup rule.
+    val drops =
+      if (useComponents)
+        Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("component")).select("id")
+      else pairs.select(col("id_b").as("id")).distinct()
     // read twice below (language scoring input + final join); staged so
     // the near-dup pair joins upstream of `drops` run ONCE (an unstaged
     // variant re-executed them per consumer — measured a wash at sf0.1

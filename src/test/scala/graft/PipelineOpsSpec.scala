@@ -139,6 +139,14 @@ class PipelineOpsSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(out == Set(1L, 6L),
       s"expected Set(1, 6), got $out")
+    // useComponents: transitive keep-min-per-group gives the same result
+    // on this fixture (one near-dup component) — the policies only differ
+    // on chains where a pair edge is missing
+    val outCc = graft.text.CorpusClean.clean(df, "id", "text",
+      TextOps.defaultProfiles, keepLangs = Seq("en"), minTokens = 10,
+      maxCharsPerToken = 8.0, useComponents = true)
+      .select("id").as[Long].collect().toSet
+    assert(outCc == Set(1L, 6L), s"components policy: got $outCc")
   }
 
   test("exact dedup groups by content hash") {
