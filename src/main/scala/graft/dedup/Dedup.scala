@@ -369,14 +369,21 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
+    // Lineage discipline: `labels` feeds each iteration TWICE (neighbor
+    // lookup + the update join), so without truncation the LOGICAL plan
+    // doubles every round — caching short-circuits execution but not
+    // analysis, and round ~20 would hand Catalyst a 2^20-node tree.
+    // localCheckpoint (eager) materializes the round's result AND cuts
+    // the plan back to the stored blocks — the standard shape for
+    // iterative Spark algorithms. (On a real cluster with executor churn,
+    // swap for reliable checkpoint(dir); same topology.)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -385,19 +392,18 @@ object Dedup {
           Seq("dst"))
         .groupBy("src").agg(min("ncomp").as("nmin"))
         .select(col("src").as("id"), col("nmin"))
-      val next = labels.join(nm, Seq("id"), "left")
+      // the update join already sees old and new labels side by side, so
+      // the convergence flag rides along — no extra comparison join
+      val next3 = labels.join(nm, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("__old")), Seq("id"))
-        .filter(col("comp") =!= col("__old")).limit(1).count()
-      labels.unpersist()
-      labels = next
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("__ch"))
+        .localCheckpoint()
+      val changed = next3.filter(col("__ch")).limit(1).count()
+      labels = next3.select("id", "comp")
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id"), col("comp").as("component"))
   }
 
