@@ -22,6 +22,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-session parquet staging dir: tmpdir + the Spark applicationId
+   * (unique per SparkSession), so concurrent runs (Verify alongside
+   * Bench, or two users on one host) can never read each other's
+   * half-written staged files; a shutdown hook removes the whole root
+   * so staging never leaks across runs. */
+  private val stagedRoots = scala.collection.mutable.Set[String]()
+  private def stageDir(s: SparkSession, name: String): String = synchronized {
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_stage_${s.sparkContext.applicationId}")
+    if (stagedRoots.add(root.getAbsolutePath)) {
+      root.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delTree(root)))
+    }
+    new java.io.File(root, name).getAbsolutePath
+  }
+  private def delTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(delTree)
+    f.delete(); ()
+  }
+
   /** The documents-table constraint model: every field constrained the way
    * pydantic would (str length/pattern, enum membership, int range) with
    * thresholds chosen so real rows violate them (positive + negative cases). */
@@ -289,7 +310,7 @@ object SparkEntry {
       graft.text.CorpusClean.clean(t(s, dir, "documents"), "doc_id", "text",
         TextOps.defaultProfiles, keepLangs = Seq("en"),
         minTokens = 10, maxCharsPerToken = 8.0,
-        stagingDir = Some("/tmp/graft_stage_corpus"))
+        stagingDir = Some(stageDir(s, "corpus")))
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -301,7 +322,7 @@ object SparkEntry {
       // read by the prefix + verify joins as files
       Dedup.jaccardNgramPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, thrNum = 1L, thrDen = 2L,
-        stagingDir = Some("/tmp/graft_stage_jaccard"))
+        stagingDir = Some(stageDir(s, "jaccard")))
     }),
 
     // ---- dedup: 60-bit SimHash fingerprints (codegen'd explode+agg path)
@@ -455,6 +476,24 @@ object SparkEntry {
         includeTree = Map("doc_id" -> IncEx.Leaf,
           "meta" -> IncEx.tree("lang" -> IncEx.Leaf,
             "n_chars" -> IncEx.Leaf))))
+    }),
+
+    // ---- serializer: IncEx INTEGER sequence indices (filter.rs int
+    // keys): include={'items': {0: True, -1: True}} keeps the first and
+    // last element of a 3-element synthesized list
+    "z_dump_idx" -> ((s, dir) => {
+      import graft.serialize.Serializer
+      import Serializer.IncEx
+      val m = ModelSpec("doc", Seq(
+        FieldSpec("doc_id", IntSpec()), FieldSpec("items", AnySpec)))
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        array(
+          struct(col("doc_id").as("i"), lit("a").as("s")),
+          struct((col("doc_id") + 1).as("i"), lit("b").as("s")),
+          struct((col("doc_id") + 2).as("i"), lit("c").as("s"))).as("items"))
+      Serializer.dumpJson(d, m, Serializer.DumpSpec(
+        includeTree = Map("doc_id" -> IncEx.Leaf,
+          "items" -> IncEx.tree("0" -> IncEx.Leaf, "-1" -> IncEx.Leaf))))
     }),
 
     // ---- tagged union: O(1) dispatch on event_type, per-branch model
@@ -692,23 +731,31 @@ object SparkEntry {
           Serializer.fractionJson(col("__fr")).as("fjson"))
     }),
 
-    // ---- multimodal: REAL MP4 mvhd decode — ftyp+moov/mvhd boxes
-    // synthesized from doc_id, walked back by the native box-scan
-    // expression; duration_ms = duration * 1000 / timescale
+    // ---- multimodal: REAL MP4 decode — ftyp + moov{mvhd, trak>mdia>
+    // {hdlr'vide', minf>stbl>stts}} boxes synthesized from doc_id, walked
+    // back by the native box-scan expression; duration_ms = duration *
+    // 1000 / timescale, n_frames = the stts sample-count sum (2 entries)
     "m_mp4_info" -> ((s, dir) => {
       import graft.multimodal.MediaHeaders
       val ts = ((pmod(col("doc_id"), lit(3)) + 1) * 600).cast("int")
       val dur = (pmod(col("doc_id"), lit(9000)) + 1000).cast("int")
+      val c1 = (pmod(col("doc_id"), lit(100)) + 10).cast("int")
+      val c2 = (pmod(col("doc_id"), lit(50)) + 5).cast("int")
       def be32(c: Column) = lpad(hex(c), 8, "0")
       val hdr = concat(
         lit("0000001066747970" + "69736F6D00000000"), // ftyp isom
-        lit("000000246D6F6F76"),                       // moov, size 36
+        lit("000000786D6F6F76"),                       // moov, size 120
         lit("0000001C6D766864" + "00000000" + "00000000" + "00000000"),
-        be32(ts), be32(dur))                           // mvhd v0 ts+dur
+        be32(ts), be32(dur),                           // mvhd v0 ts+dur
+        lit("000000547472616B" + "0000004C6D646961"),  // trak > mdia
+        lit("0000001468646C72" + "00000000" + "00000000" + "76696465"),
+        lit("000000306D696E66" + "000000287374626C"),  // minf > stbl
+        lit("0000002073747473" + "00000000" + "00000002"), // stts v0, 2 ent
+        be32(c1), lit("00000064"), be32(c2), lit("000000C8"))
       t(s, dir, "documents")
         .select(col("doc_id"), MediaHeaders.mp4Info(unhex(hdr)).as("m"))
         .select(col("doc_id"), col("m.timescale"), col("m.duration"),
-          col("m.duration_ms"))
+          col("m.duration_ms"), col("m.n_frames"))
     }),
 
     // ---- multimodal: REAL WAV header decode — canonical RIFF/WAVE bytes
@@ -836,11 +883,11 @@ object SparkEntry {
 
   /** (input, expected name, expected normalized email) — transcribed from
    * the reference's validate_email test table
-   * (`tests/test_networks.py:905-976`; nulls = the reject rows). The
-   * punycode-decoding fixture (`foobar@xn--80ak6aa92e.com` ->
-   * `foobar@аррӏе.com`) is excluded: IDNA decode is a documented
-   * deviation of [[graft.functions.Extras.parseNameEmail]]. */
+   * (`tests/test_networks.py:905-976`; nulls = the reject rows),
+   * INCLUDING the punycode-decoding fixture (`foobar@xn--80ak6aa92e.com`
+   * -> `foobar@аррӏе.com`, [[graft.functions.EmailNorm]]). */
   private[graft] val emailFixtures: Seq[(String, String, String)] = Seq(
+    ("foobar@xn--80ak6aa92e.com", "foobar", "foobar@аррӏе.com"),
     ("foobar@example.com", "foobar", "foobar@example.com"),
     ("s@muelcolvin.com", "s", "s@muelcolvin.com"),
     ("Samuel Colvin <s@muelcolvin.com>", "Samuel Colvin", "s@muelcolvin.com"),
@@ -1415,7 +1462,8 @@ object SparkEntry {
         |  CAST((doc_id % 3 + 1) * 600 AS INT) AS timescale,
         |  CAST(doc_id % 9000 + 1000 AS BIGINT) AS duration,
         |  CAST((doc_id % 9000 + 1000) * 1000 //
-        |    ((doc_id % 3 + 1) * 600) AS BIGINT) AS duration_ms
+        |    ((doc_id % 3 + 1) * 600) AS BIGINT) AS duration_ms,
+        |  CAST((doc_id % 100 + 10) + (doc_id % 50 + 5) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
 
     "m_wav_info" ->
@@ -1438,6 +1486,12 @@ object SparkEntry {
     "z_dump_nested" ->
       """SELECT to_json(struct_pack(doc_id := doc_id,
         |  meta := struct_pack(lang := lang, n_chars := n_chars))) AS json
+        |FROM documents""".stripMargin,
+
+    "z_dump_idx" ->
+      """SELECT to_json(struct_pack(doc_id := doc_id,
+        |  items := [struct_pack(i := doc_id, s := 'a'),
+        |            struct_pack(i := doc_id + 2, s := 'c')])) AS json
         |FROM documents""".stripMargin,
 
     "q_tagged_union" ->

@@ -455,20 +455,28 @@ object Compiler {
         val decD = regexp_replace(g(4), "_", "")
         val expD = regexp_replace(g(5), "_", "")
         // Long-bounded arithmetic: significand digits + exponent must fit
-        // 18 decimal digits (documented engine deviation from bignum)
-        val e = coalesce(nullif(expD, lit("")).cast(IntegerType), lit(0))
+        // 18 decimal digits (documented engine deviation from bignum).
+        // Every digit-string is length-bounded BEFORE its ANSI cast so
+        // oversized input ('1e99999999999', a 19-digit significand or
+        // denominator) lands in fraction_parsing — dirty rows must emit a
+        // violation, never a SparkNumberFormatException that kills the job.
+        val expOk = expD.rlike("\\A(?:[+-]?[0-9]{1,9})?\\z")
+        val e = coalesce(when(expOk, nullif(expD, lit("")))
+          .cast(IntegerType), lit(0))
         val digits = concat(intD, decD)
         // value = sign * digits * 10^(e - len(decimals))
         val combined = e - length(decD)
         val scaleUp = greatest(combined, lit(0))
         val scaleDn = greatest(-combined, lit(0))
-        val fits = length(digits) + scaleUp <= 18 && scaleDn <= 18 &&
-          length(coalesce(nullif(denD, lit("")), lit("1"))) <= 18
+        val denOk = length(coalesce(nullif(denD, lit("")), lit("1"))) <= 18
+        val fits = expOk && length(digits) + scaleUp <= 18 &&
+          scaleDn <= 18 && denOk
         def pow10(n: Column): Column =
           concat(lit("1"), lit("0" * 18).substr(lit(1), n)).cast(LongType)
-        val baseNum = nullif(digits, lit("")).cast(LongType)
+        val baseNum = when(fits, nullif(digits, lit(""))).cast(LongType)
         val num = sign * baseNum * pow10(scaleUp)
-        val den = when(g(3) =!= "", nullif(denD, lit("")).cast(LongType))
+        val den = when(g(3) =!= "",
+          when(denOk, nullif(denD, lit(""))).cast(LongType))
           .otherwise(pow10(scaleDn))
         val arr = FractionOps.reduce(num, den)
         val okRow = input.isNotNull && matched && fits && arr.isNotNull

@@ -345,45 +345,154 @@ object Dedup {
 
   // ------------------------------------------------- connected components
 
+  /** Per-round lineage truncation for iterative algorithms: the frame
+   * feeds the next round 2+ times, so without truncation the LOGICAL
+   * plan doubles every round (caching short-circuits execution but not
+   * analysis). `checkpointDir = None` uses eager localCheckpoint
+   * (executor block store — fine single-JVM); `Some(dir)` uses reliable
+   * `checkpoint` (survives executor churn on a 1000-executor cluster,
+   * where losing one round-k block would otherwise recompute from the
+   * raw edges). */
+  private def truncate(df: DataFrame, checkpointDir: Option[String],
+                       eager: Boolean = true): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty || !sc.getCheckpointDir.contains(dir))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager) // reliable
+      case None => df.localCheckpoint(eager)
+    }
+
   /**
    * Connected components over near-dup pairs — the canonical-group step
    * a dedup pipeline runs after pair generation (pairs are only edges;
    * "keep one doc per GROUP" needs the transitive closure: a~b, b~c
    * puts a,c in one group even when the a~c edge was never emitted).
    *
-   * Iterative min-label propagation: every node's label becomes the min
-   * of its own and its neighbors' labels; converges in O(component
-   * diameter) rounds — near-dup components are shallow (diameter is
-   * small even for large boilerplate clusters, which are dense), so the
-   * default iteration cap is generous. Each round is ONE shuffle
-   * (groupBy node) against the persisted edge list; convergence is a
-   * changed-row existence check (limit-1 count, no full scan collect).
-   * At extreme pair counts the alternating large-star/small-star
-   * contraction (Kiveris et al., "Connected Components in MapReduce and
-   * Beyond", SoCC 2014) reduces round counts to O(log^2 n); this
-   * min-propagation is the simple exact form with identical output.
+   * Alternating large-star/small-star contraction (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC 2014): each
+   * round rewires every node's strictly-larger neighbors to the local
+   * minimum (large-star) then contracts the remaining downward edges
+   * onto that minimum (small-star). Converges in O(log^2 n) rounds
+   * REGARDLESS of component diameter — a 100M-node path graph finishes
+   * in ~tens of rounds where label propagation needs 100M — so the
+   * iteration cap is effectively unreachable; exceeding it throws
+   * rather than silently returning partial labels. Each round is two
+   * hash shuffles (groupBy node). Convergence is detected structurally:
+   * the edge set is a disjoint union of min-rooted stars iff no node
+   * appears as both a leaf and a center (one semi-join probe per round,
+   * on the by-then-contracted edge set).
    *
    * Returns (id, component) for every node appearing in `pairs`, where
-   * component = the minimum node id of the group.
+   * component = the minimum node id of the group — identical output to
+   * [[connectedComponentsMinLabel]]; a property test pins the two to
+   * driver-side union-find.
    */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
-    // Lineage discipline: `labels` feeds each iteration TWICE (neighbor
-    // lookup + the update join), so without truncation the LOGICAL plan
-    // doubles every round — caching short-circuits execution but not
-    // analysis, and round ~20 would hand Catalyst a 2^20-node tree.
-    // localCheckpoint (eager) materializes the round's result AND cuts
-    // the plan back to the stored blocks — the standard shape for
-    // iterative Spark algorithms. (On a real cluster with executor churn,
-    // swap for reliable checkpoint(dir); same topology.)
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // invariant maintained across rounds: edges are (u, v) with u > v,
+    // no self-loops, distinct
+    var edges = truncate(
+      pairs.select(col(idA).as("u"), col(idB).as("v"))
+        .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+        .filter(col("u") > col("v"))
+        .distinct(), checkpointDir)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star: center u over ALL neighbors; m = min(Γ(u) ∪ {u});
+      // emit (v, m) for each strictly larger neighbor v — keeps v > m
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = nbrs.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // ls feeds the small-star TWICE (agg + join) but only within this
+      // round — persist (lazy) avoids the double compute without paying
+      // a dedicated materialization job; edges' checkpoint below bounds
+      // the cross-round lineage
+      val lsT = ls.persist()
+      // small-star: center u over its smaller neighbors (edges already
+      // point downward); m = min; rewire every other small neighbor and
+      // u itself onto m
+      val ssMin = lsT.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = lsT.join(ssMin, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+      // LAZY checkpoint: the convergence probe below is the round's one
+      // action and materializes the checkpoint as a side effect — one
+      // Spark job per round instead of three (matters at sandbox scale,
+      // where d_components is scheduler-bound)
+      edges = truncate(ss, checkpointDir, eager = false)
+      // Deterministic fixpoint test — the edge set is a disjoint union
+      // of min-rooted stars iff (a) every leaf u points at exactly ONE
+      // center and (b) no node is both a leaf and a center. Leaf/center
+      // disjointness ALONE is not enough: {(3,1),(3,2)} passes (b) but
+      // still needs a merge round. One aggregation job over the
+      // contracted edge set: rows (n, c) mark n as a leaf of c, rows
+      // (n, null) mark n as a center; a group is bad if it has two
+      // distinct centers (min(c) != max(c) — cheaper than countDistinct's
+      // expand) or both roles (0 < count(c) < count(*)).
+      val roles = edges.select(col("u").as("n"), col("v").as("c"))
+        .union(edges.select(col("v").as("n"),
+          lit(null).cast(pairs.schema(idA).dataType).as("c")))
+      converged = roles.groupBy("n")
+        .agg(min(col("c")).as("c0"), max(col("c")).as("c1"),
+          count(col("c")).as("nc"), count(lit(1)).as("tot"))
+        .filter(col("c0") =!= col("c1") ||
+          (col("nc") > 0 && col("tot") > col("nc")))
+        .isEmpty
+      lsT.unpersist(false)
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "partial labels would silently corrupt dedup groups; raise maxIter")
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v"), col("v")).distinct()
+        .toDF("id", "component"))
+    // nodes appearing only in self-pairs (id_a == id_b) have no edge
+    // after the u > v filter but still owe a singleton label
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct()
+    labels.union(
+      nodes.join(labels.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component")))
+  }
+
+  /**
+   * Iterative min-label propagation — the simple exact form with output
+   * identical to [[connectedComponents]]: every node's label becomes the
+   * min of its own and its neighbors' labels; converges in O(component
+   * diameter) rounds, ONE shuffle per round. Preferable when components
+   * are known-shallow (dense near-dup clusters) and edges are few;
+   * the star contraction above is the default and the big-graph path.
+   * Non-convergence at `maxIter` THROWS — partial labels would silently
+   * violate the transitive-closure contract callers assume.
+   * `probeEvery` batches the convergence probe (one Spark job) across
+   * rounds: labels monotonically decrease, so running up to probeEvery-1
+   * extra cheap rounds after the true fixpoint is correct, just idle.
+   */
+  def connectedComponentsMinLabel(pairs: DataFrame, idA: String = "id_a",
+                                  idB: String = "id_b",
+                                  maxIter: Int = 25,
+                                  probeEvery: Int = 2,
+                                  checkpointDir: Option[String] = None)
+  : DataFrame = {
+    val edges = truncate(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+        .distinct(), checkpointDir)
+    var labels = truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")), checkpointDir)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -394,16 +503,21 @@ object Dedup {
         .select(col("src").as("id"), col("nmin"))
       // the update join already sees old and new labels side by side, so
       // the convergence flag rides along — no extra comparison join
-      val next3 = labels.join(nm, Seq("id"), "left")
+      val next3 = truncate(labels.join(nm, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
-          (coalesce(col("nmin"), col("comp")) < col("comp")).as("__ch"))
-        .localCheckpoint()
-      val changed = next3.filter(col("__ch")).limit(1).count()
+          (coalesce(col("nmin"), col("comp")) < col("comp")).as("__ch")),
+        checkpointDir)
+      if ((iter + 1) % probeEvery == 0 || iter + 1 == maxIter)
+        converged = next3.filter(col("__ch")).isEmpty
       labels = next3.select("id", "comp")
-      converged = changed == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsMinLabel did not converge in $maxIter rounds " +
+        "(component diameter exceeds the cap) — partial labels would " +
+        "silently corrupt dedup groups; use connectedComponents " +
+        "(large-star/small-star) or raise maxIter")
     labels.select(col("id"), col("comp").as("component"))
   }
 

@@ -44,18 +44,19 @@ object Extras {
    * outer-whitespace strip, 2048-char cap, dot-atom local (smtputf8),
    * dotted LDH/IDN domain with a non-numeric TLD, local <= 64 and
    * domain <= 253 chars. Returns struct(name, email) — name falls back
-   * to the local part, email normalizes the domain to lowercase — or
-   * null when invalid. Documented deviations: no punycode->unicode
-   * domain decoding and no NFC normalization of the local part (the
-   * xn--80ak6aa92e.com fixture keeps its ascii form here); quoted-string
-   * locals ("a b"@x.com) stay rejected like email-validator's default.
+   * to the NFC local part; email = NFC(local) @ the domain lowercased,
+   * punycode-decoded to unicode, and NFC'd (`xn--80ak6aa92e.com` ->
+   * `аррӏе.com`, email-validator's normalized form) — or null when
+   * invalid. Documented deviations: quoted-string locals ("a b"@x.com)
+   * stay rejected like email-validator's default; JDK IDNA2003 vs
+   * UTS-46 divergence on rare mapped code points ([[EmailNorm]]).
    */
   def parseNameEmail(c: Column): Column = {
     val unq = regexp_extract(c, PrettyRe, 1)
     val q = regexp_extract(c, PrettyRe, 2)
     val pretty = regexp_extract(c, PrettyRe, 3)
     val email = trim(when(pretty =!= "", pretty).otherwise(c))
-    val local = regexp_extract(email, EmailRe, 1)
+    val local = EmailNorm.nfcCol(regexp_extract(email, EmailRe, 1))
     val domain = regexp_extract(email, EmailRe, 2)
     val tld = regexp_extract(domain, "\\.([^.]*)\\z", 1)
     val valid = length(c) <= 2048 && local =!= "" &&
@@ -63,7 +64,7 @@ object Extras {
       !tld.rlike("\\A[0-9]+\\z")
     val name = when(unq =!= "", unq).when(q =!= "", q).otherwise(local)
     when(valid, struct(name.as("name"),
-      concat(local, lit("@"), lower(domain)).as("email")))
+      concat(local, lit("@"), EmailNorm.domainCol(domain)).as("email")))
       .otherwise(lit(null).cast("struct<name:string,email:string>"))
   }
 

@@ -132,17 +132,21 @@ object MediaHeaders {
   def isMp4(bin: Column): Column =
     octet_length(bin) >= 12 && hex(substring(bin, 5, 4)) === "66747970"
 
-  /** struct(timescale, duration, duration_ms) from an MP4 moov/mvhd box
-   * (ISO BMFF box walk — [[Mp4Info]]); null for non-MP4 bytes or files
-   * whose moov lies beyond the scanned payload. */
+  /** struct(timescale, duration, duration_ms, n_frames) from an MP4
+   * moov/mvhd box plus the first video trak's stts sample-count sum
+   * (ISO BMFF box walk — [[Mp4Info]]); struct null for non-MP4 bytes or
+   * files whose moov lies beyond the scanned payload; n_frames null when
+   * the scanned bytes carry no video stts (audio-only, header-only). */
   def mp4Info(bin: Column): Column = {
     val arr = ColumnShim.column(Mp4Info(ColumnShim.expression(bin)))
     when(arr.isNotNull, struct(
       element_at(arr, 1).cast(IntegerType).as("timescale"),
       element_at(arr, 2).as("duration"),
-      element_at(arr, 3).as("duration_ms")))
+      element_at(arr, 3).as("duration_ms"),
+      when(element_at(arr, 4) >= 0, element_at(arr, 4)).as("n_frames")))
       .otherwise(lit(null).cast(
-        "struct<timescale:int,duration:bigint,duration_ms:bigint>"))
+        "struct<timescale:int,duration:bigint,duration_ms:bigint," +
+          "n_frames:bigint>"))
   }
 
   /** Scala-side twin of [[imageDims]] for the `mapPartitions` decode path
@@ -285,14 +289,21 @@ case class Mp4Info(child: Expression)
 }
 
 object Mp4Info {
+  /** Returns [timescale, duration, duration_ms, n_frames] — n_frames is
+   * the sample-count sum of the FIRST video track's `stts` box
+   * (moov → trak → mdia → {hdlr=='vide', minf → stbl → stts}), or -1
+   * when the payload carries no video stts within the scanned bytes
+   * (audio-only MP4s, header-only payload windows). A malformed trak
+   * degrades to n_frames=-1 rather than nulling the mvhd fields. */
   def scan(b: Array[Byte]): Array[Long] = {
     @inline def u8(i: Long): Int = b(i.toInt) & 0xFF
     @inline def u32(i: Long): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     @inline def u64(i: Long): Long = (u32(i) << 32) | u32(i + 4)
-    @inline def typeIs(i: Long, t: String): Boolean =
-      u8(i + 4) == t.charAt(0) && u8(i + 5) == t.charAt(1) &&
-        u8(i + 6) == t.charAt(2) && u8(i + 7) == t.charAt(3)
+    @inline def cc(i: Long, t: String): Boolean =
+      u8(i) == t.charAt(0) && u8(i + 1) == t.charAt(1) &&
+        u8(i + 2) == t.charAt(2) && u8(i + 3) == t.charAt(3)
+    @inline def typeIs(i: Long, t: String): Boolean = cc(i + 4, t)
     val len = b.length.toLong
     if (len < 12 || !typeIs(0, "ftyp")) return null
 
@@ -306,6 +317,50 @@ object Mp4Info {
       else (sz0, 8L)
     }
 
+    // first child box of type `t` in [start, end); -1 if absent/corrupt
+    def findBox(start: Long, end: Long, t: String): Long = {
+      var k = start
+      while (k + 8 <= end) {
+        val (s2, h2) = boxAt(k)
+        if (s2 < h2) return -1L
+        if (typeIs(k, t)) return k
+        k += s2
+      }
+      -1L
+    }
+
+    // sample-count sum from a video trak, or -1
+    def trakFrames(trak: Long, trakEnd: Long): Long = {
+      val (tsz, th) = boxAt(trak)
+      if (tsz < th) return -1L
+      val mdia = findBox(trak + th, trakEnd, "mdia")
+      if (mdia < 0) return -1L
+      val (msz, mh) = boxAt(mdia)
+      val mEnd = math.min(mdia + msz, len)
+      // hdlr payload: version/flags(4) + pre_defined(4) + handler_type(4)
+      val hdlr = findBox(mdia + mh, mEnd, "hdlr")
+      if (hdlr < 0) return -1L
+      val (_, hh) = boxAt(hdlr)
+      if (hdlr + hh + 12 > len || !cc(hdlr + hh + 8, "vide")) return -1L
+      val minf = findBox(mdia + mh, mEnd, "minf")
+      if (minf < 0) return -1L
+      val (nsz, nh) = boxAt(minf)
+      val stbl = findBox(minf + nh, math.min(minf + nsz, len), "stbl")
+      if (stbl < 0) return -1L
+      val (ssz, sh) = boxAt(stbl)
+      val stts = findBox(stbl + sh, math.min(stbl + ssz, len), "stts")
+      if (stts < 0) return -1L
+      val (xsz, xh) = boxAt(stts)
+      val p = stts + xh // version/flags(4) + entry_count(4) + entries(8 ea)
+      if (p + 8 > len) return -1L
+      val entries = u32(p + 4)
+      if (p + 8 + entries * 8 > math.min(stts + xsz, len)) return -1L
+      var total = 0L
+      var k = 0L
+      while (k < entries) { total += u32(p + 8 + k * 8); k += 1 }
+      total
+    }
+
     var i = 0L
     while (i + 8 <= len) {
       val (sz, hdr) = boxAt(i)
@@ -313,10 +368,12 @@ object Mp4Info {
       if (typeIs(i, "moov")) {
         var j = i + hdr
         val end = math.min(i + sz, len)
+        var mvhd: Array[Long] = null
+        var frames = -1L
         while (j + 8 <= end) {
           val (csz, chdr) = boxAt(j)
           if (csz < chdr) return null
-          if (typeIs(j, "mvhd")) {
+          if (typeIs(j, "mvhd") && mvhd == null) {
             val p = j + chdr
             if (p + 20 > len) return null
             val ver = u8(p)
@@ -326,11 +383,14 @@ object Mp4Info {
                 (u32(p + 20), u64(p + 24))
               } else (u32(p + 12), u32(p + 16))
             if (ts <= 0) return null
-            return Array(ts, dur, dur * 1000L / ts)
+            mvhd = Array(ts, dur, dur * 1000L / ts)
           }
+          if (typeIs(j, "trak") && frames < 0)
+            frames = trakFrames(j, math.min(j + csz, len))
           j += csz
         }
-        return null
+        return if (mvhd == null) null
+        else Array(mvhd(0), mvhd(1), mvhd(2), frames)
       }
       i += sz
     }

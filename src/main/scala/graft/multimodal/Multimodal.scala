@@ -138,10 +138,15 @@ object Multimodal {
             (MediaHeaders.parseWav(r.payload).map(_._3)
               .getOrElse(Codecs.decodeAudio(r.payload)), -1)
           case "video" =>
-            // canonical MP4 moov/mvhd decodes for real; frame counts need
-            // the stts box, so they stay stubbed (documented)
+            // canonical MP4 moov/mvhd + video-trak stts decode for real;
+            // only when the header scan yields no frame count (no stts in
+            // the payload window) does the stub demux run — and then
+            // exactly once, destructured for both fields
             Mp4Info.scan(r.payload) match {
-              case a if a != null => (a(2), Codecs.decodeVideo(r.payload)._2)
+              case a if a != null && a(3) >= 0 => (a(2), a(3).toInt)
+              case a if a != null =>
+                val (_, stubFrames) = Codecs.decodeVideo(r.payload)
+                (a(2), stubFrames)
               case _ => Codecs.decodeVideo(r.payload)
             }
           case _ => (-1L, -1)

@@ -29,7 +29,10 @@ import graft.spec.ModelSpec
  */
 object Runner {
 
-  /** Per-partition verdict + lineage row — the checkpoint unit. */
+  /** Per-partition verdict + lineage row — the checkpoint unit.
+   * `constructed` marks a checks-bypassed ingest (`model_construct`,
+   * `pydantic/main.py:331-405`): trusted rows counted and
+   * sha-checksummed for lineage but never validated. */
   final case class PartitionResult(
       part_id: Int,
       spec_hash: String,
@@ -40,7 +43,8 @@ object Runner {
       psi: Double,
       passed: Boolean,
       attempt: Int,
-      completed_at_ms: Long)
+      completed_at_ms: Long,
+      constructed: Boolean = false)
 
   final case class RunReport(
       buckets: Int,
@@ -48,6 +52,25 @@ object Runner {
       ran: Seq[Int],
       passed: Seq[Int],
       failed: Seq[Int])
+
+  /** Per-wave observability row — the engine analog of pydantic's plugin
+   * hooks (`pydantic/plugin/__init__.py:76-186` on_success/on_error):
+   * rows/violations/wall per wave, plus what Spark's own
+   * QueryExecutionListener saw while the wave ran (query count and
+   * cumulative execution time — the listener bus is async, so the two
+   * listener fields are best-effort counters, never gates). */
+  final case class WaveMetrics(
+      spec_hash: String,
+      wave_id: Int,
+      parts: Int,
+      rows: Long,
+      violations: Long,
+      wall_ms: Long,
+      spark_queries: Long,
+      spark_query_ms: Long,
+      status: String,
+      constructed: Boolean,
+      completed_at_ms: Long)
 
   /** Stable hash of the compiled spec — part of partition lineage, so a
    * spec change invalidates nothing silently (results are keyed by it). */
@@ -102,9 +125,15 @@ object Runner {
           histLo: Double = 0, histHi: Double = 8192,
           histBuckets: Int = 40,
           stageBuckets: Boolean = false,
-          io: Option[TableIO] = None): RunReport = {
+          io: Option[TableIO] = None,
+          construct: Boolean = false): RunReport = {
     val tio = io.getOrElse(new ParquetDirIO(outDir))
-    val spec = specHash(model)
+    // `model_construct` ingests under its OWN lineage (hash + marker):
+    // a construct-committed partition must never satisfy a later REAL
+    // validation's resume check — bypassing checks is explicit in the
+    // ledger, not a silent skip of future validation
+    val spec = if (construct) specHash(model) + ":construct"
+               else specHash(model)
     val done = completedParts(spark, tio, spec)
     val all = 0 until buckets
     val pending = all.filterNot(done.contains)
@@ -137,88 +166,167 @@ object Runner {
     } else df.withColumn("__part",
       partitionId(col(keyCol), buckets))
 
-    // freeze the drift reference histogram on first contact
-    tio.writeRefHistIfAbsent(
-      Drift.histogram(withPart, lit("all"),
-        Drift.bucketize(length(col(contentCol)), histLo, histHi, histBuckets))
-        .groupBy("bucket").agg(sum("cnt").as("ref_cnt")))
-    val refHist = tio.readRefHist(spark)
+    // freeze the drift reference histogram on first contact (validation
+    // runs only — construct mode gates nothing on drift)
+    val refHist = if (construct) null else {
+      tio.writeRefHistIfAbsent(
+        Drift.histogram(withPart, lit("all"),
+          Drift.bucketize(length(col(contentCol)), histLo, histHi,
+            histBuckets))
+          .groupBy("bucket").agg(sum("cnt").as("ref_cnt")))
+      tio.readRefHist(spark)
+    }
+
+    // plugin-hook bridge (WaveMetrics scaladoc): count Spark query
+    // executions + cumulative execution time while the run is active
+    val qCount = new java.util.concurrent.atomic.AtomicLong
+    val qNanos = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qCount.incrementAndGet(); qNanos.addAndGet(durationNs); ()
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = {
+        qCount.incrementAndGet(); ()
+      }
+    }
+    spark.listenerManager.register(listener)
 
     var ranAll = Vector.empty[Int]
     var passedAll = Vector.empty[Int]
-    pending.grouped(waveSize).foreach { wave =>
-      val waveDf = withPart.filter(col("__part").isin(wave: _*))
-      val planned = ModelValidator.plan(waveDf, model)
-        .withColumn("__sha", TableChecks.sha256(col(contentCol)))
-        .withColumn("__sha60",
-          coalesce(graft.text.TextOps.hash60(col("__sha")), lit(0L)))
-
-      // Violations sink for the wave, keyed by (spec_hash, part_id) so runs
-      // under different specs never collide. Dynamic partition overwrite
-      // only rewrites partitions that produce >=1 violation row, so a
-      // re-run bucket whose new result is CLEAN would leave stale rows from
-      // a previous (possibly killed) attempt — clear this wave's partitions
-      // first. Clearing before the ledger commit is safe: a partition
-      // without a ledger entry is untrusted and will be re-run anyway.
-      tio.clearViolationPartitions(spec, wave)
-      tio.writeViolations(
-        planned.filter(size(col(ModelValidator.VIOLATIONS)) > 0)
-          .select(lit(spec).as("spec_hash"),
-            col("__part").as("part_id"), col(keyCol).as("key"),
-            explode(col(ModelValidator.VIOLATIONS)).as("v"))
-          .select(col("spec_hash"), col("part_id"), col("key"),
-            col("v.loc").as("loc"), col("v.type").as("type"),
-            col("v.msg").as("msg"), col("v.input").as("input")))
-
-      // per-partition metrics: ONE aggregation pass (partial+final)
-      val metrics = planned.groupBy(col("__part").as("part_id")).agg(
-        count(lit(1)).as("row_count"),
-        sum(size(col(ModelValidator.VIOLATIONS))).as("violation_count"),
-        sum(when(col(ModelValidator.VALID), 0L).otherwise(1L)).as("invalid_rows"),
-        // order-independent content checksum: xor of 60-bit sha prefixes —
-        // the per-row sha256-equality invariant aggregated per partition
-        // (xor never overflows; any single changed row flips it)
-        expr("bit_xor(__sha60)").as("sha_checksum"))
-
-      // drift per partition vs the frozen reference
-      val hist = Drift.histogram(waveDf, col("__part"),
-        Drift.bucketize(length(col(contentCol)), histLo, histHi, histBuckets))
-      val psiDf = Drift.psi(hist, refHist)
-        .select(col("part").as("part_id"), col("psi"))
-
-      val rows = metrics.join(psiDf, Seq("part_id"), "left")
-        .collect().map { r =>
-          val partId = r.getAs[Int]("part_id")
-          val rc = r.getAs[Long]("row_count")
-          val vc = Option(r.getAs[Any]("violation_count"))
-            .map(_.toString.toLong).getOrElse(0L)
-          val inv = r.getAs[Long]("invalid_rows")
-          val psi = Option(r.getAs[Any]("psi"))
-            .map(_.toString.toDouble).getOrElse(0.0)
-          PartitionResult(partId, spec, rc, vc, inv,
-            r.getAs[Long]("sha_checksum"), psi,
-            passed = inv.toDouble / rc <= maxViolationRate && psi <= maxPsi,
-            attempt = done.getOrElse(partId, 0) + 1,
-            completed_at_ms = System.currentTimeMillis())
-        }
-      // empty buckets still need ledger entries (completed, zero rows)
-      val seen = rows.map(_.part_id).toSet
-      val empties = wave.filterNot(seen.contains).map { p =>
-        PartitionResult(p, spec, 0L, 0L, 0L, 0L, 0.0, passed = true,
-          attempt = done.getOrElse(p, 0) + 1,
-          completed_at_ms = System.currentTimeMillis())
-      }
-      val committed = rows.toSeq ++ empties
+    try pending.grouped(waveSize).zipWithIndex.foreach { case (wave, wi) =>
+      val t0 = System.nanoTime()
+      val (q0, qn0) = (qCount.get(), qNanos.get())
+      def emit(committed: Seq[PartitionResult], status: String): Unit =
+        tio.appendMetrics(Seq(WaveMetrics(spec, wi, committed.size,
+          committed.map(_.row_count).sum,
+          committed.map(_.violation_count).sum,
+          (System.nanoTime() - t0) / 1000000L,
+          qCount.get() - q0, (qNanos.get() - qn0) / 1000000L,
+          status, construct, System.currentTimeMillis())))
+      val committed =
+        try {
+          val waveDf = withPart.filter(col("__part").isin(wave: _*))
+          val rows =
+            if (construct) constructWave(waveDf, contentCol, spec, done)
+            else validateWave(waveDf, model, keyCol, contentCol, spec,
+              done, maxViolationRate, maxPsi, histLo, histHi, histBuckets,
+              refHist, tio, wave)
+          // empty buckets still need ledger entries (completed, zero rows)
+          val seen = rows.map(_.part_id).toSet
+          val empties = wave.filterNot(seen.contains).map { p =>
+            PartitionResult(p, spec, 0L, 0L, 0L, 0L, 0.0, passed = true,
+              attempt = done.getOrElse(p, 0) + 1,
+              completed_at_ms = System.currentTimeMillis(),
+              constructed = construct)
+          }
+          rows ++ empties
+        } catch { case e: Throwable => emit(Nil, "error"); throw e }
       tio.commitWave(committed)
+      emit(committed, "success")
       ranAll ++= committed.map(_.part_id)
       passedAll ++= committed.filter(_.passed).map(_.part_id)
-    }
+    } finally spark.listenerManager.unregister(listener)
     RunReport(buckets,
       skipped = done.keys.toSeq.sorted,
       ran = ranAll.sorted,
       passed = passedAll.sorted,
       failed = (ranAll.toSet -- passedAll.toSet).toSeq.sorted)
   }
+
+  /** One validation wave: violations sink + per-partition metrics + drift
+   * gate. Extracted verbatim from the wave loop (see comments inline). */
+  private def validateWave(waveDf: DataFrame, model: ModelSpec,
+                           keyCol: String, contentCol: String, spec: String,
+                           done: Map[Int, Int], maxViolationRate: Double,
+                           maxPsi: Double, histLo: Double, histHi: Double,
+                           histBuckets: Int, refHist: DataFrame,
+                           tio: TableIO, wave: Seq[Int])
+  : Seq[PartitionResult] = {
+    val planned = ModelValidator.plan(waveDf, model)
+      .withColumn("__sha", TableChecks.sha256(col(contentCol)))
+      .withColumn("__sha60",
+        coalesce(graft.text.TextOps.hash60(col("__sha")), lit(0L)))
+
+    // Violations sink for the wave, keyed by (spec_hash, part_id) so runs
+    // under different specs never collide. Dynamic partition overwrite
+    // only rewrites partitions that produce >=1 violation row, so a
+    // re-run bucket whose new result is CLEAN would leave stale rows from
+    // a previous (possibly killed) attempt — clear this wave's partitions
+    // first. Clearing before the ledger commit is safe: a partition
+    // without a ledger entry is untrusted and will be re-run anyway.
+    tio.clearViolationPartitions(spec, wave)
+    tio.writeViolations(
+      planned.filter(size(col(ModelValidator.VIOLATIONS)) > 0)
+        .select(lit(spec).as("spec_hash"),
+          col("__part").as("part_id"), col(keyCol).as("key"),
+          explode(col(ModelValidator.VIOLATIONS)).as("v"))
+        .select(col("spec_hash"), col("part_id"), col("key"),
+          col("v.loc").as("loc"), col("v.type").as("type"),
+          col("v.msg").as("msg"), col("v.input").as("input")))
+
+    // per-partition metrics: ONE aggregation pass (partial+final)
+    val metrics = planned.groupBy(col("__part").as("part_id")).agg(
+      count(lit(1)).as("row_count"),
+      sum(size(col(ModelValidator.VIOLATIONS))).as("violation_count"),
+      sum(when(col(ModelValidator.VALID), 0L).otherwise(1L)).as("invalid_rows"),
+      // order-independent content checksum: xor of 60-bit sha prefixes —
+      // the per-row sha256-equality invariant aggregated per partition
+      // (xor never overflows; any single changed row flips it)
+      expr("bit_xor(__sha60)").as("sha_checksum"))
+
+    // drift per partition vs the frozen reference
+    val hist = Drift.histogram(waveDf, col("__part"),
+      Drift.bucketize(length(col(contentCol)), histLo, histHi, histBuckets))
+    val psiDf = Drift.psi(hist, refHist)
+      .select(col("part").as("part_id"), col("psi"))
+
+    metrics.join(psiDf, Seq("part_id"), "left")
+      .collect().toSeq.map { r =>
+        val partId = r.getAs[Int]("part_id")
+        val rc = r.getAs[Long]("row_count")
+        val vc = Option(r.getAs[Any]("violation_count"))
+          .map(_.toString.toLong).getOrElse(0L)
+        val inv = r.getAs[Long]("invalid_rows")
+        val psi = Option(r.getAs[Any]("psi"))
+          .map(_.toString.toDouble).getOrElse(0.0)
+        PartitionResult(partId, spec, rc, vc, inv,
+          r.getAs[Long]("sha_checksum"), psi,
+          passed = inv.toDouble / rc <= maxViolationRate && psi <= maxPsi,
+          attempt = done.getOrElse(partId, 0) + 1,
+          completed_at_ms = System.currentTimeMillis())
+      }
+  }
+
+  /** One `model_construct` wave: trusted ingest — rows counted and
+   * sha-checksummed for lineage, no validation plan, no violation rows,
+   * no drift gate; every partition passes and is flagged `constructed`. */
+  private def constructWave(waveDf: DataFrame, contentCol: String,
+                            spec: String, done: Map[Int, Int])
+  : Seq[PartitionResult] =
+    waveDf
+      .withColumn("__sha60", coalesce(graft.text.TextOps.hash60(
+        TableChecks.sha256(col(contentCol))), lit(0L)))
+      .groupBy(col("__part").as("part_id")).agg(
+        count(lit(1)).as("row_count"),
+        expr("bit_xor(__sha60)").as("sha_checksum"))
+      .collect().toSeq.map { r =>
+        PartitionResult(r.getAs[Int]("part_id"), spec,
+          r.getAs[Long]("row_count"), 0L, 0L,
+          r.getAs[Long]("sha_checksum"), 0.0, passed = true,
+          attempt = done.getOrElse(r.getAs[Int]("part_id"), 0) + 1,
+          completed_at_ms = System.currentTimeMillis(), constructed = true)
+      }
+
+  /** Per-wave observability rows ([[WaveMetrics]]), or empty. */
+  def metrics(spark: SparkSession, outDir: String): DataFrame =
+    metrics(spark, new ParquetDirIO(outDir))
+
+  def metrics(spark: SparkSession, io: TableIO): DataFrame =
+    io.metrics(spark).getOrElse(spark.emptyDataFrame)
 
   /** All committed partition results (latest attempt per partition).
    * `specHash` filters the ledger to one spec lineage — pass it whenever

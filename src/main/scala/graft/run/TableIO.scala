@@ -46,6 +46,13 @@ trait TableIO {
 
   def readRefHist(spark: SparkSession): DataFrame
 
+  /** Append per-wave observability rows ([[Runner.WaveMetrics]] — the
+   * plugin-hook bridge). Append-only; ordering is by completed_at_ms. */
+  def appendMetrics(rows: Seq[Runner.WaveMetrics]): Unit
+
+  /** All observability rows ever appended, or None when there are none. */
+  def metrics(spark: SparkSession): Option[DataFrame]
+
   /** Does a staged bucketed copy for this signature exist already? */
   def stagedExists(sig: String): Boolean
 
@@ -78,13 +85,41 @@ final class ParquetDirIO(outDir: String) extends TableIO {
       s"""{"part_id":${r.part_id},"spec_hash":"${r.spec_hash}","row_count":${r.row_count},""" +
         s""""violation_count":${r.violation_count},"invalid_rows":${r.invalid_rows},""" +
         s""""sha_checksum":${r.sha_checksum},"psi":${r.psi},"passed":${r.passed},""" +
-        s""""attempt":${r.attempt},"completed_at_ms":${r.completed_at_ms}}"""
+        s""""attempt":${r.attempt},"completed_at_ms":${r.completed_at_ms},""" +
+        s""""constructed":${r.constructed}}"""
     }.mkString("", "\n", "\n")
     val tmp = ledgerDir.resolve(s".tmp-${UUID.randomUUID()}")
     Files.writeString(tmp, json)
     Files.move(tmp, ledgerDir.resolve(s"wave-${UUID.randomUUID()}.json"),
       StandardCopyOption.ATOMIC_MOVE)
     ()
+  }
+
+  private def metricsDir = Paths.get(outDir, "metrics")
+
+  override def appendMetrics(rows: Seq[Runner.WaveMetrics]): Unit = {
+    Files.createDirectories(metricsDir)
+    val json = rows.map { m =>
+      s"""{"spec_hash":"${m.spec_hash}","wave_id":${m.wave_id},""" +
+        s""""parts":${m.parts},"rows":${m.rows},""" +
+        s""""violations":${m.violations},"wall_ms":${m.wall_ms},""" +
+        s""""spark_queries":${m.spark_queries},""" +
+        s""""spark_query_ms":${m.spark_query_ms},""" +
+        s""""status":"${m.status}","constructed":${m.constructed},""" +
+        s""""completed_at_ms":${m.completed_at_ms}}"""
+    }.mkString("", "\n", "\n")
+    val tmp = metricsDir.resolve(s".tmp-${UUID.randomUUID()}")
+    Files.writeString(tmp, json)
+    Files.move(tmp, metricsDir.resolve(s"m-${UUID.randomUUID()}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  override def metrics(spark: SparkSession): Option[DataFrame] = {
+    if (!Files.isDirectory(metricsDir)) return None
+    val files = Files.list(metricsDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+    if (files.isEmpty) None else Some(spark.read.json(files: _*))
   }
 
   override def clearViolationPartitions(specHash: String,
@@ -198,6 +233,18 @@ final class IcebergIO(spark: SparkSession, prefix: String) extends TableIO {
 
   override def readRefHist(spark: SparkSession): DataFrame =
     spark.table(refHistTbl)
+
+  private val metricsTbl = s"${prefix}_metrics"
+
+  override def appendMetrics(rows: Seq[Runner.WaveMetrics]): Unit = {
+    import spark.implicits._
+    val df = rows.toDF()
+    if (exists(metricsTbl)) df.writeTo(metricsTbl).append()
+    else df.writeTo(metricsTbl).create()
+  }
+
+  override def metrics(spark: SparkSession): Option[DataFrame] =
+    if (exists(metricsTbl)) Some(spark.table(metricsTbl)) else None
 
   override def stagedExists(sig: String): Boolean = exists(stagedTbl(sig))
 

@@ -168,6 +168,40 @@ object Serializer {
     (si, se)
   }
 
+  private val IntKeyRe = "\\A-?[0-9]+\\z".r
+
+  /** Sequence-index keys (`filter.rs` int keys, `{0: ..., -1: ...}`) —
+   * written as string-ints in the engine's string-keyed trees. Returns
+   * (intInclude, intExclude, dropAll, subInclude, subExclude): int keys
+   * SELECT elements by position (negative = from the end), `__all__` ->
+   * Leaf in exclude empties the sequence, and the remaining keys project
+   * each kept element as before. Engine bound (documented): an int key's
+   * subtree must be Leaf — columnar arrays are homogeneous, so per-index
+   * SCHEMAS cannot type (the reference's heterogeneous
+   * `{0: True, '__all__': {...}}` applies the `__all__` projection to
+   * every kept element here). */
+  private def splitElementKeys(inc: Option[Map[String, IncEx]],
+                               exc: Map[String, IncEx])
+      : (Map[Int, IncEx], Map[Int, IncEx], Boolean,
+         Option[Map[String, IncEx]], Map[String, IncEx]) = {
+    def ints(m: Map[String, IncEx]): Map[Int, IncEx] =
+      m.collect { case (k, v) if IntKeyRe.matches(k) => k.toInt -> v }
+    val (ii, ie) = (inc.map(ints).getOrElse(Map.empty), ints(exc))
+    (ii ++ ie).foreach { case (k, v) =>
+      if (v != IncEx.Leaf) throw new IllegalArgumentException(
+        s"IncEx integer index $k must map to Leaf (True): columnar arrays " +
+          "are homogeneous, per-index subtrees cannot type — use '__all__'")
+    }
+    val dropAll = exc.get("__all__").contains(IncEx.Leaf)
+    // an include map holding ONLY int keys is pure positional selection —
+    // it must not project element fields away (Some(empty) would)
+    val (si, se) = elementTrees(
+      inc.map(_.filterNot(kv => IntKeyRe.matches(kv._1)))
+        .filterNot(m => m.isEmpty && ii.nonEmpty),
+      exc.filterNot(kv => IntKeyRe.matches(kv._1)))
+    (ii, ie, dropAll, si, se)
+  }
+
   /** The data type [[projectIncEx]] produces for `dt` under (inc, exc). */
   private def projectedType(dt: DataType, inc: Option[Map[String, IncEx]],
                             exc: Map[String, IncEx]): DataType = dt match {
@@ -178,7 +212,7 @@ object Serializer {
         }
       })
     case ArrayType(et, n) =>
-      val (si, se) = elementTrees(inc, exc)
+      val (_, _, _, si, se) = splitElementKeys(inc, exc)
       ArrayType(projectedType(et, si, se), n)
     case other => other
   }
@@ -198,8 +232,27 @@ object Serializer {
       when(c.isNull, lit(null).cast(projectedType(dt, inc, exc)))
         .otherwise(struct(kept: _*))
     case ArrayType(et, _) =>
-      val (si, se) = elementTrees(inc, exc)
-      transform(c, x => projectIncEx(x, et, si, se))
+      val (intInc, intExc, dropAll, si, se) = splitElementKeys(inc, exc)
+      if (dropAll) array().cast(ArrayType(projectedType(et, si, se)))
+      else if (intInc.isEmpty && intExc.isEmpty)
+        transform(c, x => projectIncEx(x, et, si, se))
+      else {
+        // positional selection (filter.rs int keys): keep element i iff
+        // (no include map with int keys, OR i selected, OR '__all__'
+        // included) AND i not excluded; negative keys count from the end.
+        // Rebuild = mark (keep, projected) -> filter -> unwrap; the HOF
+        // chain is serializer-path only (validation stays codegen'd).
+        def matches(keys: Iterable[Int], i: Column): Column =
+          keys.map(k => if (k >= 0) i === k else i === size(c) + k)
+            .reduceOption(_ || _).getOrElse(lit(false))
+        val allIncluded = inc.exists(_.contains("__all__"))
+        val marked = transform(c, (x, i) => struct(
+          ((lit(intInc.isEmpty || allIncluded) || matches(intInc.keys, i)) &&
+            !matches(intExc.keys, i)).as("k"),
+          projectIncEx(x, et, si, se).as("v")))
+        transform(filter(marked, e => e.getField("k")),
+          e => e.getField("v"))
+      }
     case _ => c
   }
 
@@ -420,10 +473,23 @@ object Serializer {
         s"ser_json_temporal must be iso8601|seconds|milliseconds, got $other")
     }
 
+  /** IEEE negative zero (x == 0.0 compares equal to +0.0, and Spark 4's
+   * ANSI mode throws DIVIDE_BY_ZERO even for doubles, so no 1/x probe);
+   * the sign survives the string cast: Double.toString(-0.0) = "-0.0". */
+  private def isNegZero(x: Column): Column =
+    x === 0.0 && x.cast(StringType) === "-0.0"
+
   /** One part of a complex rendering, matching the reference's float
    * formatting (`to_json(complex)` goldens): nan/inf lowercase,
-   * integral values without a fraction (1e20 renders as its full
-   * digits, not e-notation), plain decimals trimmed of zeros. */
+   * negative zero keeps its sign ("-0" — Python repr), integral values
+   * without a fraction (1e20 renders as its full digits, not
+   * e-notation), plain decimals trimmed of zeros.
+   *
+   * Documented deviations from Python's shortest-repr (ryu): values with
+   * |x| >= 1e38 render in Java e-notation; non-integral |x| < 1e-4
+   * renders positionally where Python switches to e-notation (1e-7 ->
+   * "0.0000001" here vs "1e-07"); non-zero |x| < 5e-19 collapses to "0"
+   * (below decimal(38,18) resolution). */
   private def cxPart(x: Column): Column = {
     // ANSI-total casts: each decimal cast sees only values in its range
     // (guards INSIDE the cast input so codegen CSE cannot hoist an
@@ -446,6 +512,7 @@ object Serializer {
     when(isnan(x), lit("nan"))
       .when(x === Double.PositiveInfinity, lit("inf"))
       .when(x === Double.NegativeInfinity, lit("-inf"))
+      .when(isNegZero(x), lit("-0"))
       .when(integral && abs(x) < 9.2e18, x.cast(LongType).cast(StringType))
       .when(integral && abs(x) < 1e38, bigStr)
       .when(integral, x.cast(StringType))
@@ -455,15 +522,17 @@ object Serializer {
   /** complex (`struct<re,im>`) -> the reference's JSON string form
    * (goldens from `SchemaSerializer(complex_schema()).to_json`):
    * `"1+2j"`, `"2j"` when re == 0, `"1.5-2.5j"`, `"3+0j"`, `"0j"`,
-   * `"inf+1j"`. Values beyond decimal(38,18) and negative-zero real
-   * parts are documented deviations. */
+   * `"inf+1j"`. Negative zeros keep their sign exactly like Python repr
+   * ("1-0j", "-0+2j", "-0j"); remaining deviations are [[cxPart]]'s
+   * magnitude cutoffs. */
   def complexJson(c: Column): Column = {
     val re = c.getField("re"); val im = c.getField("im")
+    // Python drops the real part only for POSITIVE-zero re
     when(c.isNull, lit(null).cast(StringType))
-      .when(re === 0.0, concat(cxPart(im), lit("j")))
+      .when(re === 0.0 && !isNegZero(re), concat(cxPart(im), lit("j")))
       .otherwise(concat(cxPart(re),
-        when(im < 0 || im === Double.NegativeInfinity, lit(""))
-          .otherwise(lit("+")),
+        when(im < 0 || im === Double.NegativeInfinity || isNegZero(im),
+          lit("")).otherwise(lit("+")),
         cxPart(im), lit("j")))
   }
 

@@ -68,12 +68,16 @@ class ComplexFractionSpec extends SparkTestBase {
   test("complex: to_json rendering matches the reference goldens") {
     import graft.serialize.Serializer
     val df = Seq((1.0, 2.0), (0.0, 2.0), (1.5, -2.5), (3.0, 0.0), (0.0, 0.0),
-      (Double.PositiveInfinity, 1.0), (1e20, 0.0001))
+      (Double.PositiveInfinity, 1.0), (1e20, 0.0001),
+      // negative zeros keep their sign, exactly like Python repr:
+      // complex(1,-0.0) -> '1-0j', complex(-0.0,2) -> '-0+2j',
+      // complex(0.0,-0.0) -> '-0j', complex(-0.0,-0.0) -> '-0-0j'
+      (1.0, -0.0), (-0.0, 2.0), (0.0, -0.0), (-0.0, -0.0))
       .toDF("re", "im")
     val out = df.select(Serializer.complexJson(struct(col("re"), col("im"))))
       .as[String].collect().toSeq
     assert(out == Seq("1+2j", "2j", "1.5-2.5j", "3+0j", "0j", "inf+1j",
-      "100000000000000000000+0.0001j"))
+      "100000000000000000000+0.0001j", "1-0j", "-0+2j", "-0j", "-0-0j"))
   }
 
   // ------------------------------------------------------------- fraction
@@ -106,6 +110,27 @@ class ComplexFractionSpec extends SparkTestBase {
     fr(bad).foreach { case (v, t) =>
       assert(v.isEmpty && t == Seq("fraction_parsing"), s"$v $t")
     }
+  }
+
+  test("fraction: oversized input -> fraction_parsing, never an ANSI throw") {
+    // Grammar-matched strings whose exponent/significand/denominator exceed
+    // the Long-bounded budget previously hit unguarded ANSI casts
+    // (SparkNumberFormatException killed the job on one dirty row).
+    val big = Seq(
+      "1e99999999999", "1e-99999999999", "1e+99999999999",
+      "9999999999999999999",               // 19-digit significand
+      "1/9999999999999999999999999",       // 25-digit denominator
+      "1.5e1000000000000000000", "123456789012345678901234567890")
+    fr(big).foreach { case (v, t) =>
+      assert(v.isEmpty && t == Seq("fraction_parsing"), s"$v $t")
+    }
+    // boundary cases that must still parse
+    val ok = fr(Seq("999999999999999999", "1e9", "1e-9",
+      "1/999999999999999999"))
+    assert(ok(0)._1.contains((999999999999999999L, 1L)))
+    assert(ok(1)._1.contains((1000000000L, 1L)))
+    assert(ok(2)._1.contains((1L, 1000000000L)))
+    assert(ok(3)._1.contains((1L, 999999999999999999L)))
   }
 
   test("fraction: int and float inputs (exact binary ratio)") {

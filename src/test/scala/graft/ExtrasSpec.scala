@@ -39,6 +39,22 @@ class ExtrasSpec extends SparkTestBase {
     }
   }
 
+  test("email IDN parity: local NFC normalization + punycode domain decode") {
+    // NFD local ("e" + combining acute U+0301) normalizes to NFC, and the
+    // name fallback uses the NORMALIZED local -- email-validator semantics
+    val rows = Seq(
+      "cafe\u0301@example.com",             // NFD local
+      "foobar@XN--80AK6AA92E.COM",           // uppercase ACE prefix
+      "x@xn--bogus-!!!.com")                 // undecodable: rejected by
+    val out = rows.toDF("c")                 // the domain grammar ('!')
+      .select(Extras.parseNameEmail(col("c")).as("p"))
+      .select(col("p.name"), col("p.email")).collect()
+    assert(out(0).getString(0) == "caf\u00e9")
+    assert(out(0).getString(1) == "caf\u00e9@example.com")
+    assert(out(1).getString(1) == "foobar@\u0430\u0440\u0440\u04cf\u0435.com")
+    assert(out(2).isNullAt(1))
+  }
+
   test("email + base64 + redaction") {
     assert(Seq("a.b@ex.com").toDF("c").select(Extras.isEmail(col("c")))
       .as[Boolean].head())

@@ -121,18 +121,54 @@ class MultimodalSpec extends SparkTestBase {
     val moov = u32(8 + free.length + mvhd.length) ++ "moov".getBytes ++
       free ++ mvhd
     val mp4 = ftyp ++ moov
-    // 1500 units at timescale 600 = 2500 ms
-    assert(Mp4Info.scan(mp4).toSeq == Seq(600L, 1500L, 2500L))
+    // 1500 units at timescale 600 = 2500 ms; no trak -> n_frames -1
+    assert(Mp4Info.scan(mp4).toSeq == Seq(600L, 1500L, 2500L, -1L))
     val row = Seq(Tuple1(mp4)).toDF("payload")
       .select(MediaHeaders.mp4Info(col("payload")).as("m"))
-      .select(col("m.timescale"), col("m.duration"), col("m.duration_ms"))
+      .select(col("m.timescale"), col("m.duration"), col("m.duration_ms"),
+        col("m.n_frames"))
       .collect().head
-    assert(row.toSeq == Seq(600, 1500L, 2500L))
+    assert(row.toSeq == Seq(600, 1500L, 2500L, null))
     assert(Mp4Info.scan("nope not an mp4".getBytes) == null)
     // video features pick up the real duration
     val feats = Multimodal.extractFeatures(
       Seq(Multimodal.MediaRow(0L, "video", mp4, Map.empty)).toDS()).collect()
     assert(feats.head.duration_ms == 2500L)
+  }
+
+  test("real MP4 stts decode: video-trak frame counts, audio trak skipped") {
+    import graft.multimodal.{MediaHeaders, Mp4Info, Multimodal}
+    def u32(v: Long) = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ t.getBytes ++ payload
+    val ftyp = u32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ u32(0)
+    val mvhd = box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(1500))
+    def hdlr(kind: String) = box("hdlr",
+      Array[Byte](0, 0, 0, 0) ++ u32(0) ++ kind.getBytes)
+    def stts(counts: Seq[Long]) = box("stts",
+      Array[Byte](0, 0, 0, 0) ++ u32(counts.size.toLong) ++
+        counts.toArray.flatMap(c => u32(c) ++ u32(100)))
+    def trak(kind: String, counts: Seq[Long]) = box("trak", box("mdia",
+      hdlr(kind) ++ box("minf", box("stbl", stts(counts)))))
+    // audio trak FIRST — the walk must skip it and take the video trak
+    val moov = box("moov",
+      mvhd ++ trak("soun", Seq(9999L)) ++ trak("vide", Seq(24L, 18L, 3L)))
+    val mp4 = ftyp ++ moov
+    assert(Mp4Info.scan(mp4).toSeq == Seq(600L, 1500L, 2500L, 45L))
+    val row = Seq(Tuple1(mp4)).toDF("payload")
+      .select(MediaHeaders.mp4Info(col("payload")).as("m"))
+      .select(col("m.n_frames")).collect().head
+    assert(row.getLong(0) == 45L)
+    // features: frames from the header, duration from mvhd — no stub call
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(0L, "video", mp4, Map.empty)).toDS()).collect()
+    assert(feats.head.duration_ms == 2500L && feats.head.frame_count == 45)
+    // malformed trak degrades to -1, never nulls the mvhd fields
+    val badTrak = box("trak", "no mdia here".getBytes)
+    val mp4bad = ftyp ++ box("moov", mvhd ++ badTrak)
+    assert(Mp4Info.scan(mp4bad).toSeq == Seq(600L, 1500L, 2500L, -1L))
   }
 
   test("frame sampling plan: pure-expression sequence+explode") {

@@ -97,25 +97,62 @@ class PropertySpec extends SparkTestBase {
   }
 
   test("property: connectedComponents equals driver-side union-find on random graphs") {
-    val rnd = new scala.util.Random(7)
-    val edges = (1 to 60).map(_ =>
-      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
-      .filter(e => e._1 != e._2).distinct
-    val got = graft.dedup.Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+    // both algorithms (large-star/small-star default + min-label) against
+    // union-find, across several random graph densities
+    for (seed <- Seq(7, 11, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).distinct
+      // reference: union-find with union-by-min (root is the component min)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      for (algo <- Seq("star", "minlabel")) {
+        val df = edges.toDF("id_a", "id_b")
+        val got = (if (algo == "star")
+          graft.dedup.Dedup.connectedComponents(df)
+        else graft.dedup.Dedup.connectedComponentsMinLabel(df))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.keySet == nodes.toSet, s"$algo seed=$seed")
+        nodes.foreach { n =>
+          assert(got(n) == find(n), s"$algo seed=$seed node $n") }
+      }
+    }
+  }
+
+  test("connectedComponents: long path converges in O(log^2) rounds; " +
+    "min-label past its diameter cap throws instead of partial labels") {
+    // a 120-node path has diameter 119 — label propagation needs ~119
+    // rounds; the star contraction stays well inside its default cap
+    val path = (0L until 119L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.connectedComponents(path)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // reference: union-find with union-by-min (root is the component min)
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    assert(got.size == 120 && got.values.forall(_ == 0L))
+    // the ADVICE-flagged failure mode: min-label at maxIter must FAIL
+    // LOUDLY, never silently return non-converged labels
+    val ex = intercept[IllegalStateException] {
+      graft.dedup.Dedup.connectedComponentsMinLabel(path, maxIter = 5)
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    assert(got.keySet == nodes.toSet)
-    nodes.foreach { n => assert(got(n) == find(n), s"node $n") }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("connectedComponents: self-pairs yield singleton components; " +
+    "reliable checkpoint dir path works") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_cc_ckpt").toString
+    val pairs = Seq((5L, 5L), (1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup
+      .connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("property: fraction parse ∘ render = id on random rationals") {

@@ -90,4 +90,49 @@ class RunnerSpec extends SparkTestBase {
     val r = Runner.run(spark, input, changed, "repo", "content", out, buckets = 4)
     assert(r.skipped.isEmpty && r.ran.size == 4)
   }
+
+  test("model_construct: checks-bypassed ingest is flagged, keeps lineage, " +
+    "and never satisfies a later validation resume (main.py:331-405)") {
+    val out = freshDir()
+    val rc = Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 4, construct = true)
+    assert(rc.ran.size == 4 && rc.failed.isEmpty)
+    // ledger rows are flagged and carry the construct lineage marker
+    val res = Runner.results(spark, out)
+    assert(res.count() == 4)
+    assert(res.filter(col("constructed")).count() == 4)
+    assert(res.filter(col("spec_hash").endsWith(":construct")).count() == 4)
+    // sha lineage preserved: same checksum a validation run computes
+    val shaC = res.select("part_id", "sha_checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no violations were written
+    assert(!Files.isDirectory(Paths.get(out, "violations")))
+    // a later REAL validation does NOT skip construct-ingested buckets
+    val rv = Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 4)
+    assert(rv.skipped.isEmpty && rv.ran.size == 4)
+    val resV = Runner.results(spark, out, Some(Runner.specHash(model)))
+    val shaV = resV.select("part_id", "sha_checksum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shaC == shaV)
+  }
+
+  test("wave metrics bridge: per-wave rows/violations/wall + listener " +
+    "counters land in the metrics table (plugin-hook analog)") {
+    val out = freshDir()
+    Runner.run(spark, input, model, "repo", "content", out,
+      buckets = 8, waveSize = 3) // 3 waves: 3+3+2
+    val m = Runner.metrics(spark, out)
+    assert(m.count() == 3)
+    assert(m.filter(col("status") === "success").count() == 3)
+    val tot = m.agg(sum("rows"), sum("violations")).collect().head
+    assert(tot.getLong(0) == 5000L)
+    val res = Runner.results(spark, out)
+    assert(tot.getLong(1) ==
+      res.agg(sum("violation_count")).collect().head.getLong(0))
+    // wall + listener counters present (listener bus is async: >= 0)
+    assert(m.filter(col("wall_ms") >= 0).count() == 3)
+    assert(m.filter(col("spark_queries") >= 0).count() == 3)
+    assert(m.filter(col("constructed")).count() == 0)
+  }
 }

@@ -122,6 +122,46 @@ class SerializeSpec extends SparkTestBase {
     assert(pn.collect().head.isNullAt(0))
   }
 
+  test("IncEx integer sequence indices select elements (filter.rs int keys; " +
+    "pydantic goldens)") {
+    import Serializer.IncEx
+    // items = [{x:0,y:a},{x:1,y:b},{x:2,y:c},{x:3,y:d}]; goldens from a
+    // live pydantic run of model_dump with the same include/exclude args
+    val md = ModelSpec("m", Seq(FieldSpec("items", AnySpec)))
+    val dfn = Seq(Tuple1(1)).toDF("pad").select(
+      array((0 until 4).map(i => struct(lit(i.toLong).as("x"),
+        lit(('a' + i).toChar.toString).as("y"))): _*).as("items"))
+    def dj(spec: DumpSpec): String =
+      Serializer.dumpJson(dfn, md, spec).as[String].head()
+    // include={'items': {0: True, 2: True}} -> elements 0 and 2
+    assert(dj(DumpSpec(includeTree = Map("items" ->
+      IncEx.tree("0" -> IncEx.Leaf, "2" -> IncEx.Leaf)))) ==
+      """{"items":[{"x":0,"y":"a"},{"x":2,"y":"c"}]}""")
+    // include={'items': {-1: True}} -> last element
+    assert(dj(DumpSpec(includeTree = Map("items" ->
+      IncEx.tree("-1" -> IncEx.Leaf)))) ==
+      """{"items":[{"x":3,"y":"d"}]}""")
+    // exclude={'items': {0: True}} -> element 0 dropped
+    assert(dj(DumpSpec(excludeTree = Map("items" ->
+      IncEx.tree("0" -> IncEx.Leaf)))) ==
+      """{"items":[{"x":1,"y":"b"},{"x":2,"y":"c"},{"x":3,"y":"d"}]}""")
+    // exclude={'items': {'__all__': True}} -> emptied sequence
+    assert(dj(DumpSpec(excludeTree = Map("items" ->
+      IncEx.tree("__all__" -> IncEx.Leaf)))) == """{"items":[]}""")
+    // exclude={'items': {0: True, '__all__': {'y': True}}} -> element 0
+    // dropped AND the survivors lose y (matches pydantic exactly)
+    assert(dj(DumpSpec(excludeTree = Map("items" ->
+      IncEx.tree("0" -> IncEx.Leaf,
+        "__all__" -> IncEx.tree("y" -> IncEx.Leaf))))) ==
+      """{"items":[{"x":1},{"x":2},{"x":3}]}""")
+    // documented columnar bound: an int key's subtree must be Leaf
+    val ex = intercept[IllegalArgumentException] {
+      dj(DumpSpec(includeTree = Map("items" ->
+        IncEx.tree("0" -> IncEx.tree("x" -> IncEx.Leaf)))))
+    }
+    assert(ex.getMessage.contains("homogeneous"))
+  }
+
   test("exclude_defaults compares in the field's native type (double vs default '1')") {
     val md = ModelSpec("m", Seq(
       FieldSpec("id", IntSpec()),
