@@ -1261,9 +1261,15 @@ object SparkEntry {
     // identical whether candidates come prefix-pruned or all-pairs, and
     // DuckDB at sf0.01 can afford the naive shingle self-join.
     "d_jaccard_ngram" ->
+      // intersections run on the SAME 60-bit md5 shingle ids the engine
+      // uses (hash60 replay), so both sides agree bit-for-bit even on a
+      // hypothetical hash collision
       s"""WITH $shinglesCteSql,
-         |sr AS (SELECT doc_id, unnest(sh) AS shg FROM s),
-         |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         |sr0 AS (SELECT doc_id, unnest(sh) AS shg FROM s),
+         |sr AS (SELECT DISTINCT doc_id,
+         |         CAST(concat('0x', substr(md5(shg), 1, 15)) AS BIGINT) AS shg
+         |       FROM sr0),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sr GROUP BY doc_id),
          |ov AS (SELECT sa.doc_id ia, sb.doc_id ib, count(*) c
          |       FROM sr sa JOIN sr sb ON sa.shg = sb.shg AND sa.doc_id < sb.doc_id
          |       GROUP BY ia, ib)

@@ -142,14 +142,35 @@ object Dedup {
    * Shuffles: shingle DF agg, per-doc rank window, prefix equi-join,
    * verify join — all keyed by shingle or doc id (high cardinality).
    */
+  /** `maxDf`: opt-in stop-shingle cap for boilerplate-skewed corpora —
+   * shingles appearing in more than `maxDf` documents are dropped from
+   * the index BEFORE sizing (standard All-Pairs practice: a shingle
+   * shared by 20% of a web crawl is template text, not near-dup signal,
+   * and keeps candidate generation quadratic). Changes the similarity
+   * universe to the filtered shingle sets, so it is None by default
+   * (exact published semantics, what the oracle replays). */
   def jaccardNgramPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, thrNum: Long = 1L,
                         thrDen: Long = 2L,
                         persistIndex: Boolean = true,
-                        stagingDir: Option[String] = None): DataFrame = {
+                        stagingDir: Option[String] = None,
+                        maxDf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleRows(df, idCol, textCol, shingleN).distinct()
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    // 60-bit md5 shingle ids: every downstream sort/join/intersect runs on
+    // longs instead of ~20-byte strings (measured ~2x on the verify stage).
+    // The DuckDB oracle replays hash60 exactly, so engine and oracle stay
+    // bit-identical INCLUDING any (astronomically unlikely) collision; the
+    // prefix theorem only needs a consistent global shingle order, which
+    // (df, hash) provides just as well as (df, string).
+    val sh0 = shingleRows(df, idCol, textCol, shingleN).distinct()
+      .select(col("id"), TextOps.hash60(col("sh")).as("sh"))
+    val dfreq0 = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+    val (sh, dfreq) = maxDf match {
+      case Some(cap) =>
+        val kept = dfreq0.filter(col("df") <= cap)
+        (sh0.join(kept.select("sh"), Seq("sh"), "left_semi"), kept)
+      case None => (sh0, dfreq0)
+    }
     // ONE window exchange serves both the per-doc rank and the doc size
     // (same partitionBy key), and the `ranked` index — (id, sh, sz, rk) —
     // is the only shingle materialization every later stage reads. It is
@@ -190,14 +211,21 @@ object Dedup {
         lit(thrNum) * col("x.sz") <= lit(thrDen) * col("y.sz") &&
         lit(thrNum) * col("y.sz") <= lit(thrDen) * col("x.sz"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    // Verify (Vernica/Carey/Li, SIGMOD 2010, Stage 3): join each candidate
+    // pair with BOTH docs' shingle-SET arrays and intersect per pair in
+    // memory — ONE narrow row per candidate. The exploded alternative
+    // (cand ⋈ ranked ⋈ ranked, grouped) shuffles |cand| × |shingles/doc|
+    // rows — measured 211M intermediate rows at the 10x scale mirror,
+    // minutes of sort spill; this form shuffles |cand| rows.
+    val sets = ranked.groupBy("id")
+      .agg(collect_set(col("sh")).as("shs"), first(col("sz")).as("sz"))
     val overlap = cand
-      .join(ranked.as("sa"), col("id_a") === col("sa.id"))
-      .join(ranked.as("sb"),
-        col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
-      .select(col("id_a"), col("id_b"), col("sa.sz").as("sza"),
-        col("sb.sz").as("szb"))
-      .groupBy("id_a", "id_b", "sza", "szb")
-      .agg(count(lit(1)).as("c"))
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sha"),
+        col("sz").as("sza")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("shb"),
+        col("sz").as("szb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sza"), col("szb"),
+        size(array_intersect(col("sha"), col("shb"))).cast(LongType).as("c"))
     overlap
       .filter(lit(thrDen) * col("c") >=
         lit(thrNum) * (col("sza") + col("szb") - col("c")))
@@ -394,14 +422,16 @@ object Dedup {
                           maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
     // invariant maintained across rounds: edges are (u, v) with u > v,
-    // no self-loops, distinct
+    // no self-loops, distinct. Lazy initial checkpoint: round 1's probe
+    // materializes it — no upfront job (and no upfront isEmpty job: an
+    // empty edge set converges through round 1's probe naturally).
     var edges = truncate(
       pairs.select(col(idA).as("u"), col(idB).as("v"))
         .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
         .filter(col("u") > col("v"))
-        .distinct(), checkpointDir)
+        .distinct(), checkpointDir, eager = false)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = false
     while (!converged && iter < maxIter) {
       // large-star: center u over ALL neighbors; m = min(Γ(u) ∪ {u});
       // emit (v, m) for each strictly larger neighbor v — keeps v > m

@@ -99,6 +99,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
   }
 
+  test("jaccardNgramPairs maxDf: stop-shingle cap drops boilerplate " +
+    "clusters; organic pairs survive") {
+    // 6 boilerplate docs sharing a template (every template shingle has
+    // df=6 > cap) + one organic near-dup pair with df<=2 shingles
+    val tmpl = (1 to 40).map(i => s"tp$i").mkString(" ")
+    val boiler = (1 to 6).map(k => (k.toLong, s"$tmpl uniq${k}a uniq${k}b"))
+    val orgA = (1 to 30).map(i => s"og$i").mkString(" ")
+    val orgB = (1 to 28).map(i => s"og$i").mkString(" ") + " zz yy"
+    val df = (boiler ++ Seq((10L, orgA), (11L, orgB))).toDF("id", "text")
+    val unguarded = Dedup.jaccardNgramPairs(df, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // boilerplate cluster is quadratic truth: all 15 pairs + the organic
+    assert(unguarded.size == 16 && unguarded.contains((10L, 11L)))
+    val guarded = Dedup.jaccardNgramPairs(df, "id", "text",
+      maxDf = Some(5L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == Set((10L, 11L)))
+  }
+
   test("simhash: identical docs hash equal; near-dups are hamming-close") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val near = (1 to 79).map(i => s"tok$i").mkString(" ") + " tok80x"
