@@ -758,6 +758,45 @@ object SparkEntry {
           col("m.duration_ms"), col("m.n_frames"))
     }),
 
+    // ---- multimodal: REAL FLAC STREAMINFO decode — fLaC magic + packed
+    // rate/channels/bps/total-samples bits synthesized from doc_id,
+    // unpacked by the native block scan
+    "m_flac_info" -> ((s, dir) => {
+      import graft.multimodal.MediaHeaders
+      val rate = (lit(8000) +
+        pmod(col("doc_id"), lit(8)).cast("int") * 4000).cast("long")
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("long")
+      val total = ((pmod(col("doc_id"), lit(1000)) + 1) * 4096).cast("long")
+      // packed 8 bytes: rate(20) | ch-1(3) | bps-1=15(5) | total(36)
+      val packed = shiftleft(rate, 44) + shiftleft(ch - 1, 41) +
+        shiftleft(lit(15L), 36) + total
+      val hdr = concat(
+        lit("664C6143" + "80000022" + "10001000" + "000000" + "000000"),
+        lpad(hex(packed), 16, "0"), lit("0" * 32))
+      t(s, dir, "documents")
+        .select(col("doc_id"), MediaHeaders.flacInfo(unhex(hdr)).as("m"))
+        .select(col("doc_id"), col("m.sample_rate"), col("m.channels"),
+          col("m.bits_per_sample"), col("m.total_samples"),
+          col("m.duration_ms"))
+    }),
+
+    // ---- multimodal: REAL MP3 frame-header decode — MPEG1 Layer III
+    // header + variable zero padding synthesized from doc_id; CBR
+    // duration estimate = payload bytes * 8 / bitrate
+    "m_mp3_info" -> ((s, dir) => {
+      import graft.multimodal.MediaHeaders
+      val brIdx = (pmod(col("doc_id"), lit(14)) + 1).cast("long")
+      val srIdx = pmod(col("doc_id"), lit(3)).cast("long")
+      val b3 = lpad(hex(shiftleft(brIdx, 4) + shiftleft(srIdx, 2)), 2, "0")
+      val n = (pmod(col("doc_id"), lit(512))).cast("int")
+      val hdr = concat(lit("FFFB"), b3, lit("00"),
+        lit("00" * 512).substr(lit(1), n * 2))
+      t(s, dir, "documents")
+        .select(col("doc_id"), MediaHeaders.mp3Info(unhex(hdr)).as("m"))
+        .select(col("doc_id"), col("m.version_x10"), col("m.bitrate_kbps"),
+          col("m.sample_rate"), col("m.duration_ms"))
+    }),
+
     // ---- multimodal: REAL WAV header decode — canonical RIFF/WAVE bytes
     // synthesized from doc_id, metadata parsed back via pure hex/conv
     // expressions; duration = data bytes * 1000 / byte rate
@@ -1471,6 +1510,32 @@ object SparkEntry {
         |    ((doc_id % 3 + 1) * 600) AS BIGINT) AS duration_ms,
         |  CAST((doc_id % 100 + 10) + (doc_id % 50 + 5) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    "m_flac_info" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST((doc_id % 1000 + 1) * 4096 AS BIGINT) AS total_samples,
+        |  CAST((doc_id % 1000 + 1) * 4096 * 1000 //
+        |    (8000 + (doc_id % 8) * 4000) AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    "m_mp3_info" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 14 + 1 AS INT)
+        |    WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48 WHEN 4 THEN 56
+        |    WHEN 5 THEN 64 WHEN 6 THEN 80 WHEN 7 THEN 96 WHEN 8 THEN 112
+        |    WHEN 9 THEN 128 WHEN 10 THEN 160 WHEN 11 THEN 192
+        |    WHEN 12 THEN 224 WHEN 13 THEN 256 WHEN 14 THEN 320 END AS br,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    ELSE 32000 END AS sr,
+        |  4 + doc_id % 512 AS nbytes
+        |  FROM documents)
+        |SELECT doc_id, CAST(10 AS INT) AS version_x10,
+        |  CAST(br AS INT) AS bitrate_kbps, CAST(sr AS INT) AS sample_rate,
+        |  CAST(nbytes * 8 // br AS BIGINT) AS duration_ms
+        |FROM m""".stripMargin,
 
     "m_wav_info" ->
       """SELECT doc_id,

@@ -129,6 +129,38 @@ object MediaHeaders {
     else Some((sampleRate.toInt, channels, dataSize * 1000L / byteRate))
   }
 
+  /** struct(sample_rate, channels, bits_per_sample, total_samples,
+   * duration_ms) from a FLAC STREAMINFO block ([[FlacInfo]]); null for
+   * non-FLAC bytes. */
+  def flacInfo(bin: Column): Column = {
+    val arr = ColumnShim.column(FlacInfo(ColumnShim.expression(bin)))
+    when(arr.isNotNull, struct(
+      element_at(arr, 1).cast(IntegerType).as("sample_rate"),
+      element_at(arr, 2).cast(IntegerType).as("channels"),
+      element_at(arr, 3).cast(IntegerType).as("bits_per_sample"),
+      element_at(arr, 4).as("total_samples"),
+      element_at(arr, 5).as("duration_ms")))
+      .otherwise(lit(null).cast(
+        "struct<sample_rate:int,channels:int,bits_per_sample:int," +
+          "total_samples:bigint,duration_ms:bigint>"))
+  }
+
+  /** struct(version_x10, bitrate_kbps, sample_rate, duration_ms) from
+   * the first MPEG Layer-III frame header ([[Mp3Info]]; CBR duration
+   * estimate over the remaining payload bytes); null for non-MP3
+   * bytes or non-Layer-III frames. */
+  def mp3Info(bin: Column): Column = {
+    val arr = ColumnShim.column(Mp3Info(ColumnShim.expression(bin)))
+    when(arr.isNotNull, struct(
+      element_at(arr, 1).cast(IntegerType).as("version_x10"),
+      element_at(arr, 2).cast(IntegerType).as("bitrate_kbps"),
+      element_at(arr, 3).cast(IntegerType).as("sample_rate"),
+      element_at(arr, 4).as("duration_ms")))
+      .otherwise(lit(null).cast(
+        "struct<version_x10:int,bitrate_kbps:int,sample_rate:int," +
+          "duration_ms:bigint>"))
+  }
+
   def isMp4(bin: Column): Column =
     octet_length(bin) >= 12 && hex(substring(bin, 5, 4)) === "66747970"
 
@@ -422,5 +454,160 @@ object JpegDims {
       }
     }
     None
+  }
+}
+
+/**
+ * FLAC STREAMINFO scan as one native expression over BinaryType: "fLaC"
+ * magic, then metadata blocks ([1B last-flag(1)+type(7)][3B length]);
+ * STREAMINFO (type 0) carries min/max blocksize (2B each), min/max
+ * framesize (3B each), then 8 packed bytes: sample rate (20 bits),
+ * channels-1 (3), bits-per-sample-1 (5), total samples (36).
+ * Returns array<long> [sample_rate, channels, bits_per_sample,
+ * total_samples, duration_ms]; null for non-FLAC or truncated bytes.
+ * One static method backs both eval and the generated code.
+ */
+case class FlacInfo(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "flac_info"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = FlacInfo.scan(input.asInstanceOf[Array[Byte]])
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.multimodal.FlacInfo.scan($b);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FlacInfo =
+    copy(child = newChild)
+}
+
+object FlacInfo {
+  def scan(b: Array[Byte]): Array[Long] = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    if (b.length < 8 || u8(0) != 'f' || u8(1) != 'L' || u8(2) != 'a' ||
+        u8(3) != 'C') return null
+    var i = 4
+    while (i + 4 <= b.length) {
+      val blockType = u8(i) & 0x7F
+      val last = (u8(i) & 0x80) != 0
+      val len = (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (blockType == 0) { // STREAMINFO
+        val p = i + 4
+        if (len < 34 || p + 18 > b.length) return null
+        // packed 8 bytes start at p+10: rate(20) ch-1(3) bps-1(5) total(36)
+        val rate = (u8(p + 10).toLong << 12) | (u8(p + 11) << 4) |
+          (u8(p + 12) >> 4)
+        val ch = ((u8(p + 12) >> 1) & 0x7) + 1L
+        val bps = (((u8(p + 12) & 0x1) << 4) | (u8(p + 13) >> 4)) + 1L
+        val total = ((u8(p + 13) & 0xFL) << 32) | (u8(p + 14).toLong << 24) |
+          (u8(p + 15).toLong << 16) | (u8(p + 16).toLong << 8) | u8(p + 17)
+        if (rate <= 0) return null
+        return Array(rate, ch, bps, total, total * 1000L / rate)
+      }
+      if (last) return null
+      i += 4 + len
+    }
+    null
+  }
+}
+
+/**
+ * First MPEG Layer-III frame header over BinaryType (ID3v2 tags skipped
+ * via their syncsafe size): 11-bit sync, version (2 bits: MPEG 1 / 2 /
+ * 2.5), layer (2 bits — only Layer III decoded, the dominant real-world
+ * case; I/II return null, documented), bitrate index and sample-rate
+ * index from the published tables. Duration is the CBR estimate over
+ * the payload bytes after the tag: bytes*8/bitrate. Returns array<long>
+ * [version_x10 (10|20|25), bitrate_kbps, sample_rate, duration_ms].
+ */
+case class Mp3Info(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def prettyName: String = "mp3_info"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val out = Mp3Info.scan(input.asInstanceOf[Array[Byte]])
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = graft.multimodal.Mp3Info.scan($b);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Mp3Info =
+    copy(child = newChild)
+}
+
+object Mp3Info {
+  // Layer III bitrate tables (kbps), index 1..14; 0 = free, 15 = bad
+  private val brV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320)
+  private val brV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+    128, 144, 160)
+  private val srV1 = Array(44100, 48000, 32000)
+  private val srV2 = Array(22050, 24000, 16000)
+  private val srV25 = Array(11025, 12000, 8000)
+
+  def scan(b: Array[Byte]): Array[Long] = {
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    if (b.length < 4) return null
+    var off = 0
+    // ID3v2: "ID3" + version(2) + flags(1) + 4-byte syncsafe size
+    if (b.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
+      val sz = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      off = 10 + sz
+    }
+    if (off + 4 > b.length) return null
+    val h0 = u8(off); val h1 = u8(off + 1)
+    if (h0 != 0xFF || (h1 & 0xE0) != 0xE0) return null
+    val verBits = (h1 >> 3) & 0x3   // 0=2.5, 2=2, 3=1 (1 reserved)
+    val layerBits = (h1 >> 1) & 0x3 // 1 = Layer III
+    if (verBits == 1 || layerBits != 1) return null
+    val brIdx = (u8(off + 2) >> 4) & 0xF
+    val srIdx = (u8(off + 2) >> 2) & 0x3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+    val (ver, br, sr) = verBits match {
+      case 3 => (10L, brV1(brIdx), srV1(srIdx))
+      case 2 => (20L, brV2(brIdx), srV2(srIdx))
+      case _ => (25L, brV2(brIdx), srV25(srIdx))
+    }
+    val payloadBytes = (b.length - off).toLong
+    Array(ver, br.toLong, sr.toLong, payloadBytes * 8L / br)
   }
 }

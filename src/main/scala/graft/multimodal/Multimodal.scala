@@ -133,9 +133,11 @@ object Multimodal {
         // same demux call (round 1 decoded videos twice)
         val (dur, frames) = r.kind match {
           case "audio" =>
-            // canonical WAV headers decode for real (MediaHeaders);
-            // other audio formats fall back to the stub
+            // WAV, FLAC STREAMINFO and MP3 frame headers decode for real
+            // (MediaHeaders); other audio formats fall back to the stub
             (MediaHeaders.parseWav(r.payload).map(_._3)
+              .orElse(Option(FlacInfo.scan(r.payload)).map(_(4)))
+              .orElse(Option(Mp3Info.scan(r.payload)).map(_(3)))
               .getOrElse(Codecs.decodeAudio(r.payload)), -1)
           case "video" =>
             // canonical MP4 moov/mvhd + video-trak stts decode for real;

@@ -171,6 +171,59 @@ class MultimodalSpec extends SparkTestBase {
     assert(Mp4Info.scan(mp4bad).toSeq == Seq(600L, 1500L, 2500L, -1L))
   }
 
+  test("real FLAC STREAMINFO decode: packed-bit unpack, audio features") {
+    import graft.multimodal.{FlacInfo, MediaHeaders, Multimodal}
+    // 44100 Hz, 2 ch, 16 bps, 441000 samples -> 10000 ms
+    val rate = 44100L; val ch = 2L; val bps = 16L; val total = 441000L
+    val packed = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    def be(v: Long, n: Int) =
+      (0 until n).reverse.map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val flac = "fLaC".getBytes ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++              // last STREAMINFO
+      be(4096, 2) ++ be(4096, 2) ++ be(0, 3) ++ be(0, 3) ++
+      be(packed, 8) ++ Array.fill[Byte](16)(0)           // md5 signature
+    assert(FlacInfo.scan(flac).toSeq ==
+      Seq(44100L, 2L, 16L, 441000L, 10000L))
+    val row = Seq(Tuple1(flac)).toDF("payload")
+      .select(MediaHeaders.flacInfo(col("payload")).as("m"))
+      .select(col("m.sample_rate"), col("m.channels"),
+        col("m.bits_per_sample"), col("m.total_samples"),
+        col("m.duration_ms")).collect().head
+    assert(row.toSeq == Seq(44100, 2, 16, 441000L, 10000L))
+    assert(FlacInfo.scan("not flac".getBytes) == null)
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(0L, "audio", flac, Map.empty)).toDS()).collect()
+    assert(feats.head.duration_ms == 10000L)
+  }
+
+  test("real MP3 frame-header decode: bitrate/samplerate tables, ID3 skip") {
+    import graft.multimodal.{MediaHeaders, Mp3Info, Multimodal}
+    // MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0) + 1246 bytes
+    // payload -> (1250*8)/128 = 78 ms
+    val frame = Array(0xFF, 0xFB, 0x90, 0x00).map(_.toByte) ++
+      Array.fill[Byte](1246)(0)
+    assert(Mp3Info.scan(frame).toSeq == Seq(10L, 128L, 44100L, 78L))
+    // ID3v2 tag (syncsafe size 20) before the frame: skipped
+    val id3 = "ID3".getBytes ++ Array[Byte](4, 0, 0) ++
+      Array[Byte](0, 0, 0, 20) ++ Array.fill[Byte](20)(0)
+    assert(Mp3Info.scan(id3 ++ frame).toSeq == Seq(10L, 128L, 44100L, 78L))
+    // MPEG2 Layer III (0xF3), idx 9 -> 80 kbps, sr idx 1 -> 24000
+    val v2 = Array(0xFF, 0xF3, 0x96, 0x00).map(_.toByte) ++
+      Array.fill[Byte](96)(0)
+    assert(Mp3Info.scan(v2).toSeq == Seq(20L, 80L, 24000L, 10L))
+    // Layer I rejected (documented subset), garbage rejected
+    assert(Mp3Info.scan(Array(0xFF, 0xFF, 0x90, 0x00).map(_.toByte)) == null)
+    assert(Mp3Info.scan("nope".getBytes) == null)
+    val row = Seq(Tuple1(frame)).toDF("payload")
+      .select(MediaHeaders.mp3Info(col("payload")).as("m"))
+      .select(col("m.version_x10"), col("m.bitrate_kbps"),
+        col("m.sample_rate"), col("m.duration_ms")).collect().head
+    assert(row.toSeq == Seq(10, 128, 44100, 78L))
+    val feats = Multimodal.extractFeatures(
+      Seq(Multimodal.MediaRow(0L, "audio", frame, Map.empty)).toDS()).collect()
+    assert(feats.head.duration_ms == 78L)
+  }
+
   test("frame sampling plan: pure-expression sequence+explode") {
     val feats = Multimodal.extractFeatures(media.filter(col("kind") === "video"))
     val plan = Multimodal.frameSamplePlan(feats, everyMs = 1000L, maxFrames = 5)
