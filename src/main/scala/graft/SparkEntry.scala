@@ -266,6 +266,26 @@ object SparkEntry {
         TextOps.fingerprint(col("text")).as("fp"))
     }),
 
+    // ---- text: benchmark decontamination (GPT-3-style n-gram collision
+    // test; 3-grams at test scale) — docs sharing shingles with a pseudo
+    // eval set (every 97th doc) get their overlap fraction measured;
+    // the benchmark shingle set broadcasts, the corpus never shuffles
+    "t_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      TextOps.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // ---- text: deterministic stratified downsampling (data-recipe
+    // mixing): keep 1/2 of en, 1/4 of zh, everything else — hash-gated,
+    // so the SAME rows survive across engines/runs/resumes
+    "t_sample" -> ((s, dir) => {
+      TextOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> ((1L, 2L)), "zh" -> ((1L, 4L))))
+        .select("doc_id", "lang", "source")
+    }),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -1187,6 +1207,29 @@ object SparkEntry {
     "t_bpe_tokens" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
+
+    "t_decontam" ->
+      s"""WITH $shinglesCteSql,
+         |sr0 AS (SELECT doc_id, unnest(sh) AS shg FROM s),
+         |sr AS (SELECT DISTINCT doc_id,
+         |         CAST(concat('0x', substr(md5(shg), 1, 15)) AS BIGINT) AS h
+         |       FROM sr0),
+         |bset AS (SELECT DISTINCT h FROM sr WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN h IN (SELECT h FROM bset) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hits,
+         |  sum(CASE WHEN h IN (SELECT h FROM bset) THEN 1 ELSE 0 END) * 1.0
+         |    / count(*) AS overlap_frac
+         |FROM sr GROUP BY doc_id""".stripMargin,
+
+    "t_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE lang
+        |  WHEN 'en' THEN CAST(concat('0x',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 < 1
+        |  WHEN 'zh' THEN CAST(concat('0x',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 < 1
+        |  ELSE TRUE END""".stripMargin,
 
     "t_pii" -> {
       s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)

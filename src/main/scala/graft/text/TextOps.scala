@@ -214,4 +214,59 @@ object TextOps {
         (coalesce(col("top_c"), lit(0L)).cast(DoubleType) * 2 /
           col("n_tokens")).as("top_bigram_frac"))
   }
+
+  /**
+   * Benchmark decontamination — the standard n-gram collision test a
+   * training corpus runs against its eval sets (GPT-3's 13-gram filter;
+   * 3-grams here are the same plumbing at test scale): per document, the
+   * fraction of its word n-gram shingles that appear ANYWHERE in the
+   * benchmark corpus. Shingles compare as 60-bit md5 ids ([[hash60]]) so
+   * joins run on longs and an external oracle can replay exactly.
+   *
+   * Scale shape: the benchmark shingle set is tiny next to the corpus
+   * (deduped, semi-join-only) — Spark broadcasts it, so the corpus never
+   * shuffles; the per-doc counts are one map-side-combined aggregation.
+   * Returns (id, n_shingles, n_hits, overlap_frac).
+   */
+  def decontaminate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    bench: org.apache.spark.sql.DataFrame,
+                    benchTextCol: String,
+                    n: Int = 13): org.apache.spark.sql.DataFrame = {
+    def sh(d: org.apache.spark.sql.DataFrame, id: Column, text: Column) =
+      d.select(id.as("id"),
+          explode(graft.dedup.Dedup.shingles(text, n)).as("sh"))
+        .select(col("id"), hash60(col("sh")).as("sh")).distinct()
+    val benchSet = sh(bench, lit(0L), col(benchTextCol))
+      .select("sh").distinct()
+    val docSh = sh(df, col(idCol), col(textCol))
+    docSh
+      .join(benchSet.withColumn("__hit", lit(1)), Seq("sh"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast(LongType).as("n_hits"))
+      .select(col("id"), col("n_shingles"), col("n_hits"),
+        (col("n_hits").cast(DoubleType) / col("n_shingles"))
+          .as("overlap_frac"))
+  }
+
+  /**
+   * Deterministic per-stratum downsampling — the source-mixing step a
+   * training pipeline runs to hit its data recipe: keep a row iff
+   * `hash60(id) mod den < num` for its stratum's (num, den) rate.
+   * Hash-based, so the SAME rows are kept across runs, engines and
+   * resumes (no RNG state); map-only, no shuffle; strata absent from
+   * `rates` keep everything.
+   */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       stratumCol: String,
+                       rates: Map[String, (Long, Long)])
+  : org.apache.spark.sql.DataFrame = {
+    val keep = rates.foldLeft(lit(true)) { case (acc, (stratum, (num, den))) =>
+      when(col(stratumCol) === stratum,
+        pmod(hash60(col(idCol).cast(StringType)), lit(den)) < num)
+        .otherwise(acc)
+    }
+    df.filter(keep)
+  }
 }

@@ -99,6 +99,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(pairs.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
   }
 
+  test("decontaminate: n-gram collision fractions against a benchmark set") {
+    import graft.text.TextOps
+    val benchText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    val docs = Seq(
+      (1L, benchText),                                   // exact copy -> 1.0
+      (2L, (1 to 10).map(i => s"ev$i").mkString(" ")),   // prefix -> all hit
+      (3L, (100 to 120).map(i => s"w$i").mkString(" "))) // disjoint -> 0.0
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1(benchText)).toDF("text")
+    val out = TextOps.decontaminate(docs, "doc_id", "text", bench, "text",
+      n = 3).collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((18L, 18L, 1.0)))
+    assert(out(2L) == ((8L, 8L, 1.0)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+  }
+
+  test("stratifiedSample: hash-gated, deterministic, rate-accurate") {
+    import graft.text.TextOps
+    val df = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val kept = TextOps.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> ((1L, 4L))))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == 1000L)                 // unlisted stratum: all
+    assert(math.abs(byLang("en") - 250L) < 60L)   // ~1/4 of 1000
+    // deterministic: identical ids survive on a re-run
+    val again = TextOps.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> ((1L, 4L))))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("jaccardNgramPairs maxDf: stop-shingle cap drops boilerplate " +
     "clusters; organic pairs survive") {
     // 6 boilerplate docs sharing a template (every template shingle has
