@@ -9,7 +9,7 @@ import graft.checks.{Drift, TableChecks}
 import graft.data.SourceFilesGen
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.TextOps
+import graft.text.{CodeOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
  *
@@ -285,6 +285,23 @@ object SparkEntry {
         Map("en" -> ((1L, 2L)), "zh" -> ((1L, 4L))))
         .select("doc_id", "lang", "source")
     }),
+
+    // ---- code: The-Stack-style per-file quality metrics (Kocetkov et
+    // al. 2022 §2.2) over the BASELINE input-shape table
+    // (repo,path,commit,lang,content) with opt-in pathologies (autogen
+    // headers, minified one-liners, comment-heavy files). The generated
+    // input persists to a fixed path so the DuckDB oracle replays every
+    // metric — line stats, comment fraction, alnum fraction, autogen
+    // flag — over the exact same rows.
+    "c_quality" -> ((s, dir) =>
+      CodeOps.codeQuality(codeInput(s), "id", "lang", "content")),
+
+    // ---- code: Stack-gate keep/drop verdict, first failing rule as the
+    // drop reason (rule order: autogenerated, long_line, mean_line,
+    // low_alnum)
+    "c_filter" -> ((s, dir) =>
+      CodeOps.codeFilter(
+        CodeOps.codeQuality(codeInput(s), "id", "lang", "content"))),
 
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
@@ -940,6 +957,43 @@ object SparkEntry {
   /** Where ns_verdict persists its generated input for the oracle. */
   private val nsInputPath = "/tmp/graft_ns_input"
 
+  /** Where c_quality/c_filter persist the pathology-enabled code table for
+   * the oracle (fixed path: the oracle SQL string embeds it, same contract
+   * as [[nsInputPath]]). Both queries rewrite it (deterministic generator,
+   * overwrite mode), so they are order-independent under Verify. */
+  private val codeInputPath = "/tmp/graft_code_input"
+  private def codeInput(s: SparkSession): DataFrame = {
+    SourceFilesGen.generate(s, 2000L, codePathologies = true)
+      .write.mode("overwrite").parquet(codeInputPath)
+    s.read.parquet(codeInputPath)
+  }
+
+  /** Shared DuckDB replay of [[CodeOps.codeQuality]] over the persisted
+   * code-input table — `q(id, lang, n_lines, max_line_len, sum_line_len,
+   * mean_line_len, n_comment_lines, comment_frac, alnum_frac, autogen)`.
+   * Every fraction is one long/long division (bit-exact vs Spark);
+   * `string_split` keeps the trailing empty element exactly like Java
+   * `split(_, -1)`, so line counts agree on newline-terminated files. */
+  private val codeQualityCteSql =
+    s"""b AS (SELECT id, lang,
+       |  (length(content) - length(regexp_replace(content, '[A-Za-z0-9]', '', 'g')))
+       |    / length(content) AS alnum_frac,
+       |  regexp_matches(substring(content, 1, 200),
+       |    '${graft.text.CodeOps.autogenPattern}') AS autogen,
+       |  CASE WHEN lang IN ('python', 'ruby') THEN '#' ELSE '//' END AS pfx,
+       |  unnest(string_split(content, chr(10))) AS line
+       | FROM read_parquet('$codeInputPath/*.parquet')),
+       |q AS (SELECT id, lang, count(*) AS n_lines,
+       |  CAST(max(length(line)) AS BIGINT) AS max_line_len,
+       |  CAST(sum(length(line)) AS BIGINT) AS sum_line_len,
+       |  CAST(sum(length(line)) AS BIGINT) / count(*) AS mean_line_len,
+       |  CAST(sum(CASE WHEN starts_with(ltrim(line), pfx) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_comment_lines,
+       |  CAST(sum(CASE WHEN starts_with(ltrim(line), pfx) THEN 1 ELSE 0 END)
+       |    AS BIGINT) / count(*) AS comment_frac,
+       |  alnum_frac, autogen
+       | FROM b GROUP BY id, lang, alnum_frac, autogen, pfx)""".stripMargin
+
   /** (input, expected name, expected normalized email) — transcribed from
    * the reference's validate_email test table
    * (`tests/test_networks.py:905-976`; nulls = the reject rows),
@@ -1230,6 +1284,22 @@ object SparkEntry {
         |  WHEN 'zh' THEN CAST(concat('0x',
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 4 < 1
         |  ELSE TRUE END""".stripMargin,
+
+    "c_quality" ->
+      s"""WITH $codeQualityCteSql
+         |SELECT id, lang, n_lines, max_line_len, sum_line_len, mean_line_len,
+         |  n_comment_lines, comment_frac, alnum_frac, autogen
+         |FROM q""".stripMargin,
+
+    "c_filter" ->
+      s"""WITH $codeQualityCteSql,
+         |r AS (SELECT id, lang,
+         |  CASE WHEN autogen THEN 'autogenerated'
+         |       WHEN max_line_len > 1000 THEN 'long_line'
+         |       WHEN mean_line_len > 100.0 THEN 'mean_line'
+         |       WHEN alnum_frac < 0.25 THEN 'low_alnum' END AS reason
+         | FROM q)
+         |SELECT id, lang, reason IS NULL AS keep, reason FROM r""".stripMargin,
 
     "t_pii" -> {
       s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)

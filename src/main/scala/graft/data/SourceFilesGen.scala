@@ -34,7 +34,8 @@ object SourceFilesGen {
 
   def generate(spark: SparkSession, n: Long, seed: Long = 42L,
                repoCount: Int = 1000, violationRatePerMille: Int = 20,
-               partitions: Int = 0): DataFrame = {
+               partitions: Int = 0,
+               codePathologies: Boolean = false): DataFrame = {
     // explicit partition count pins the physical layout WITHOUT a shuffle
     // (range splits are computed, not moved) — required by the scaling
     // protocol, which compares two parallelism levels over identical tasks
@@ -87,7 +88,32 @@ object SourceFilesGen {
     val lenFactor = (pmod(h2, lit(16)) * pmod(h3, lit(16)) + 1).cast("int")
     val drifted = repoIdx === 7
     val reps = when(drifted, lenFactor * 4).otherwise(lenFactor)
-    val content = repeat(unit, reps)
+    val plain = repeat(unit, reps)
+    // --- codePathologies (opt-in; default OFF so every pre-existing oracle
+    // and pinned test count is untouched): the three file shapes a
+    // Stack-style code-quality filter must catch, selected deterministically
+    // on a hash slice disjoint per class:
+    //   h%19==3 (~5%)  -> machine-generated header ("DO NOT EDIT")
+    //   h%19==7 (~5%)  -> minified: same code mass on ONE line (no '\n')
+    //   h%19 in 11,12 (~10%) -> comment-heavy: a comment line per code line,
+    //                   prefix matched to the lang family ('#' vs '//')
+    //   h%19==15 (~5%) -> ascii-art separator soup: alnum fraction 0
+    //                   (positive case for the low-alnum gate)
+    val content =
+      if (!codePathologies) plain
+      else {
+        val sel = pmod(h, lit(19))
+        val commentPrefix = when(lang.isin("python", "ruby"), lit("# "))
+          .otherwise(lit("// "))
+        val commentLine = concat(commentPrefix, lit("note "),
+          pmod(h2, lit(89)).cast("string"), lit("\n"))
+        when(sel === 3,
+            concat(lit("// AUTO-GENERATED FILE. DO NOT EDIT.\n"), plain))
+          .when(sel === 7, regexp_replace(plain, "\n", "; "))
+          .when(sel.isin(11, 12), repeat(concat(commentLine, unit), reps))
+          .when(sel === 15, repeat(lit("+--+ ==== ;;; !!! <=> ~~~\n"), reps))
+          .otherwise(plain)
+      }
 
     ids.select(
       col("id"),
