@@ -303,6 +303,28 @@ object SparkEntry {
       CodeOps.codeFilter(
         CodeOps.codeQuality(codeInput(s), "id", "lang", "content"))),
 
+    // ---- code: credential scan + global redaction (BigCode-style secret
+    // removal: AWS key ids, forge tokens, PEM blocks) — counts AND the
+    // redacted-content sha, both replayed verbatim by the oracle
+    "c_secrets" -> ((s, dir) =>
+      CodeOps.secretScan(codeInput(s), "id", "content")),
+
+    // ---- code: license detection (SPDX header first, classic license-text
+    // phrases second) + The-Stack permissive-only keep policy
+    "c_license" -> ((s, dir) =>
+      CodeOps.licenseScan(codeInput(s), "id", "content")),
+
+    // ---- code: path-extension vs declared-lang referential parity (null
+    // path / unknown lang -> unverifiable -> false)
+    "c_ext_lang" -> ((s, dir) =>
+      CodeOps.extLangCheck(codeInput(s), "id", "path", "lang",
+        SourceFilesGen.langs)),
+
+    // ---- code: per-repo corpus card (files, langs, chars, autogen +
+    // secret-bearing counts) — one algebraic hash aggregate, mega-repo-safe
+    "c_repo_card" -> ((s, dir) =>
+      CodeOps.repoCard(codeInput(s), "repo", "lang", "content")),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -962,9 +984,16 @@ object SparkEntry {
    * as [[nsInputPath]]). Both queries rewrite it (deterministic generator,
    * overwrite mode), so they are order-independent under Verify. */
   private val codeInputPath = "/tmp/graft_code_input"
+
+  /** Write-once-per-JVM: the generator is deterministic, so the first
+   * c_* query of a process refreshes the table (guarding against a stale
+   * dir from an older generator) and the other five read it as a plain
+   * parquet scan — the operator under measurement, not the generator. */
+  private val codeInputWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def codeInput(s: SparkSession): DataFrame = {
-    SourceFilesGen.generate(s, 2000L, codePathologies = true)
-      .write.mode("overwrite").parquet(codeInputPath)
+    if (codeInputWritten.compareAndSet(false, true))
+      SourceFilesGen.generate(s, 2000L, codePathologies = true)
+        .write.mode("overwrite").parquet(codeInputPath)
     s.read.parquet(codeInputPath)
   }
 
@@ -1300,6 +1329,59 @@ object SparkEntry {
          |       WHEN alnum_frac < 0.25 THEN 'low_alnum' END AS reason
          | FROM q)
          |SELECT id, lang, reason IS NULL AS keep, reason FROM r""".stripMargin,
+
+    "c_secrets" ->
+      s"""SELECT id,
+         |  CAST(len(regexp_extract_all(content, '${graft.text.CodeOps.SecretAwsRe}')) AS BIGINT) AS n_aws,
+         |  CAST(len(regexp_extract_all(content, '${graft.text.CodeOps.SecretGithubRe}')) AS BIGINT) AS n_github,
+         |  CAST(len(regexp_extract_all(content, '${graft.text.CodeOps.SecretPemRe}')) AS BIGINT) AS n_pem,
+         |  sha256(regexp_replace(regexp_replace(regexp_replace(content,
+         |    '${graft.text.CodeOps.SecretAwsRe}', '<SECRET>', 'g'),
+         |    '${graft.text.CodeOps.SecretGithubRe}', '<SECRET>', 'g'),
+         |    '${graft.text.CodeOps.SecretPemRe}', '<SECRET>', 'g')) AS redacted_sha
+         |FROM read_parquet('$codeInputPath/*.parquet')""".stripMargin,
+
+    "c_license" ->
+      s"""WITH h AS (SELECT id, substring(content, 1, 400) AS head
+         |  FROM read_parquet('$codeInputPath/*.parquet')),
+         |l AS (SELECT id, CASE
+         |  WHEN regexp_extract(head, '${graft.text.CodeOps.SpdxRe}', 1) <> ''
+         |    THEN regexp_extract(head, '${graft.text.CodeOps.SpdxRe}', 1)
+         |  WHEN contains(head, 'Permission is hereby granted, free of charge')
+         |    THEN 'MIT'
+         |  WHEN regexp_matches(head, 'Apache License,? Version 2\\.0')
+         |    THEN 'Apache-2.0'
+         |  WHEN contains(head, 'GNU General Public License') THEN 'GPL'
+         |  WHEN contains(head, 'Redistribution and use in source and binary forms')
+         |    THEN 'BSD'
+         |  END AS license FROM h)
+         |SELECT id, license,
+         |  COALESCE(license IN ('MIT', 'Apache-2.0', 'BSD', 'BSD-2-Clause',
+         |    'BSD-3-Clause', 'ISC', 'Unlicense'), false) AS permissive
+         |FROM l""".stripMargin,
+
+    "c_ext_lang" ->
+      s"""SELECT id, lang, regexp_extract(path, '\\.([a-z]+)$$', 1) AS ext,
+         |  COALESCE(regexp_extract(path, '\\.([a-z]+)$$', 1) =
+         |    CASE WHEN lang IN ('scala', 'java', 'python', 'rust', 'go', 'c',
+         |                       'cpp', 'js', 'ts', 'ruby')
+         |         THEN CASE lang WHEN 'python' THEN 'py' WHEN 'ruby' THEN 'rb'
+         |              ELSE lang END END, false) AS consistent
+         |FROM read_parquet('$codeInputPath/*.parquet')""".stripMargin,
+
+    "c_repo_card" ->
+      s"""SELECT repo, count(*) AS n_files,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(sum(length(content)) AS BIGINT) AS total_chars,
+         |  CAST(sum(CASE WHEN regexp_matches(substring(content, 1, 200),
+         |    '${graft.text.CodeOps.autogenPattern}') THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_autogen,
+         |  CAST(sum(CASE WHEN regexp_matches(content, '${graft.text.CodeOps.SecretAwsRe}')
+         |    OR regexp_matches(content, '${graft.text.CodeOps.SecretGithubRe}')
+         |    OR regexp_matches(content, '${graft.text.CodeOps.SecretPemRe}')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_secret_files
+         |FROM read_parquet('$codeInputPath/*.parquet')
+         |GROUP BY repo""".stripMargin,
 
     "t_pii" -> {
       s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)
