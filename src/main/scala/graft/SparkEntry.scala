@@ -325,6 +325,31 @@ object SparkEntry {
     "c_repo_card" -> ((s, dir) =>
       CodeOps.repoCard(codeInput(s), "repo", "lang", "content")),
 
+    // ---- code: near-duplicate pairs over NORMALIZED code (lowercased,
+    // punctuation collapsed — formatting/minification-invariant), reusing
+    // the exact prefix-filtered All-Pairs operator; the generator's
+    // boilerplate-template pathology supplies true near-dup blocks
+    "c_near_dup" -> ((s, dir) => {
+      // quality gate FIRST (published pipeline order) — also the scale
+      // guard: it drops the signal-free files (e.g. alnum-free separator
+      // soup) whose identical empty token streams would otherwise form an
+      // O(n^2) J=1 clique in the pair output
+      val base = codeInput(s)
+      val keep = CodeOps.codeFilter(
+          CodeOps.codeQuality(base, "id", "lang", "content"))
+        .filter(col("keep")).select("id")
+      // strip comment lines before normalizing (license/autogen headers
+      // otherwise weld unrelated files into near-dup cliques), and drop
+      // files whose token stream is empty after stripping (no signal)
+      val norm = base.join(keep, "id")
+        .select(col("id"), CodeOps.normalizeCode(
+          CodeOps.stripComments(col("content"), col("lang"))).as("norm"))
+        .filter(length(col("norm")) > 0)
+      Dedup.jaccardNgramPairs(norm, "id", "norm",
+        shingleN = 3, thrNum = 1L, thrDen = 2L,
+        stagingDir = Some(stageDir(s, "code_jaccard")))
+    }),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -1368,6 +1393,37 @@ object SparkEntry {
          |         THEN CASE lang WHEN 'python' THEN 'py' WHEN 'ruby' THEN 'rb'
          |              ELSE lang END END, false) AS consistent
          |FROM read_parquet('$codeInputPath/*.parquet')""".stripMargin,
+
+    // exact replay of the engine's All-Pairs result over normalized code:
+    // thresholded Jaccard is candidate-order-independent, so the naive
+    // shingle self-join at 2k files equals the prefix-filtered plan
+    "c_near_dup" ->
+      s"""WITH $codeQualityCteSql,
+         |keep AS (SELECT id FROM q WHERE NOT (autogen OR max_line_len > 1000
+         |  OR mean_line_len > 100.0 OR alnum_frac < 0.25)),
+         |n AS (SELECT c.id AS doc_id, trim(lower(regexp_replace(
+         |    CASE WHEN lang IN ('python', 'ruby')
+         |      THEN regexp_replace(content, '(?m)^[ \\t]*#[^\\n]*\\n?', '', 'g')
+         |      ELSE regexp_replace(content, '(?m)^[ \\t]*//[^\\n]*\\n?', '', 'g')
+         |    END, '[^A-Za-z0-9]+', ' ', 'g'))) AS nrm
+         |  FROM read_parquet('$codeInputPath/*.parquet') c
+         |  JOIN keep k ON c.id = k.id),
+         |tk AS (SELECT doc_id, regexp_split_to_array(nrm, '\\s+') tk
+         |  FROM n WHERE length(nrm) > 0),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(tk) - 2, 1)),
+         |  i -> array_to_string(tk[i:i+2], ' '))) sh FROM tk),
+         |sr0 AS (SELECT doc_id, unnest(sh) AS shg FROM s),
+         |sr AS (SELECT DISTINCT doc_id,
+         |         CAST(concat('0x', substr(md5(shg), 1, 15)) AS BIGINT) AS shg
+         |       FROM sr0),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sr GROUP BY doc_id),
+         |ov AS (SELECT sa.doc_id ia, sb.doc_id ib, count(*) c
+         |       FROM sr sa JOIN sr sb ON sa.shg = sb.shg AND sa.doc_id < sb.doc_id
+         |       GROUP BY ia, ib)
+         |SELECT ia AS id_a, ib AS id_b, c * 1.0 / (a.sz + b.sz - c) AS jaccard
+         |FROM ov JOIN sz a ON a.doc_id = ov.ia JOIN sz b ON b.doc_id = ov.ib
+         |WHERE 2 * c >= (a.sz + b.sz - c)""".stripMargin,
 
     "c_repo_card" ->
       s"""SELECT repo, count(*) AS n_files,
