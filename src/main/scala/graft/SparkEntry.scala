@@ -350,6 +350,13 @@ object SparkEntry {
         stagingDir = Some(stageDir(s, "code_jaccard")))
     }),
 
+    // ---- code: repo-level fork/mirror detection by file-set containment
+    // (The-Stack drops forks before training cuts; content-level overlap
+    // is the signal when fork metadata is absent). df-guarded equi-join —
+    // per-file pair fan-out bounded by C(maxDf,2)
+    "c_forks" -> ((s, dir) =>
+      CodeOps.forkDetect(forkInput(s), "repo", "path", "content")),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -1022,6 +1029,22 @@ object SparkEntry {
     s.read.parquet(codeInputPath)
   }
 
+  /** Where c_forks persists its fork-pathology table for the oracle (same
+   * contract as [[codeInputPath]]; separate table so the other c_* oracles
+   * keep their 2000-row input untouched). Fewer, larger repos
+   * (repoCount=150, ~11 files each + the mega-repo) so containment over a
+   * fork's file set clears the minShared floor. */
+  private val forkInputPath = "/tmp/graft_fork_input"
+  private val forkInputWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def forkInput(s: SparkSession): DataFrame = {
+    if (forkInputWritten.compareAndSet(false, true))
+      SourceFilesGen.withForks(
+          SourceFilesGen.generate(s, 2000L, repoCount = 150,
+            codePathologies = true))
+        .write.mode("overwrite").parquet(forkInputPath)
+    s.read.parquet(forkInputPath)
+  }
+
   /** Shared DuckDB replay of [[CodeOps.codeQuality]] over the persisted
    * code-input table — `q(id, lang, n_lines, max_line_len, sum_line_len,
    * mean_line_len, n_comment_lines, comment_frac, alnum_frac, autogen)`.
@@ -1424,6 +1447,30 @@ object SparkEntry {
          |SELECT ia AS id_a, ib AS id_b, c * 1.0 / (a.sz + b.sz - c) AS jaccard
          |FROM ov JOIN sz a ON a.doc_id = ov.ia JOIN sz b ON b.doc_id = ov.ib
          |WHERE 2 * c >= (a.sz + b.sz - c)""".stripMargin,
+
+    // independent replay of fork detection: distinct (repo, file-hash),
+    // df guard 2..100, self-join, containment = shared / min sizes (one
+    // long/long double division — bit-exact vs Spark)
+    "c_forks" ->
+      s"""WITH rf AS (SELECT DISTINCT repo,
+         |    CAST(concat('0x', substr(md5(concat(coalesce(path, ''), '|',
+         |      content)), 1, 15)) AS BIGINT) AS f
+         |  FROM read_parquet('$forkInputPath/*.parquet')),
+         |sizes AS (SELECT repo, count(*) AS n FROM rf GROUP BY repo),
+         |rare AS (SELECT f FROM rf GROUP BY f
+         |         HAVING count(*) BETWEEN 2 AND 100),
+         |pairs AS (SELECT a.repo AS repo_a, b.repo AS repo_b,
+         |    count(*) AS shared_files
+         |  FROM rf a JOIN rare USING (f) JOIN rf b USING (f)
+         |  WHERE a.repo < b.repo GROUP BY 1, 2)
+         |SELECT repo_a, repo_b, shared_files, sa.n AS files_a,
+         |  sb.n AS files_b,
+         |  shared_files / least(sa.n, sb.n) AS containment
+         |FROM pairs
+         |JOIN sizes sa ON sa.repo = pairs.repo_a
+         |JOIN sizes sb ON sb.repo = pairs.repo_b
+         |WHERE shared_files >= 3
+         |  AND shared_files / least(sa.n, sb.n) >= 0.5""".stripMargin,
 
     "c_repo_card" ->
       s"""SELECT repo, count(*) AS n_files,

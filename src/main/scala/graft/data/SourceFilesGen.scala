@@ -164,4 +164,33 @@ object SourceFilesGen {
       lang.as("lang"),
       content.as("content"))
   }
+
+  /**
+   * Fork pathology: every `everyKth`-th repo (hash-selected) spawns a
+   * `<repo>__fork` copy that keeps ~`keepPerMille`/1000 of the origin's
+   * files (hash-selected per path), applies a small trailing patch to
+   * ~`mutPerMille`/1000 of the kept files, and rewrites the commit sha —
+   * the file-overlap structure GitHub forks/mirrors exhibit, which
+   * repo-level dedup (The Stack excludes forks before training-data cuts)
+   * must detect from content alone when fork metadata is absent.
+   *
+   * Columnar and deterministic: one filter + map over the base rows,
+   * unioned back — no shuffle, scales with the generator itself.
+   */
+  def withForks(base: DataFrame, seed: Long = 1234L, everyKth: Int = 7,
+                keepPerMille: Int = 850, mutPerMille: Int = 150): DataFrame = {
+    val forkSel = pmod(xxhash64(col("repo"), lit(seed)), lit(everyKth)) === 0
+    val fileH = xxhash64(col("repo"), coalesce(col("path"), lit("")),
+      lit(seed + 1))
+    val kept = pmod(fileH, lit(1000)) < keepPerMille
+    val mutated = pmod(fileH, lit(1000)) >= keepPerMille - mutPerMille
+    val patch = concat(lit("\n// fork patch "),
+      pmod(fileH, lit(997)).cast("string"), lit("\n"))
+    val forks = base.filter(forkSel && kept)
+      .withColumn("content",
+        when(mutated, concat(col("content"), patch)).otherwise(col("content")))
+      .withColumn("repo", concat(col("repo"), lit("__fork")))
+      .withColumn("commit", sha1(concat(col("commit"), lit("+fork"))))
+    base.unionByName(forks)
+  }
 }
