@@ -7,11 +7,22 @@ import org.apache.spark.sql.functions._
 import graft.data.SourceFilesGen
 import graft.run.Runner
 
-class RunnerSpec extends SparkTestBase {
+class RunnerSpec extends SparkTestBase
+    with org.scalatest.BeforeAndAfterAll {
+
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
 
   private def freshDir(): String = {
     val d = Files.createTempDirectory("graft-run").toString
+    tempDirs += d
     d
+  }
+
+  override def afterAll(): Unit = {
+    tempDirs.foreach { d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d))
+    }
+    super.afterAll()
   }
 
   lazy val input = SourceFilesGen.generate(spark, 5000L).cache()
