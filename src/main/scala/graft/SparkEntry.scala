@@ -350,6 +350,13 @@ object SparkEntry {
         stagingDir = Some(stageDir(s, "code_jaccard")))
     }),
 
+    // ---- code: ecosystem dependency stats — per-lang import extraction
+    // (line-anchored patterns, Java∩RE2), per-file dedup, then one hash
+    // aggregate: which modules the corpus imports and how widely (the
+    // library-popularity / repo-selection signal in dataset curation)
+    "c_imports" -> ((s, dir) =>
+      CodeOps.importStats(codeInput(s), "id", "repo", "lang", "content")),
+
     // ---- code: repo-level fork/mirror detection by file-set containment
     // (The-Stack drops forks before training cuts; content-level overlap
     // is the signal when fork metadata is absent). df-guarded equi-join —
@@ -1447,6 +1454,40 @@ object SparkEntry {
          |SELECT ia AS id_a, ib AS id_b, c * 1.0 / (a.sz + b.sz - c) AS jaccard
          |FROM ov JOIN sz a ON a.doc_id = ov.ia JOIN sz b ON b.doc_id = ov.ib
          |WHERE 2 * c >= (a.sz + b.sz - c)""".stripMargin,
+
+    // independent replay of import extraction: per-lang literal patterns
+    // (one UNION ALL branch per family), per-file DISTINCT, then group
+    "c_imports" ->
+      s"""WITH src AS (SELECT id, repo, lang, content
+         |  FROM read_parquet('$codeInputPath/*.parquet')),
+         |im0 AS (
+         |  SELECT id, repo, lang, unnest(regexp_extract_all(content,
+         |    '(?m)^import ([A-Za-z0-9_]+)$$', 1)) AS module
+         |  FROM src WHERE lang = 'python'
+         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
+         |    content, '(?m)^require ''([A-Za-z0-9_]+)''$$', 1))
+         |  FROM src WHERE lang = 'ruby'
+         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
+         |    content, '(?m)^import "([A-Za-z0-9_]+)"$$', 1))
+         |  FROM src WHERE lang = 'go'
+         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
+         |    content, '(?m)^use ([A-Za-z0-9_]+);$$', 1))
+         |  FROM src WHERE lang = 'rust'
+         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
+         |    content, '(?m)^import ([A-Za-z0-9_]+);$$', 1))
+         |  FROM src WHERE lang IN ('java', 'scala')
+         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
+         |    content, '(?m)^#include <([A-Za-z0-9_]+)\\.h>$$', 1))
+         |  FROM src WHERE lang IN ('c', 'cpp')
+         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
+         |    content,
+         |    '(?m)^const [A-Za-z0-9_]+ = require\\(''([A-Za-z0-9_]+)''\\)$$',
+         |    1))
+         |  FROM src WHERE lang IN ('js', 'ts')),
+         |im AS (SELECT DISTINCT id, repo, lang, module FROM im0)
+         |SELECT lang, module, count(*) AS n_files,
+         |  count(DISTINCT repo) AS n_repos
+         |FROM im GROUP BY 1, 2""".stripMargin,
 
     // independent replay of fork detection: distinct (repo, file-hash),
     // df guard 2..100, self-join, containment = shared / min sizes (one

@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -153,7 +153,11 @@ object SourceFilesGen {
             concat(repeat(tmplUnit, 8), lit("// variant "),
               pmod(h3, lit(1000)).cast("string"), lit("\n"))
           })
-          .otherwise(plain)
+          // plain files open with 1-3 import lines in the lang's syntax
+          // (dependency-extraction positive cases). Module popularity is
+          // triangular (min of two uniform hashes) so frequency stats have
+          // a head, like real ecosystems.
+          .otherwise(concat(importHeader(lang, h2, h3), plain))
       }
 
     ids.select(
@@ -163,6 +167,34 @@ object SourceFilesGen {
       commit.as("commit"),
       lang.as("lang"),
       content.as("content"))
+  }
+
+  /** One import line in `lang`'s syntax for module `lib<m>`. */
+  private def importLine(lang: Column, m: Column): Column = {
+    val mod = concat(lit("lib"), m.cast("string"))
+    when(lang === "python", concat(lit("import "), mod))
+      .when(lang === "ruby", concat(lit("require '"), mod, lit("'")))
+      .when(lang === "go", concat(lit("import \""), mod, lit("\"")))
+      .when(lang === "rust", concat(lit("use "), mod, lit(";")))
+      .when(lang.isin("java", "scala"), concat(lit("import "), mod, lit(";")))
+      .when(lang.isin("c", "cpp"), concat(lit("#include <"), mod, lit(".h>")))
+      .when(lang.isin("js", "ts"),
+        concat(lit("const "), mod, lit(" = require('"), mod, lit("')")))
+      .otherwise(concat(lit("import "), mod)) // unknown-lang rows
+  }
+
+  /** 1-3 import lines; module ids triangular over [0,50) (min of two
+   * uniform hashes) so a popularity head exists. */
+  private def importHeader(lang: Column, h2: Column, h3: Column): Column = {
+    val n = pmod(h3, lit(3)) + 1
+    def mId(k: Int) = least(pmod(xxhash64(h2, lit(k * 2L)), lit(50)),
+      pmod(xxhash64(h3, lit(k * 2L + 1L)), lit(50)))
+    val l1 = concat(importLine(lang, mId(1)), lit("\n"))
+    val l2 = when(n >= 2, concat(importLine(lang, mId(2)), lit("\n")))
+      .otherwise(lit(""))
+    val l3 = when(n >= 3, concat(importLine(lang, mId(3)), lit("\n")))
+      .otherwise(lit(""))
+    concat(l1, l2, l3)
   }
 
   /**
