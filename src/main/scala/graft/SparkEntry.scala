@@ -355,14 +355,15 @@ object SparkEntry {
     // aggregate: which modules the corpus imports and how widely (the
     // library-popularity / repo-selection signal in dataset curation)
     "c_imports" -> ((s, dir) =>
-      CodeOps.importStats(codeInput(s), "id", "repo", "lang", "content")),
+      CodeOps.importStats(codeInput(s), "repo", "lang", "content")),
 
     // ---- code: repo-level fork/mirror detection by file-set containment
     // (The-Stack drops forks before training cuts; content-level overlap
     // is the signal when fork metadata is absent). df-guarded equi-join —
     // per-file pair fan-out bounded by C(maxDf,2)
     "c_forks" -> ((s, dir) =>
-      CodeOps.forkDetect(forkInput(s), "repo", "path", "content")),
+      CodeOps.forkDetect(forkInput(s), "repo", "path", "content",
+        stagingDir = Some(stageDir(s, "forks")))),
 
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
@@ -1456,35 +1457,39 @@ object SparkEntry {
          |WHERE 2 * c >= (a.sz + b.sz - c)""".stripMargin,
 
     // independent replay of import extraction: per-lang literal patterns
-    // (one UNION ALL branch per family), per-file DISTINCT, then group
+    // (one UNION ALL branch per family), per-file dedup via list_distinct
+    // (mirrors the engine's array_distinct-before-explode), then group
     "c_imports" ->
-      s"""WITH src AS (SELECT id, repo, lang, content
+      s"""WITH src AS (SELECT repo, lang, content
          |  FROM read_parquet('$codeInputPath/*.parquet')),
-         |im0 AS (
-         |  SELECT id, repo, lang, unnest(regexp_extract_all(content,
-         |    '(?m)^import ([A-Za-z0-9_]+)$$', 1)) AS module
+         |im AS (
+         |  SELECT repo, lang, unnest(list_distinct(regexp_extract_all(
+         |    content, '(?m)^import ([A-Za-z0-9_]+)$$', 1))) AS module
          |  FROM src WHERE lang = 'python'
-         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
-         |    content, '(?m)^require ''([A-Za-z0-9_]+)''$$', 1))
+         |  UNION ALL SELECT repo, lang, unnest(list_distinct(
+         |    regexp_extract_all(content,
+         |      '(?m)^require ''([A-Za-z0-9_]+)''$$', 1)))
          |  FROM src WHERE lang = 'ruby'
-         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
-         |    content, '(?m)^import "([A-Za-z0-9_]+)"$$', 1))
+         |  UNION ALL SELECT repo, lang, unnest(list_distinct(
+         |    regexp_extract_all(content,
+         |      '(?m)^import "([A-Za-z0-9_]+)"$$', 1)))
          |  FROM src WHERE lang = 'go'
-         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
-         |    content, '(?m)^use ([A-Za-z0-9_]+);$$', 1))
+         |  UNION ALL SELECT repo, lang, unnest(list_distinct(
+         |    regexp_extract_all(content, '(?m)^use ([A-Za-z0-9_]+);$$', 1)))
          |  FROM src WHERE lang = 'rust'
-         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
-         |    content, '(?m)^import ([A-Za-z0-9_]+);$$', 1))
+         |  UNION ALL SELECT repo, lang, unnest(list_distinct(
+         |    regexp_extract_all(content,
+         |      '(?m)^import ([A-Za-z0-9_]+);$$', 1)))
          |  FROM src WHERE lang IN ('java', 'scala')
-         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
-         |    content, '(?m)^#include <([A-Za-z0-9_]+)\\.h>$$', 1))
+         |  UNION ALL SELECT repo, lang, unnest(list_distinct(
+         |    regexp_extract_all(content,
+         |      '(?m)^#include <([A-Za-z0-9_]+)\\.h>$$', 1)))
          |  FROM src WHERE lang IN ('c', 'cpp')
-         |  UNION ALL SELECT id, repo, lang, unnest(regexp_extract_all(
-         |    content,
-         |    '(?m)^const [A-Za-z0-9_]+ = require\\(''([A-Za-z0-9_]+)''\\)$$',
-         |    1))
-         |  FROM src WHERE lang IN ('js', 'ts')),
-         |im AS (SELECT DISTINCT id, repo, lang, module FROM im0)
+         |  UNION ALL SELECT repo, lang, unnest(list_distinct(
+         |    regexp_extract_all(content,
+         |      '(?m)^const [A-Za-z0-9_]+ = require\\(''([A-Za-z0-9_]+)''\\)$$',
+         |      1)))
+         |  FROM src WHERE lang IN ('js', 'ts'))
          |SELECT lang, module, count(*) AS n_files,
          |  count(DISTINCT repo) AS n_repos
          |FROM im GROUP BY 1, 2""".stripMargin,
