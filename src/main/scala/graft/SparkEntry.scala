@@ -85,6 +85,24 @@ object SparkEntry {
           col("type").as("vtype"))
     }),
 
+    // ---- violation regression diff (CI-for-data): current violations vs
+    // a deterministic "previous snapshot" (a doc_id%7 slice didn't exist
+    // yet -> its violations are `new`; a doc_id%5 slice had NULL lang,
+    // since repaired -> `fixed`); everything else `persisting`. The alert
+    // gate of a scheduled validation run is status='new'.
+    "v_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val prevDocs = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("lang", when(col("doc_id") % 5 === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+      def v(x: DataFrame) =
+        ModelValidator.violations(x, docModel, Seq("doc_id"))
+          .select(col("doc_id"), element_at(col("loc"), 1).as("field"),
+            col("type").as("vtype"))
+      TableChecks.violationDiff(v(d), v(prevDocs),
+        Seq("doc_id", "field", "vtype"))
+    }),
+
     // ---- per-column stats, exact flavor for oracle parity in ONE scan:
     // a single aggregation computes every column's stats (the exact
     // countDistincts expand the input 3x but read it once — round 1 ran
@@ -1237,6 +1255,22 @@ object SparkEntry {
   private def langScoreSql(words: Seq[String]): String =
     s"len(list_filter(tk, t -> t IN (${words.map("'" + _ + "'").mkString(",")}))) * 1.0 / len(tk)"
 
+  /** The doc-model violation replay, templated over a source relation so
+   * the regression diff can run it against two snapshots. */
+  private def docViolationsSql(src: String): String =
+    s"""SELECT doc_id, 'doc_id' AS field, 'missing' AS vtype FROM $src WHERE doc_id IS NULL
+       |UNION ALL SELECT doc_id, 'doc_id', 'greater_than_equal' FROM $src WHERE doc_id < 0
+       |UNION ALL SELECT doc_id, 'text', 'missing' FROM $src WHERE text IS NULL
+       |UNION ALL SELECT doc_id, 'text', 'string_too_short' FROM $src WHERE length(text) < 100
+       |UNION ALL SELECT doc_id, 'text', 'string_too_long' FROM $src WHERE length(text) > 500
+       |UNION ALL SELECT doc_id, 'lang', 'missing' FROM $src WHERE lang IS NULL
+       |UNION ALL SELECT doc_id, 'lang', 'enum' FROM $src WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+       |UNION ALL SELECT doc_id, 'source', 'missing' FROM $src WHERE source IS NULL
+       |UNION ALL SELECT doc_id, 'source', 'string_pattern_mismatch' FROM $src WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$$')
+       |UNION ALL SELECT doc_id, 'n_chars', 'missing' FROM $src WHERE n_chars IS NULL
+       |UNION ALL SELECT doc_id, 'n_chars', 'greater_than_equal' FROM $src WHERE n_chars < 1
+       |UNION ALL SELECT doc_id, 'n_chars', 'less_than_equal' FROM $src WHERE n_chars > 1000""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "f_validator" ->
@@ -2051,19 +2085,29 @@ object SparkEntry {
         |  AND source IS NOT NULL AND n_chars IS NOT NULL AS valid
         |FROM documents""".stripMargin,
 
-    "v_violations" ->
-      """SELECT doc_id, 'doc_id' AS field, 'missing' AS vtype FROM documents WHERE doc_id IS NULL
-        |UNION ALL SELECT doc_id, 'doc_id', 'greater_than_equal' FROM documents WHERE doc_id < 0
-        |UNION ALL SELECT doc_id, 'text', 'missing' FROM documents WHERE text IS NULL
-        |UNION ALL SELECT doc_id, 'text', 'string_too_short' FROM documents WHERE length(text) < 100
-        |UNION ALL SELECT doc_id, 'text', 'string_too_long' FROM documents WHERE length(text) > 500
-        |UNION ALL SELECT doc_id, 'lang', 'missing' FROM documents WHERE lang IS NULL
-        |UNION ALL SELECT doc_id, 'lang', 'enum' FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr')
-        |UNION ALL SELECT doc_id, 'source', 'missing' FROM documents WHERE source IS NULL
-        |UNION ALL SELECT doc_id, 'source', 'string_pattern_mismatch' FROM documents WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
-        |UNION ALL SELECT doc_id, 'n_chars', 'missing' FROM documents WHERE n_chars IS NULL
-        |UNION ALL SELECT doc_id, 'n_chars', 'greater_than_equal' FROM documents WHERE n_chars < 1
-        |UNION ALL SELECT doc_id, 'n_chars', 'less_than_equal' FROM documents WHERE n_chars > 1000""".stripMargin,
+    "v_violations" -> docViolationsSql("documents"),
+
+    // replay of the regression diff: the doc-model violation SQL templated
+    // over both snapshots, then a null-safe FULL JOIN classifies each key
+    "v_diff" ->
+      s"""WITH prev_docs AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+         |    source, n_chars
+         |  FROM documents WHERE doc_id % 7 != 0),
+         |cur AS (SELECT DISTINCT doc_id, field, vtype, TRUE AS in_cur
+         |  FROM (${docViolationsSql("documents")}) t),
+         |prev AS (SELECT DISTINCT doc_id, field, vtype, TRUE AS in_prev
+         |  FROM (${docViolationsSql("prev_docs")}) t)
+         |SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+         |  coalesce(c.field, p.field) AS field,
+         |  coalesce(c.vtype, p.vtype) AS vtype,
+         |  CASE WHEN c.in_cur AND p.in_prev THEN 'persisting'
+         |       WHEN c.in_cur THEN 'new' ELSE 'fixed' END AS status
+         |FROM cur c FULL JOIN prev p
+         |  ON c.doc_id IS NOT DISTINCT FROM p.doc_id
+         |  AND c.field IS NOT DISTINCT FROM p.field
+         |  AND c.vtype IS NOT DISTINCT FROM p.vtype""".stripMargin,
 
     "v_col_stats" ->
       """SELECT 'lang' AS col_name, count(*) AS row_count, count(lang) AS nonnull_count,

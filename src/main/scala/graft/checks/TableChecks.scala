@@ -106,4 +106,36 @@ object TableChecks {
   /** sha256 invariant column — the per-row invariant vs a reference run
    * (north rule; `sha2(content, 256)`). */
   def sha256(c: Column): Column = sha2(c, 256)
+
+  /**
+   * Violation regression diff — CI-for-data: classify each violation key
+   * (row identity + loc + type) as `new` (absent from the previous run's
+   * snapshot), `fixed` (present before, gone now) or `persisting`. The
+   * gate a scheduled validation run alerts on is `status = 'new'`; `fixed`
+   * rows close incidents. pydantic has no run-to-run memory — this is the
+   * table-scale generalization its ValidationError list needs to become a
+   * monitorable signal.
+   *
+   * Scale shape: both sides reduce to their distinct key set first
+   * (map-side combine), then ONE null-safe full-outer shuffle join on the
+   * key — violations are a small fraction of rows, so the join operands
+   * are orders below table size. Null-safe (`<=>`) so a NULL row-identity
+   * (e.g. a missing-key violation) still pairs across runs.
+   */
+  def violationDiff(current: DataFrame, previous: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    val cur = current.select(keyCols.map(col): _*).distinct()
+      .withColumn("__cur", lit(true))
+    val prev = previous.select(keyCols.map(col): _*).distinct()
+      .withColumn("__prev", lit(true))
+    val cond = keyCols.map(k => cur(k) <=> prev(k)).reduce(_ && _)
+    val status =
+      when(coalesce(col("__cur"), lit(false)) &&
+           coalesce(col("__prev"), lit(false)), lit("persisting"))
+        .when(coalesce(col("__cur"), lit(false)), lit("new"))
+        .otherwise(lit("fixed"))
+    cur.join(prev, cond, "full_outer")
+      .select(keyCols.map(k => coalesce(cur(k), prev(k)).as(k)) :+
+        status.as("status"): _*)
+  }
 }

@@ -106,4 +106,29 @@ class ChecksSpec extends SparkTestBase {
       assert(math.abs(hks(p) - eks(p)) < 1e-12, s"part $p: ${hks(p)} vs ${eks(p)}")
     }
   }
+
+  test("violationDiff: new/fixed/persisting, null-safe identity, dedup") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("field", StringType), StructField("vtype", StringType)))
+    def df(rows: Seq[(Any, String, String)]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (a, b, c) => Row(a, b, c) }, 2), schema)
+    val cur = df(Seq((1L, "f", "t"), (1L, "f", "t"), // dup collapses
+      (null, "k", "missing"), (2L, "f", "t")))
+    val prev = df(Seq((1L, "f", "t"), (null, "k", "missing"),
+      (3L, "g", "u")))
+    val out = graft.checks.TableChecks
+      .violationDiff(cur, prev, Seq("id", "field", "vtype"))
+      .collect()
+      .map(r => (Option(r.get(0)), r.getString(1), r.getString(2)) ->
+        r.getString(3)).toMap
+    assert(out == Map(
+      (Some(1L), "f", "t") -> "persisting",
+      (None, "k", "missing") -> "persisting", // null id pairs null-safely
+      (Some(2L), "f", "t") -> "new",
+      (Some(3L), "g", "u") -> "fixed"))
+    assert(out.size == 4)
+  }
 }
