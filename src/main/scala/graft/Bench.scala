@@ -61,6 +61,7 @@ object Bench {
     // when a projection trips the 64KB/8KB-constant-pool limits, and that
     // multi-line dump polluted the round-1 bench output stream.
     spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.install(spark) // graft_* SQL functions available
     // The 64KB whole-stage fallback for the widest projections (x_color,
     // the ns exploded element pass) is DOCUMENTED and benign — Spark
     // retries per-expression codegen and execution is correct — but

@@ -1080,7 +1080,7 @@ object SparkEntry {
   private val codeQualityCteSql =
     s"""b AS (SELECT id, lang,
        |  (length(content) - length(regexp_replace(content, '[A-Za-z0-9]', '', 'g')))
-       |    / length(content) AS alnum_frac,
+       |    / nullif(length(content), 0) AS alnum_frac,
        |  regexp_matches(substring(content, 1, 200),
        |    '${graft.text.CodeOps.autogenPattern}') AS autogen,
        |  CASE WHEN lang IN ('python', 'ruby') THEN '#' ELSE '//' END AS pfx,

@@ -22,4 +22,13 @@ object ColumnShim {
   /** Extract the Catalyst expression tree behind a Column (requires an
    * active session for node conversion). */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager conversion to a plain Catalyst tree (no lazy
+   * `ColumnNodeExpression` wrapper). Required when the expression is
+   * returned from a `FunctionRegistry` builder: the wrapper is
+   * `Unevaluable`, and a builder result produced mid-analysis is never
+   * re-converted — whereas a plain tree (possibly holding nested
+   * `UnresolvedFunction`s) resolves in the analyzer's next fixpoint pass. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
