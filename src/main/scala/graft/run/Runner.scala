@@ -363,4 +363,22 @@ object Runner {
     io.readViolations(spark)
       .join(committed, Seq("spec_hash", "part_id"), "left_semi")
   }
+
+  /** Run-to-run regression diff over two committed runs' violation sinks
+   * (the scheduled-validation alert surface): each (key, loc, type)
+   * violation identity classified `new` / `fixed` / `persisting` by
+   * [[TableChecks.violationDiff]]. Both sides are ledger-gated reads, so
+   * orphan rows from killed waves can't fabricate regressions; the two
+   * runs may differ in spec (the normal cause of new/fixed classes) or
+   * share one (pure data drift between table snapshots). */
+  def regressionDiff(spark: SparkSession, outDir: String, curSpec: String,
+                     prevSpec: String): DataFrame =
+    regressionDiff(spark, new ParquetDirIO(outDir), curSpec, prevSpec)
+
+  def regressionDiff(spark: SparkSession, io: TableIO, curSpec: String,
+                     prevSpec: String): DataFrame =
+    TableChecks.violationDiff(
+      violations(spark, io, Some(curSpec)).select("key", "loc", "type"),
+      violations(spark, io, Some(prevSpec)).select("key", "loc", "type"),
+      Seq("key", "loc", "type"))
 }

@@ -102,6 +102,42 @@ class RunnerSpec extends SparkTestBase
     assert(r.skipped.isEmpty && r.ran.size == 4)
   }
 
+  test("regressionDiff across two committed runs: new/fixed/persisting") {
+    val out = freshDir()
+    // previous run: the canonical model
+    Runner.run(spark, input, model, "repo", "content", out, buckets = 4)
+    // current run: ruby removed from the lang enum (ruby rows -> NEW enum
+    // violations) and the commit hex pattern dropped (its
+    // string_pattern_mismatch rows -> FIXED); everything else persists
+    val cur = model.copy(fields = model.fields.map {
+      case f if f.name == "lang" =>
+        f.copy(spec = graft.spec.EnumSpec(
+          graft.data.SourceFilesGen.langs.filterNot(_ == "ruby")))
+      case f if f.name == "commit" =>
+        f.copy(spec = graft.spec.StrSpec(minLength = Some(40),
+          maxLength = Some(40)))
+      case f => f
+    })
+    Runner.run(spark, input, cur, "repo", "content", out, buckets = 4)
+    val diff = Runner.regressionDiff(spark, out,
+      Runner.specHash(cur), Runner.specHash(model)).cache()
+    val byStatus = diff.groupBy("status", "type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // ruby rows exist in the generated input -> new enum violations
+    assert(byStatus.keys.exists { case (s, t) => s == "new" && t == "enum" })
+    // the generator's corrupted-commit slice was pattern-flagged before
+    assert(byStatus.keys.exists { case (s, t) =>
+      s == "fixed" && t == "string_pattern_mismatch" })
+    // unchanged constraints persist (e.g. null-path missing violations)
+    assert(diff.filter(col("status") === "persisting").count() > 0)
+    // no unexpected classes: every new row is the enum change, every
+    // fixed row is the dropped pattern
+    assert(byStatus.collect { case (("new", t), _) => t }.toSet == Set("enum"))
+    assert(byStatus.collect { case (("fixed", t), _) => t }.toSet ==
+      Set("string_pattern_mismatch"))
+    diff.unpersist()
+  }
+
   test("model_construct: checks-bypassed ingest is flagged, keeps lineage, " +
     "and never satisfies a later validation resume (main.py:331-405)") {
     val out = freshDir()
