@@ -156,6 +156,20 @@ object SparkEntry {
       Drift.ks(hist, ref).select(col("part"), round(col("ks"), 4).as("ks"))
     }),
 
+    // ---- distribution drift: Wasserstein-1 + Jensen-Shannon per source vs
+    // global (the magnitude-weighted and symmetric-bounded complements of
+    // KS/PSI over the same histogram — one groupBy, tiny grid joins)
+    "v_drift_w1" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val hist = Drift.histogram(d, col("source"),
+        Drift.bucketize(col("n_chars"), 0, 600, 20)).cache()
+      val ref = hist.groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+      Drift.wasserstein(hist, ref, binWidth = 30.0)
+        .join(Drift.jsd(hist, ref), Seq("part"))
+        .select(col("part"), round(col("w1"), 4).as("w1"),
+          round(col("jsd"), 6).as("jsd"))
+    }),
+
     // ---- Json[T] validation: parse-then-validate fused in one projection
     "v_json_field" -> ((s, dir) => {
       t(s, dir, "events").select(col("event_id"),
@@ -2165,6 +2179,32 @@ object SparkEntry {
         |          * 1.0 / g.part_total AS part_cdf
         |      FROM grid g LEFT JOIN hist h ON h.part = g.part AND h.bucket = g.bucket)
         |SELECT part, round(max(abs(part_cdf - ref_cdf)), 4) AS ks
+        |FROM j GROUP BY part""".stripMargin,
+
+    "v_drift_w1" ->
+      """WITH hist AS (
+        |  SELECT source AS part,
+        |         least(greatest(CAST(floor(n_chars / 30.0) AS INT), 0), 19) AS bucket,
+        |         count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |ptot AS (SELECT part, sum(cnt) AS part_total FROM hist GROUP BY 1),
+        |ref AS (SELECT bucket, sum(cnt) AS ref_cnt FROM hist GROUP BY 1),
+        |refp AS (SELECT bucket,
+        |    ref_cnt * 1.0 / (SELECT sum(ref_cnt) FROM ref) AS q,
+        |    sum(ref_cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      * 1.0 / (SELECT sum(ref_cnt) FROM ref) AS ref_cdf FROM ref),
+        |grid AS (SELECT p.part, p.part_total, r.bucket, r.q, r.ref_cdf
+        |         FROM ptot p CROSS JOIN refp r),
+        |j AS (SELECT g.part, g.q, g.ref_cdf,
+        |        coalesce(h.cnt, 0) * 1.0 / g.part_total AS p,
+        |        sum(coalesce(h.cnt, 0)) OVER (PARTITION BY g.part ORDER BY g.bucket ROWS UNBOUNDED PRECEDING)
+        |          * 1.0 / g.part_total AS part_cdf
+        |      FROM grid g LEFT JOIN hist h ON h.part = g.part AND h.bucket = g.bucket)
+        |SELECT part,
+        |  round(sum(abs(part_cdf - ref_cdf)) * 30.0, 4) AS w1,
+        |  round(sum(
+        |    CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END +
+        |    CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END), 6) AS jsd
         |FROM j GROUP BY part""".stripMargin,
 
     "v_json_field" ->

@@ -88,6 +88,64 @@ object Drift {
   }
 
   /**
+   * Wasserstein-1 (earth mover's) distance of every partition against the
+   * reference over the shared bucketing: W1 = binWidth * sum_b
+   * |CDF_part(b) - CDF_ref(b)| — the discrete closed form on a fixed-width
+   * grid. Same grid/window shape as [[ks]] (SUM of CDF gaps instead of the
+   * sup), so the shuffle envelope is identical: |parts| x |buckets| rows.
+   * Unlike KS it weighs HOW FAR mass moved, not just the largest gap —
+   * the standard complement when bucket distances are meaningful (lengths,
+   * counts).
+   */
+  def wasserstein(hist: DataFrame, refHist: DataFrame,
+                  binWidth: Double): DataFrame = {
+    val refTot = refHist.agg(sum("ref_cnt").as("ref_total"))
+    val refCdf = broadcast(refHist.crossJoin(broadcast(refTot))
+      .select(col("bucket"),
+        (sum(col("ref_cnt")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)) / col("ref_total"))
+          .as("ref_cdf")))
+    val partTot = hist.groupBy("part").agg(sum("cnt").as("part_total"))
+    val grid = partTot.crossJoin(refCdf)
+    val w = Window.partitionBy("part").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .join(hist, Seq("part", "bucket"), "left")
+      .select(col("part"), col("ref_cdf"),
+        (sum(coalesce(col("cnt"), lit(0L))).over(w) / col("part_total"))
+          .as("part_cdf"))
+      .select(col("part"), abs(col("part_cdf") - col("ref_cdf")).as("gap"))
+      .groupBy("part").agg((sum("gap") * binWidth).as("w1"))
+  }
+
+  /**
+   * Jensen-Shannon divergence of every partition against the reference:
+   * JSD(P,Q) = 0.5*sum_b p*ln(2p/(p+q)) + 0.5*sum_b q*ln(2q/(p+q)), with
+   * the 0*ln(0) = 0 convention (terms vanish where a side has no mass, so
+   * no epsilon smoothing is needed — unlike PSI, JSD is finite by
+   * construction and bounded by ln 2). Symmetric, so threshold tables
+   * transfer across which side is "reference".
+   */
+  def jsd(hist: DataFrame, refHist: DataFrame): DataFrame = {
+    val refTot = refHist.agg(sum("ref_cnt").as("ref_total"))
+    val ref = broadcast(refHist.crossJoin(broadcast(refTot))
+      .select(col("bucket"), (col("ref_cnt") / col("ref_total")).as("q")))
+    val partTot = hist.groupBy("part").agg(sum("cnt").as("part_total"))
+    // part x ref-bucket grid: a bucket absent from a partition still
+    // carries the reference's 0.5*q*ln(2) mass at p=0.
+    val grid = partTot.crossJoin(ref)
+    val p = coalesce(col("cnt"), lit(0L)) / col("part_total")
+    val m = (p + col("q")) / 2
+    val term =
+      when(p > 0, p * log(p / m) / 2).otherwise(lit(0.0)) +
+        when(col("q") > 0, col("q") * log(col("q") / m) / 2).otherwise(lit(0.0))
+    grid
+      .join(hist, Seq("part", "bucket"), "left")
+      .select(col("part"), term.as("term"))
+      .groupBy("part").agg(sum("term").as("jsd"))
+  }
+
+  /**
    * EXACT two-sample KS as a typed `Aggregator` — the unbucketed flavor
    * (SURVEY §4.2 item 3): input rows are (value, isRef); the state holds
    * per-sample value->count maps (map-side combined, order-independent

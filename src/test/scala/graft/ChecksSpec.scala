@@ -71,6 +71,35 @@ class ChecksSpec extends SparkTestBase {
     assert(math.abs(ks) < 1e-9)
   }
 
+  test("wasserstein/jsd: identical -> 0; hand case; disjoint jsd = ln 2") {
+    import spark.implicits._
+    val hist0 = Drift.histogram(sf, lit("all"),
+      Drift.bucketize(length(col("content")), 0, 5000, 40))
+    val ref0 = hist0.groupBy("bucket").agg(sum("cnt").as("ref_cnt"))
+    assert(math.abs(Drift.wasserstein(hist0, ref0, 125.0)
+      .collect().head.getDouble(1)) < 1e-9)
+    assert(math.abs(Drift.jsd(hist0, ref0).collect().head.getDouble(1)) < 1e-9)
+
+    // p = (1, 0) vs q = (1/2, 1/2): CDF gaps (1/2, 0) -> W1 = w/2;
+    // JSD = ln(4/3)/2 + ln(2/3)/4 + ln(2)/4
+    val hist = Seq(("a", 0, 10L)).toDF("part", "bucket", "cnt")
+    val ref = Seq((0, 5L), (1, 5L)).toDF("bucket", "ref_cnt")
+    val w1 = Drift.wasserstein(hist, ref, 30.0).collect().head.getDouble(1)
+    assert(math.abs(w1 - 15.0) < 1e-9)
+    val j = Drift.jsd(hist, ref).collect().head.getDouble(1)
+    val expect = math.log(4.0 / 3) / 2 + math.log(2.0 / 3) / 4 + math.log(2) / 4
+    assert(math.abs(j - expect) < 1e-12, s"$j vs $expect")
+
+    // disjoint support saturates at ln 2 (JSD's bound). NB the grid is the
+    // REF bucket set, so the ref histogram must enumerate the part's bucket
+    // (with ref_cnt 0) for its mass to be seen — same boundary-evaluation
+    // rule as ks().
+    val dis = Seq(("a", 0, 7L)).toDF("part", "bucket", "cnt")
+    val disRef = Seq((0, 0L), (1, 3L)).toDF("bucket", "ref_cnt")
+    val jd = Drift.jsd(dis, disRef).collect().head.getDouble(1)
+    assert(math.abs(jd - math.log(2)) < 1e-12, s"$jd")
+  }
+
   test("sha256 invariant matches reference implementation") {
     val h = sf.limit(1).select(col("content"),
       TableChecks.sha256(col("content")).as("h")).collect().head
