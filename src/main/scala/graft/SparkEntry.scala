@@ -170,6 +170,12 @@ object SparkEntry {
           round(col("jsd"), 6).as("jsd"))
     }),
 
+    // ---- constraint-spec inference: profile a sample and suggest the
+    // model (kind/nullable/bounds/enum/pattern decision table per column —
+    // the spec-bootstrap flow; SpecInfer.infer builds the ModelSpec from
+    // the same stats and its validation accepts the sample)
+    "i_infer" -> ((s, dir) => SpecInfer.profile(t(s, dir, "events"))),
+
     // ---- Json[T] validation: parse-then-validate fused in one projection
     "v_json_field" -> ((s, dir) => {
       t(s, dir, "events").select(col("event_id"),
@@ -2206,6 +2212,52 @@ object SparkEntry {
         |    CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END +
         |    CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END), 6) AS jsd
         |FROM j GROUP BY part""".stripMargin,
+
+    // replays SpecInfer's decision table per events column: kind by dtype
+    // (string->enum iff 1 <= distinct <= 16), observed bounds, first
+    // all-match pattern (bool_and over non-nulls == the engine's
+    // matched-count == non-null-count rule)
+    "i_infer" -> {
+      val pats = SpecInfer.patterns.map { case (nm, re) =>
+        s"WHEN bool_and(regexp_matches(%COL%, '$re')) THEN '$nm'"
+      }.mkString(" ")
+      def strArm(c: String) =
+        s"""SELECT '$c' AS field,
+           |  CASE WHEN count(DISTINCT $c) BETWEEN 1 AND 16 THEN 'enum' ELSE 'str' END AS kind,
+           |  count(*) - count($c) > 0 AS nullable,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min(length($c)) AS BIGINT) AS min_len,
+           |  CAST(max(length($c)) AS BIGINT) AS max_len,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CASE WHEN count(DISTINCT $c) BETWEEN 1 AND 16 THEN
+           |    (SELECT string_agg(v, ',' ORDER BY v)
+           |     FROM (SELECT DISTINCT $c AS v FROM events WHERE $c IS NOT NULL))
+           |  END AS enum_vals,
+           |  CASE WHEN count(DISTINCT $c) > 16 AND count($c) > 0 THEN
+           |    CASE ${pats.replace("%COL%", c)} END
+           |  END AS pattern
+           |FROM events""".stripMargin
+      def numArm(c: String, kind: String) =
+        s"""SELECT '$c' AS field, '$kind' AS kind,
+           |  count(*) - count($c) > 0 AS nullable,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS enum_vals, CAST(NULL AS VARCHAR) AS pattern
+           |FROM events""".stripMargin
+      def plainArm(c: String, kind: String) =
+        s"""SELECT '$c' AS field, '$kind' AS kind,
+           |  count(*) - count($c) > 0 AS nullable,
+           |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct,
+           |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS enum_vals, CAST(NULL AS VARCHAR) AS pattern
+           |FROM events""".stripMargin
+      Seq(numArm("event_id", "int"), plainArm("ts", "datetime"),
+        numArm("user_id", "int"), strArm("event_type"),
+        numArm("value", "float"), strArm("props"))
+        .mkString("\nUNION ALL\n")
+    },
 
     "v_json_field" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
