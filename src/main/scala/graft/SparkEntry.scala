@@ -358,6 +358,13 @@ object SparkEntry {
       CodeOps.extLangCheck(codeInput(s), "id", "path", "lang",
         SourceFilesGen.langs)),
 
+    // ---- code: content-based language detection (guesslang-lite) —
+    // cross-check of declared lang metadata against what the bytes look
+    // like; same-syntax families (java/scala, c/cpp, js/ts) reported as
+    // ties, never guessed; map-only, zero shuffles
+    "c_lang_detect" -> ((s, dir) =>
+      CodeOps.langDetect(codeInput(s), "id", "lang", "content")),
+
     // ---- code: per-repo corpus card (files, langs, chars, autogen +
     // secret-bearing counts) — one algebraic hash aggregate, mega-repo-safe
     "c_repo_card" -> ((s, dir) =>
@@ -1513,6 +1520,33 @@ object SparkEntry {
     // independent replay of import extraction: per-lang literal patterns
     // (one UNION ALL branch per family), per-file dedup via list_distinct
     // (mirrors the engine's array_distinct-before-explode), then group
+    "c_lang_detect" -> {
+      import graft.text.CodeOps
+      def sq(re: String) = re.replace("'", "''")
+      val scores = CodeOps.DetectLangs.map { l =>
+        val fam = CodeOps.ImportRes.find(_._1.contains(l)).get._2
+        val cf = if (l == "python" || l == "ruby") CodeOps.CommentHashRe
+          else CodeOps.CommentSlashRe
+        s"  CASE WHEN regexp_matches(content, '${sq(fam)}') THEN 2 ELSE 0 END" +
+          s" + CASE WHEN regexp_matches(content, '${sq(cf)}') THEN 1 ELSE 0 END AS s_$l"
+      }.mkString(",\n")
+      val mx = CodeOps.DetectLangs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val det = CodeOps.DetectLangs
+        .map(l => s"CASE WHEN s_$l = mx THEN '$l' END").mkString(", ")
+      val decl = "CASE lang " +
+        CodeOps.DetectLangs.map(l => s"WHEN '$l' THEN s_$l").mkString(" ") +
+        " ELSE -1 END"
+      s"""WITH s AS (SELECT id, lang,
+         |$scores
+         |FROM read_parquet('$codeInputPath/*.parquet')),
+         |m AS (SELECT *, $mx AS mx FROM s)
+         |SELECT id, lang,
+         |  CASE WHEN mx >= 2 THEN concat_ws(',', $det) END AS detected,
+         |  mx AS score,
+         |  CASE WHEN mx >= 2 THEN CAST($decl = mx AS INT) END AS agree
+         |FROM m""".stripMargin
+    },
+
     "c_imports" ->
       s"""WITH src AS (SELECT repo, lang, content
          |  FROM read_parquet('$codeInputPath/*.parquet')),
