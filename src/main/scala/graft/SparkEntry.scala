@@ -560,6 +560,15 @@ object SparkEntry {
           col("invalid_rows").cast("double") / col("row_count") <= 0.5)
     }),
 
+    // ---- population anomaly scan: every repo's mean content length scored
+    // against the population of repos via the modified z-score (median/MAD,
+    // Iglewicz-Hoaglin) — flags the generator's drifted repo (4x lengths)
+    // with NO reference snapshot, the check a first run over an unknown
+    // corpus needs. One full-data agg; the rest is partition-count-sized
+    "v_anomaly" -> ((s, dir) =>
+      TableChecks.anomalyScan(codeInput(s), col("repo"),
+        length(col("content")))),
+
     // ---- strict vs lax dialect on the SAME column: digits extracted from
     // `source` are a string — lax coerces to int (int_parsing only when no
     // digits), strict rejects the type outright (int_type, mod.rs strict
@@ -1883,6 +1892,34 @@ object SparkEntry {
         |  coalesce(vc.violation_count, 0) AS violation_count, base.invalid_rows,
         |  base.invalid_rows * 1.0 / base.row_count <= 0.5 AS passed
         |FROM base LEFT JOIN vc ON base.source = vc.source""".stripMargin,
+
+    // independent replay of the modified z-score anomaly scan: the manual
+    // median (row_number ranks, two middle positions, sum/count midpoint)
+    // makes every arithmetic step identical to the engine's — long sums,
+    // one double division, one multiply — so doubles match bit-for-bit
+    "v_anomaly" ->
+      s"""WITH s AS (SELECT repo AS part_id, count(*) AS n_rows,
+         |    CAST(sum(length(content)) AS BIGINT) AS ms
+         |  FROM read_parquet('$codeInputPath/*.parquet') GROUP BY repo),
+         |s2 AS (SELECT part_id, n_rows,
+         |    CAST(ms AS DOUBLE) / CAST(n_rows AS DOUBLE) AS metric_mean FROM s),
+         |r AS (SELECT metric_mean,
+         |    row_number() OVER (ORDER BY metric_mean, part_id) AS rk FROM s2),
+         |med AS (SELECT sum(metric_mean) / count(*) AS med FROM r,
+         |    (SELECT max(rk) AS n FROM r)
+         |  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2),
+         |d AS (SELECT s2.*, med.med,
+         |    abs(metric_mean - med) AS dev FROM s2, med),
+         |r2 AS (SELECT dev,
+         |    row_number() OVER (ORDER BY dev, part_id) AS rk FROM d),
+         |mad AS (SELECT sum(dev) / count(*) AS mad FROM r2,
+         |    (SELECT max(rk) AS n FROM r2)
+         |  WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2)
+         |SELECT part_id, n_rows, metric_mean, med AS pop_median,
+         |  CASE WHEN mad > 0 THEN 0.6745 * dev / mad END AS mod_z,
+         |  CASE WHEN mad > 0 THEN CAST(0.6745 * dev / mad > 3.5 AS INT) END
+         |    AS anomaly
+         |FROM d, mad""".stripMargin,
 
     "z_dump_json" ->
       """SELECT to_json(struct_pack(doc_id := doc_id, language := lang,

@@ -108,6 +108,68 @@ object TableChecks {
   def sha256(c: Column): Column = sha2(c, 256)
 
   /**
+   * Robust cross-partition anomaly detection over a per-partition metric —
+   * the population generalization of drift: instead of comparing each
+   * partition against one fixed reference histogram ([[Drift]]), every
+   * partition's mean metric is scored against the population of partitions
+   * via the modified z-score (Iglewicz & Hoaglin 1993):
+   * `M = 0.6745 * |x - median| / MAD`, flagged when `M > threshold` (their
+   * recommended 3.5). Catches the partition whose files are 4x longer —
+   * ingestion truncation, encoding blowups, a drifted repo — without any
+   * reference snapshot, which is what a first run over an unknown corpus
+   * has. (pydantic has no population view at all; this is the check that
+   * only exists at table scale.)
+   *
+   * Exact-by-construction for the oracle: the median is computed manually
+   * — `row_number` ranks, the two middle ranks `floor((n+1)/2)` /
+   * `floor((n+2)/2)`, midpoint as `sum/count` — rather than via engine
+   * percentile interpolation, so DuckDB replays the identical arithmetic
+   * bit-for-bit (both engines: long sums, one double division, one
+   * multiply — no interpolation formula to diverge on).
+   *
+   * Scale shape: ONE map-side-combined groupBy is the only full-data pass;
+   * everything downstream runs on one row per partition (1e5-1e6 rows at
+   * 1e12-file scale). The unpartitioned `row_number` windows and the 1-row
+   * broadcast joins are bounded by partition count, never data size.
+   * `mod_z`/`anomaly` are null when MAD = 0 (over half the population
+   * shares one exact mean — score undefined; `anomaly` is a nullable 1/0
+   * int, not boolean, for pandas NULL round-trip parity).
+   */
+  def anomalyScan(df: DataFrame, partCol: Column, metric: Column,
+                  threshold: Double = 3.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one row per (value, part) with its global rank -> the two middle
+    // ranks -> midpoint. part_id tiebreak pins rank determinism; equal
+    // values make the choice value-irrelevant.
+    def medianOf(d: DataFrame, c: String): DataFrame = {
+      val ranked = d.select(col(c), col("part_id"))
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col(c), col("part_id"))))
+      ranked.crossJoin(broadcast(ranked.agg(max(col("rk")).as("n"))))
+        .filter(col("rk") === floor((col("n") + 1) / 2) ||
+                col("rk") === floor((col("n") + 2) / 2))
+        .agg((sum(col(c)) / count(lit(1))).as("med"))
+    }
+    val stats = df
+      .groupBy(partCol.as("part_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(metric.cast("long")).as("metric_sum"))
+      .withColumn("metric_mean",
+        col("metric_sum").cast("double") / col("n_rows").cast("double"))
+    val dev = stats
+      .crossJoin(broadcast(medianOf(stats, "metric_mean")))
+      .withColumn("dev", abs(col("metric_mean") - col("med")))
+    val mad = medianOf(dev, "dev").select(col("med").as("mad"))
+    val modZ = when(col("mad") > 0,
+      lit(0.6745) * col("dev") / col("mad"))
+    dev.crossJoin(broadcast(mad))
+      .select(col("part_id"), col("n_rows"), col("metric_mean"),
+        col("med").as("pop_median"),
+        modZ.as("mod_z"),
+        when(modZ.isNotNull, (modZ > threshold).cast("int")).as("anomaly"))
+  }
+
+  /**
    * Violation regression diff — CI-for-data: classify each violation key
    * (row identity + loc + type) as `new` (absent from the previous run's
    * snapshot), `fixed` (present before, gone now) or `persisting`. The

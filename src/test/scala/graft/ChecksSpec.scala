@@ -160,4 +160,30 @@ class ChecksSpec extends SparkTestBase {
       (Some(3L), "g", "u") -> "fixed"))
     assert(out.size == 4)
   }
+
+  test("anomalyScan: drifted repo flagged, normal repos not, MAD=0 null") {
+    import spark.implicits._
+    val out = TableChecks.anomalyScan(sf, col("repo"), length(col("content")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // repo 7 is the generator's drifted repo (content lengths shifted 4x)
+    val drifted = out("org7/repo7")
+    assert(drifted.getInt(5) == 1 && drifted.getDouble(4) > 3.5)
+    // the anomaly set is small — population scoring doesn't flag the bulk
+    assert(out.values.count(r => !r.isNullAt(5) && r.getInt(5) == 1) <
+      out.size / 20)
+    // exact-hand case: 5 parts, means 10,10,10,10,100 -> median 10, devs
+    // 0,0,0,0,90 -> MAD 0 -> mod_z/anomaly null everywhere
+    val flat = Seq(("a", 10), ("b", 10), ("c", 10), ("d", 10), ("e", 100))
+      .toDF("p", "len")
+    val z = TableChecks.anomalyScan(flat, col("p"), col("len")).collect()
+    assert(z.forall(r => r.isNullAt(4) && r.isNullAt(5)))
+    // exact-hand case: means 1..5 -> median 3, devs 2,1,0,1,2 -> MAD 1;
+    // mod_z(5) = 0.6745*2/1 = 1.349
+    val lin = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4), ("e", 5))
+      .toDF("p", "len")
+    val m = TableChecks.anomalyScan(lin, col("p"), col("len"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("e").getDouble(4) == 0.6745 * 2 &&
+      m("c").getDouble(4) == 0.0 && m("e").getInt(5) == 0)
+  }
 }
