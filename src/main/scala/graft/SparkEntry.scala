@@ -365,6 +365,12 @@ object SparkEntry {
     "c_lang_detect" -> ((s, dir) =>
       CodeOps.langDetect(codeInput(s), "id", "lang", "content")),
 
+    // ---- code: cross-file duplicate-definition scan (symbols defined in
+    // 2+ files — template/boilerplate mass + name-collision report);
+    // per-file array_distinct before the explode, one two-distinct hash agg
+    "c_symbols" -> ((s, dir) =>
+      CodeOps.symbolCollisions(codeInput(s), "id", "repo", "content")),
+
     // ---- code: per-repo corpus card (files, langs, chars, autogen +
     // secret-bearing counts) — one algebraic hash aggregate, mega-repo-safe
     "c_repo_card" -> ((s, dir) =>
@@ -1614,6 +1620,20 @@ object SparkEntry {
          |JOIN sizes sb ON sb.repo = pairs.repo_b
          |WHERE shared_files >= 3
          |  AND shared_files / least(sa.n, sb.n) >= 0.5""".stripMargin,
+
+    // independent replay of the duplicate-definition scan: same extract →
+    // per-file list_distinct → unnest → two distinct counts
+    "c_symbols" -> {
+      val re = graft.text.CodeOps.DefRe // no '' to escape, backslashes literal
+      s"""WITH syms AS (SELECT id, repo,
+         |    unnest(list_distinct(regexp_extract_all(content, '$re', 1)))
+         |      AS symbol
+         |  FROM read_parquet('$codeInputPath/*.parquet'))
+         |SELECT symbol, CAST(count(DISTINCT id) AS BIGINT) AS n_files,
+         |  CAST(count(DISTINCT repo) AS BIGINT) AS n_repos
+         |FROM syms GROUP BY symbol
+         |HAVING count(DISTINCT id) >= 2""".stripMargin
+    },
 
     "c_repo_card" ->
       s"""SELECT repo, count(*) AS n_files,
