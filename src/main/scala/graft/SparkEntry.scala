@@ -365,6 +365,11 @@ object SparkEntry {
     "c_lang_detect" -> ((s, dir) =>
       CodeOps.langDetect(codeInput(s), "id", "lang", "content")),
 
+    // ---- code: cyclomatic-lite complexity + indentation-depth gate
+    // (defs + branch keywords, 4-space depth ladder) — map-only, codegen'd
+    "c_complexity" -> ((s, dir) =>
+      CodeOps.codeComplexity(codeInput(s), "id", "lang", "content")),
+
     // ---- code: cross-file duplicate-definition scan (symbols defined in
     // 2+ files — template/boilerplate mass + name-collision report);
     // per-file array_distinct before the explode, one two-distinct hash agg
@@ -1620,6 +1625,29 @@ object SparkEntry {
          |JOIN sizes sb ON sb.repo = pairs.repo_b
          |WHERE shared_files >= 3
          |  AND shared_files / least(sa.n, sb.n) >= 0.5""".stripMargin,
+
+    // independent replay of the complexity metrics: match counts via
+    // length(regexp_extract_all), the same 8-step depth CASE ladder, the
+    // same single double division
+    "c_complexity" -> {
+      val ladder = (8 to 1 by -1).map(k =>
+        s"WHEN regexp_matches(content, '(?m)^ {${4 * k},}[^ \\n]') THEN $k")
+        .mkString(" ")
+      s"""WITH b AS (SELECT id, lang,
+         |    CAST(length(regexp_extract_all(content,
+         |      '${graft.text.CodeOps.DefCountRe}')) AS INT) AS n_defs,
+         |    CAST(length(regexp_extract_all(content,
+         |      '${graft.text.CodeOps.BranchRe}')) AS INT) AS n_branches,
+         |    CASE $ladder ELSE 0 END AS max_depth
+         |  FROM read_parquet('$codeInputPath/*.parquet'))
+         |SELECT id, lang, n_defs, n_branches, max_depth,
+         |  n_defs + n_branches AS cyclomatic,
+         |  CASE WHEN n_defs > 0 THEN
+         |    CAST(n_defs + n_branches AS DOUBLE) / CAST(n_defs AS DOUBLE)
+         |  END AS mean_cc,
+         |  CAST(max_depth >= 4 AS INT) AS deep
+         |FROM b""".stripMargin
+    },
 
     // independent replay of the duplicate-definition scan: same extract →
     // per-file list_distinct → unnest → two distinct counts
