@@ -365,6 +365,12 @@ object SparkEntry {
     "c_lang_detect" -> ((s, dir) =>
       CodeOps.langDetect(codeInput(s), "id", "lang", "content")),
 
+    // ---- code: Jupyter-notebook cell extraction from raw ipynb JSON
+    // (from_json -> explode cells -> explode lines -> one agg); malformed
+    // documents flagged valid=0, never thrown
+    "c_notebook" -> ((s, dir) =>
+      CodeOps.notebookStats(nbInput(s), "nb_id", "nb_json")),
+
     // ---- code: cyclomatic-lite complexity + indentation-depth gate
     // (defs + branch keywords, 4-space depth ladder) — map-only, codegen'd
     "c_complexity" -> ((s, dir) =>
@@ -1102,6 +1108,17 @@ object SparkEntry {
     s.read.parquet(codeInputPath)
   }
 
+  /** Where c_notebook persists its generated ipynb table for the oracle
+   * (same contract as [[codeInputPath]]). */
+  private val nbInputPath = "/tmp/graft_nb_input"
+  private val nbInputWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def nbInput(s: SparkSession): DataFrame = {
+    if (nbInputWritten.compareAndSet(false, true))
+      SourceFilesGen.notebooks(s, 2000L)
+        .write.mode("overwrite").parquet(nbInputPath)
+    s.read.parquet(nbInputPath)
+  }
+
   /** Where c_forks persists its fork-pathology table for the oracle (same
    * contract as [[codeInputPath]]; separate table so the other c_* oracles
    * keep their 2000-row input untouched). Fewer, larger repos
@@ -1625,6 +1642,42 @@ object SparkEntry {
          |JOIN sizes sb ON sb.repo = pairs.repo_b
          |WHERE shared_files >= 3
          |  AND shared_files / least(sa.n, sb.n) >= 0.5""".stripMargin,
+
+    // independent replay of the notebook extraction: DuckDB from_json ->
+    // double unnest -> cell-level + line-level aggregates (count over cells
+    // == the engine's countDistinct over cell ordinals); json_valid guards
+    // the malformed rows the engine's PERMISSIVE parse nulls out
+    "c_notebook" ->
+      s"""WITH t AS (SELECT nb_id, nb_json
+         |    FROM read_parquet('$nbInputPath/*.parquet')),
+         |p AS (SELECT nb_id, CASE WHEN json_valid(nb_json) THEN
+         |    from_json(nb_json, '{"cells":[{"cell_type":"VARCHAR",
+         |      "source":["VARCHAR"]}],"nbformat":"BIGINT"}') END AS nb
+         |  FROM t),
+         |v AS (SELECT nb_id,
+         |    CASE WHEN nb.cells IS NOT NULL THEN 1 ELSE 0 END AS valid
+         |  FROM p),
+         |cells AS (SELECT nb_id, unnest(nb.cells) AS cell FROM p
+         |  WHERE nb.cells IS NOT NULL),
+         |a1 AS (SELECT nb_id, count(*) AS n_cells,
+         |    count(CASE WHEN cell.cell_type = 'code' THEN 1 END) AS n_code
+         |  FROM cells GROUP BY nb_id),
+         |lines AS (SELECT nb_id, cell.cell_type AS ct,
+         |    unnest(cell.source) AS line FROM cells),
+         |a2 AS (SELECT nb_id,
+         |    count(CASE WHEN ct = 'code' THEN line END) AS n_code_lines,
+         |    CAST(coalesce(sum(CASE WHEN ct = 'code' THEN length(line) END),
+         |      0) AS BIGINT) AS code_chars
+         |  FROM lines GROUP BY nb_id)
+         |SELECT t.nb_id, v.valid,
+         |  CASE WHEN valid = 1 THEN coalesce(a1.n_cells, 0) END AS n_cells,
+         |  CASE WHEN valid = 1 THEN coalesce(a1.n_code, 0) END AS n_code,
+         |  CASE WHEN valid = 1 THEN coalesce(a2.n_code_lines, 0) END
+         |    AS n_code_lines,
+         |  CASE WHEN valid = 1 THEN coalesce(a2.code_chars, 0) END
+         |    AS code_chars
+         |FROM t JOIN v USING (nb_id) LEFT JOIN a1 USING (nb_id)
+         |  LEFT JOIN a2 USING (nb_id)""".stripMargin,
 
     // independent replay of the complexity metrics: match counts via
     // length(regexp_extract_all), the same 8-step depth CASE ladder, the

@@ -221,6 +221,39 @@ object SourceFilesGen {
   }
 
   /**
+   * Deterministic synthetic Jupyter notebooks `(nb_id, nb_json)` — nbformat-4
+   * shaped documents (cells array of {cell_type, source: [lines]}, 2-5 cells,
+   * 1-3 lines each, ~1/3 markdown) rendered with `to_json`, so the engine's
+   * notebook extraction parses REAL JSON it did not hand-assemble. ~1/37 of
+   * documents are truncated mid-structure (malformed-JSON pathology — a
+   * notebook corpus always carries broken files; the parser must flag, not
+   * crash). Fully columnar and seed-deterministic like [[generate]].
+   */
+  def notebooks(spark: SparkSession, n: Long, seed: Long = 7L): DataFrame = {
+    val ids = spark.range(n)
+    def ch(j: Int) = xxhash64(col("id"), lit(seed + j))
+    val nCells = (pmod(ch(0), lit(4)) + 2).cast("int") // 2..5
+    val cells = (0 until 5).map { j =>
+      val md = pmod(ch(10 + j), lit(3)) === 0
+      val nLines = (pmod(ch(20 + j), lit(3)) + 1).cast("int") // 1..3
+      def line(k: Int) = {
+        val v = pmod(ch(40 + j * 3 + k), lit(997)).cast("string")
+        when(md, concat(lit("# note "), v))
+          .otherwise(concat(lit(s"v$k = x * "), v))
+      }
+      struct(
+        when(md, "markdown").otherwise("code").as("cell_type"),
+        slice(array(line(0), line(1), line(2)), lit(1), nLines).as("source"))
+    }
+    val nb = to_json(struct(
+      slice(array(cells: _*), lit(1), nCells).as("cells"),
+      lit(4).as("nbformat")))
+    val corrupt = pmod(ch(99), lit(37)) === 0
+    ids.select(col("id").as("nb_id"),
+      when(corrupt, substring(nb, 1, 40)).otherwise(nb).as("nb_json"))
+  }
+
+  /**
    * Fork pathology: every `everyKth`-th repo (hash-selected) spawns a
    * `<repo>__fork` copy that keeps ~`keepPerMille`/1000 of the origin's
    * files (hash-selected per path), applies a small trailing patch to
