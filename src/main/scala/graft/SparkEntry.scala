@@ -176,6 +176,21 @@ object SparkEntry {
     // the same stats and its validation accepts the sample)
     "i_infer" -> ((s, dir) => SpecInfer.profile(t(s, dir, "events"))),
 
+    // ---- CI-for-schemas: infer the spec of two corpus snapshots and diff
+    // them — B drops `source` (breaking), truncates `text` to 120 chars
+    // (len_narrowed, breaking), retypes `n_chars` int->float (kind,
+    // breaking) and adds `n_tokens` (compatible); `doc_id`/`lang` unchanged
+    "i_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      val b = d.select(col("doc_id"),
+        substring(col("text"), 1, 120).as("text"), col("lang"),
+        col("n_chars").cast("double").as("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      SpecDiff.profileDiff(SpecInfer.profile(a), SpecInfer.profile(b))
+    }),
+
     // ---- Json[T] validation: parse-then-validate fused in one projection
     "v_json_field" -> ((s, dir) => {
       t(s, dir, "events").select(col("event_id"),
@@ -2429,6 +2444,98 @@ object SparkEntry {
         numArm("user_id", "int"), strArm("event_type"),
         numArm("value", "float"), strArm("props"))
         .mkString("\nUNION ALL\n")
+    },
+
+    // independent replay of the snapshot spec diff: both profiles rebuilt
+    // with the i_infer arm logic (parameterized by expression), then the
+    // same fixed-order flag/reason algebra over a full-outer join
+    "i_diff" -> {
+      val pats = SpecInfer.patterns.map { case (nm, re) =>
+        s"WHEN bool_and(regexp_matches(%COL%, '$re')) THEN '$nm'"
+      }.mkString(" ")
+      def strArm(field: String, expr: String) =
+        s"""SELECT '$field' AS field,
+           |  CASE WHEN count(DISTINCT $expr) BETWEEN 1 AND 16 THEN 'enum'
+           |    ELSE 'str' END AS kind,
+           |  count(*) - count($expr) > 0 AS nullable,
+           |  CAST(min(length($expr)) AS BIGINT) AS min_len,
+           |  CAST(max(length($expr)) AS BIGINT) AS max_len,
+           |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |  CASE WHEN count(DISTINCT $expr) BETWEEN 1 AND 16 THEN
+           |    (SELECT string_agg(v, ',' ORDER BY v) FROM
+           |      (SELECT DISTINCT $expr AS v FROM documents
+           |       WHERE $expr IS NOT NULL))
+           |  END AS enum_vals,
+           |  CASE WHEN count(DISTINCT $expr) > 16 AND count($expr) > 0 THEN
+           |    CASE ${pats.replace("%COL%", expr)} END
+           |  END AS pattern
+           |FROM documents""".stripMargin
+      def numArm(field: String, expr: String, kind: String) =
+        s"""SELECT '$field' AS field, '$kind' AS kind,
+           |  count(*) - count($expr) > 0 AS nullable,
+           |  CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+           |  CAST(min($expr) AS DOUBLE) AS min_num,
+           |  CAST(max($expr) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS enum_vals, CAST(NULL AS VARCHAR) AS pattern
+           |FROM documents""".stripMargin
+      val pa = Seq(numArm("doc_id", "doc_id", "int"), strArm("text", "text"),
+        strArm("lang", "lang"), strArm("source", "source"),
+        numArm("n_chars", "n_chars", "int")).mkString("\nUNION ALL\n")
+      val pb = Seq(numArm("doc_id", "doc_id", "int"),
+        strArm("text", "substr(text, 1, 120)"), strArm("lang", "lang"),
+        numArm("n_chars", "CAST(n_chars AS DOUBLE)", "float"),
+        numArm("n_tokens", "len(string_split(text, ' '))", "int"))
+        .mkString("\nUNION ALL\n")
+      s"""WITH pa AS ($pa),
+         |pb AS ($pb),
+         |f AS (SELECT a.field AS a_field, b.field AS b_field,
+         |  a.kind AS kind_a, b.kind AS kind_b,
+         |  coalesce(a.kind <> b.kind, FALSE) AS f_kind,
+         |  coalesce(a.nullable AND NOT b.nullable, FALSE) AS f_nn,
+         |  coalesce(NOT a.nullable AND b.nullable, FALSE) AS f_nw,
+         |  coalesce(b.min_len > a.min_len, FALSE)
+         |    OR coalesce(b.max_len < a.max_len, FALSE) AS f_ln,
+         |  coalesce(b.min_len < a.min_len, FALSE)
+         |    OR coalesce(b.max_len > a.max_len, FALSE) AS f_lw,
+         |  coalesce(b.min_num > a.min_num, FALSE)
+         |    OR coalesce(b.max_num < a.max_num, FALSE) AS f_mn,
+         |  coalesce(b.min_num < a.min_num, FALSE)
+         |    OR coalesce(b.max_num > a.max_num, FALSE) AS f_mw,
+         |  coalesce(a.enum_vals IS NOT NULL AND b.enum_vals IS NOT NULL AND
+         |    len(list_filter(string_split(a.enum_vals, ','),
+         |      x -> NOT list_contains(string_split(b.enum_vals, ','), x)))
+         |    > 0, FALSE) AS f_er,
+         |  coalesce(a.enum_vals IS NOT NULL AND b.enum_vals IS NOT NULL AND
+         |    len(list_filter(string_split(b.enum_vals, ','),
+         |      x -> NOT list_contains(string_split(a.enum_vals, ','), x)))
+         |    > 0, FALSE) AS f_ea,
+         |  a.pattern IS DISTINCT FROM b.pattern AS f_pat
+         |  FROM pa a FULL OUTER JOIN pb b ON a.field = b.field)
+         |SELECT coalesce(a_field, b_field) AS field,
+         |  CASE WHEN a_field IS NULL THEN 'added'
+         |       WHEN b_field IS NULL THEN 'removed'
+         |       WHEN f_kind OR f_nn OR f_nw OR f_ln OR f_lw OR f_mn OR f_mw
+         |         OR f_er OR f_ea OR f_pat THEN 'changed'
+         |       ELSE 'same' END AS status,
+         |  kind_a, kind_b,
+         |  CASE WHEN b_field IS NULL THEN 1 WHEN a_field IS NULL THEN 0
+         |       ELSE CAST(f_kind OR f_nn OR f_ln OR f_mn OR f_er OR f_pat
+         |         AS INT) END AS breaking,
+         |  CASE WHEN a_field IS NOT NULL AND b_field IS NOT NULL AND
+         |    (f_kind OR f_nn OR f_nw OR f_ln OR f_lw OR f_mn OR f_mw OR f_er
+         |     OR f_ea OR f_pat) THEN
+         |    concat_ws(',', CASE WHEN f_kind THEN 'kind' END,
+         |      CASE WHEN f_nn THEN 'nullable_narrowed' END,
+         |      CASE WHEN f_nw THEN 'nullable_widened' END,
+         |      CASE WHEN f_ln THEN 'len_narrowed' END,
+         |      CASE WHEN f_lw THEN 'len_widened' END,
+         |      CASE WHEN f_mn THEN 'num_narrowed' END,
+         |      CASE WHEN f_mw THEN 'num_widened' END,
+         |      CASE WHEN f_er THEN 'enum_removed' END,
+         |      CASE WHEN f_ea THEN 'enum_added' END,
+         |      CASE WHEN f_pat THEN 'pattern' END)
+         |  END AS reasons
+         |FROM f""".stripMargin
     },
 
     "v_json_field" ->

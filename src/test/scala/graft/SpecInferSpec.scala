@@ -58,6 +58,32 @@ class SpecInferSpec extends SparkTestBase {
     assert(once == twice)
   }
 
+  test("profileDiff: added/removed/changed/same, breaking classification") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "alpha", "x", 5.0, "old"),
+      (2L, "beta-longer", "y", 9.0, "old"))
+      .toDF("id", "name", "tag", "score", "gone")
+    val b = Seq(
+      (1L, "alpha", "x", 5.0, true),
+      (2L, "beta", "z", 7.0, false)) // name narrowed, tag changed, score narrowed
+      .toDF("id", "name", "tag", "score", "fresh")
+    val d = SpecDiff.profileDiff(SpecInfer.profile(a), SpecInfer.profile(b))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(d("id").getString(1) == "same" && d("id").getInt(4) == 0)
+    assert(d("gone").getString(1) == "removed" && d("gone").getInt(4) == 1)
+    assert(d("fresh").getString(1) == "added" && d("fresh").getInt(4) == 0)
+    // name: max_len 11 -> 5 narrowed (enum either side is still 2 distinct
+    // -> both enum kind; 'beta-longer' removed + 'beta' added)
+    assert(d("name").getString(1) == "changed" && d("name").getInt(4) == 1)
+    assert(d("name").getString(5).contains("len_narrowed"))
+    // tag: enum y removed, z added -> breaking via enum_removed
+    assert(d("tag").getString(5) == "enum_removed,enum_added")
+    assert(d("tag").getInt(4) == 1)
+    // score: max 9 -> 7 num_narrowed
+    assert(d("score").getString(5) == "num_narrowed" && d("score").getInt(4) == 1)
+  }
+
   test("approx profile: HLL distinct, no enum extraction") {
     val p = SpecInfer.profile(df, approx = true).collect()
       .map(r => r.getString(0) -> r).toMap
