@@ -722,6 +722,26 @@ object SparkEntry {
     // email-validator v2 subset) — synthesized addresses PLUS the
     // reference's own accept/reject fixture table (name + normalized
     // email pinned per fixture via the oracle)
+    // ---- extras: IPvAnyAddress / IPvAnyInterface / IPvAnyNetwork
+    // (networks.py:1159-1302) over the transcribed CPython-ipaddress
+    // fixture table; errors carry the pydantic error type
+    "x_ip" -> ((s, dir) => {
+      import graft.functions.IpCanon
+      val n = ipFixtures.size
+      val fx = element_at(typedLit(ipFixtures.map(_._1)),
+        pmod(col("doc_id"), lit(n)).cast("int") + 1)
+      // two-projection split: each IpCanon evaluates ONCE; the error
+      // columns reference the materialized results (round-3 discipline)
+      t(s, dir, "documents").select(col("doc_id"),
+          IpCanon.ipAddress(fx).as("ip_addr"),
+          IpCanon.ipInterface(fx).as("ip_iface"),
+          IpCanon.ipNetwork(fx).as("ip_net"))
+        .select(col("doc_id"), col("ip_addr"), col("ip_iface"), col("ip_net"),
+          when(col("ip_addr").isNull, "ip_any_address").as("err_addr"),
+          when(col("ip_iface").isNull, "ip_any_interface").as("err_iface"),
+          when(col("ip_net").isNull, "ip_any_network").as("err_net"))
+    }),
+
     "x_email" -> ((s, dir) => {
       import graft.functions.Extras
       val email = when(pmod(col("doc_id"), lit(10)) === 0,
@@ -1181,6 +1201,96 @@ object SparkEntry {
    * (`tests/test_networks.py:905-976`; nulls = the reject rows),
    * INCLUDING the punycode-decoding fixture (`foobar@xn--80ak6aa92e.com`
    * -> `foobar@аррӏе.com`, [[graft.functions.EmailNorm]]). */
+  /** IP fixture table: (input, IPvAnyAddress str, IPvAnyInterface str,
+   * IPvAnyNetwork str); nulls = the ValueError rows. Goldens generated
+   * with CPython `ipaddress` — the exact implementation
+   * `pydantic/networks.py:1159-1302` delegates to — covering octet
+   * leading-zero rejection, RFC-5952 compression (incl. the
+   * single-zero-hextet no-compress case), embedded IPv4, `%scope`,
+   * netmask/hostmask prefixes (v4 only), leading-zero prefixes, and the
+   * strict host-bits-set network rejection. */
+  private[graft] val ipFixtures: Seq[(String, String, String, String)] = Seq(
+    ("127.0.0.1", "127.0.0.1", "127.0.0.1/32", "127.0.0.1/32"),
+    ("0.0.0.0", "0.0.0.0", "0.0.0.0/32", "0.0.0.0/32"),
+    ("255.255.255.255", "255.255.255.255", "255.255.255.255/32",
+      "255.255.255.255/32"),
+    ("192.168.1.1", "192.168.1.1", "192.168.1.1/32", "192.168.1.1/32"),
+    ("1.2.3.4", "1.2.3.4", "1.2.3.4/32", "1.2.3.4/32"),
+    ("256.1.1.1", null, null, null),
+    ("1.2.3", null, null, null),
+    ("1.2.3.4.5", null, null, null),
+    ("01.2.3.4", null, null, null),
+    ("1.2.3.040", null, null, null),
+    ("1.2.3.4 ", null, null, null),
+    (" 1.2.3.4", null, null, null),
+    ("1.2.3.-4", null, null, null),
+    ("1.2.3.+4", null, null, null),
+    ("1.2.3.4\n", null, null, null),
+    ("", null, null, null),
+    (".", null, null, null),
+    ("1..2.3", null, null, null),
+    ("0x7f.0.0.1", null, null, null),
+    ("999.999.999.999", null, null, null),
+    ("1.2.3.255", "1.2.3.255", "1.2.3.255/32", "1.2.3.255/32"),
+    ("10.020.3.4", null, null, null),
+    ("::", "::", "::/128", "::/128"),
+    ("::1", "::1", "::1/128", "::1/128"),
+    ("2001:db8::1", "2001:db8::1", "2001:db8::1/128", "2001:db8::1/128"),
+    ("2001:0db8:0000:0000:0000:ff00:0042:8329", "2001:db8::ff00:42:8329",
+      "2001:db8::ff00:42:8329/128", "2001:db8::ff00:42:8329/128"),
+    ("2001:DB8::FF00:42:8329", "2001:db8::ff00:42:8329",
+      "2001:db8::ff00:42:8329/128", "2001:db8::ff00:42:8329/128"),
+    ("fe80::1%eth0", "fe80::1%eth0", "fe80::1%eth0/128", "fe80::1%eth0/128"),
+    ("fe80::1%", null, null, null),
+    ("fe80::1%e%h", null, null, null),
+    ("::ffff:192.168.1.1", "::ffff:c0a8:101", "::ffff:c0a8:101/128",
+      "::ffff:c0a8:101/128"),
+    ("::ffff:192.168.1.256", null, null, null),
+    ("1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8", "1:2:3:4:5:6:7:8/128",
+      "1:2:3:4:5:6:7:8/128"),
+    ("1:2:3:4:5:6:7:8:9", null, null, null),
+    ("1:2:3:4:5:6:7", null, null, null),
+    ("1::2::3", null, null, null),
+    (":::", null, null, null),
+    ("1:2:3:4:5:6:7::", "1:2:3:4:5:6:7:0", "1:2:3:4:5:6:7:0/128",
+      "1:2:3:4:5:6:7:0/128"),
+    ("::1:2:3:4:5:6:7", "0:1:2:3:4:5:6:7", "0:1:2:3:4:5:6:7/128",
+      "0:1:2:3:4:5:6:7/128"),
+    ("1::", "1::", "1::/128", "1::/128"),
+    ("::ffff:1.2.3.4", "::ffff:102:304", "::ffff:102:304/128",
+      "::ffff:102:304/128"),
+    ("12345::", null, null, null),
+    ("1:2:3:4:5:6:1.2.3.4", "1:2:3:4:5:6:102:304",
+      "1:2:3:4:5:6:102:304/128", "1:2:3:4:5:6:102:304/128"),
+    ("g::1", null, null, null),
+    ("0:0:0:0:0:0:0:0", "::", "::/128", "::/128"),
+    ("2001:db8:0:0:1:0:0:1", "2001:db8::1:0:0:1", "2001:db8::1:0:0:1/128",
+      "2001:db8::1:0:0:1/128"),
+    ("1:0:0:2:0:0:0:3", "1:0:0:2::3", "1:0:0:2::3/128", "1:0:0:2::3/128"),
+    ("::%scope", "::%scope", "::%scope/128", "::%scope/128"),
+    ("1:2::8%x", "1:2::8%x", "1:2::8%x/128", "1:2::8%x/128"),
+    ("1.2.3.4/24", null, "1.2.3.4/24", null),
+    ("1.2.3.4/32", null, "1.2.3.4/32", "1.2.3.4/32"),
+    ("1.2.3.4/0", null, "1.2.3.4/0", null),
+    ("1.2.3.4/33", null, null, null),
+    ("1.2.3.4/024", null, "1.2.3.4/24", null),
+    ("1.2.3.4/+24", null, null, null),
+    ("1.2.3.4/-1", null, null, null),
+    ("1.2.3.4//24", null, null, null),
+    ("1.2.3.4/24/8", null, null, null),
+    ("1.2.3.0/255.255.255.0", null, "1.2.3.0/24", "1.2.3.0/24"),
+    ("1.2.3.0/0.0.0.255", null, "1.2.3.0/24", "1.2.3.0/24"),
+    ("1.2.3.0/255.0.255.0", null, null, null),
+    ("1.2.3.0/24", null, "1.2.3.0/24", "1.2.3.0/24"),
+    ("10.0.0.0/8", null, "10.0.0.0/8", "10.0.0.0/8"),
+    ("2001:db8::/32", null, "2001:db8::/32", "2001:db8::/32"),
+    ("2001:db8::1/64", null, "2001:db8::1/64", null),
+    ("::/0", null, "::/0", "::/0"),
+    ("2001:db8::/129", null, null, null),
+    ("2001:db8::/ffff:ffff::", null, null, null),
+    ("fe80::1%eth0/64", null, "fe80::1%eth0/64", null),
+    ("1.2.3.4/255.255.255.255", null, "1.2.3.4/32", "1.2.3.4/32"))
+
   private[graft] val emailFixtures: Seq[(String, String, String)] = Seq(
     ("foobar@xn--80ak6aa92e.com", "foobar", "foobar@аррӏе.com"),
     ("foobar@example.com", "foobar", "foobar@example.com"),
@@ -2184,6 +2294,33 @@ object SparkEntry {
     // (emailFixtures carries test_networks.py's expected name/email);
     // the oracle replays them as index-keyed CASE lookups, so the driver
     // compare pins the engine's grammar to pydantic's fixture-for-fixture.
+    // pins the engine's CPython-ipaddress transcription fixture-for-fixture
+    // (the goldens were generated with the reference's own delegate, the
+    // stdlib ipaddress module); CASE lookups keyed on the fixture index
+    "x_ip" -> {
+      val n = ipFixtures.size
+      def q(s: String): String =
+        if (s == null) "NULL"
+        else "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+      def cases(f: ((String, String, String, String)) => String): String =
+        ipFixtures.zipWithIndex
+          .map { case (t, i) => s"WHEN $i THEN ${f(t)}" }.mkString(" ")
+      s"""SELECT doc_id,
+         |  CASE CAST(doc_id % $n AS INT) ${cases(t => q(t._2))} END AS ip_addr,
+         |  CASE CAST(doc_id % $n AS INT) ${cases(t => q(t._3))} END AS ip_iface,
+         |  CASE CAST(doc_id % $n AS INT) ${cases(t => q(t._4))} END AS ip_net,
+         |  CASE CAST(doc_id % $n AS INT)
+         |    ${cases(t => if (t._2 == null) "'ip_any_address'" else "NULL")}
+         |  END AS err_addr,
+         |  CASE CAST(doc_id % $n AS INT)
+         |    ${cases(t => if (t._3 == null) "'ip_any_interface'" else "NULL")}
+         |  END AS err_iface,
+         |  CASE CAST(doc_id % $n AS INT)
+         |    ${cases(t => if (t._4 == null) "'ip_any_network'" else "NULL")}
+         |  END AS err_net
+         |FROM documents""".stripMargin
+    },
+
     "x_email" -> {
       val n = emailFixtures.size
       def q(s: String): String =

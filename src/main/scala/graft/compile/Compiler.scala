@@ -173,6 +173,7 @@ object Compiler {
     case s: BytesSpec => compileBytes(input, inputType, loc, s, mode)
     case s: UuidSpec => compileUuid(input, inputType, loc, s, mode)
     case s: UrlSpec => compileUrl(input, inputType, loc, s, mode)
+    case s: IpSpec => compileIp(input, inputType, loc, s)
 
     case LiteralSpec(values) =>
       val bad = when(input.isNotNull && !input.isin(values: _*),
@@ -902,6 +903,38 @@ object Compiler {
           Map("expected_version" -> ver.toString))))
     ).flatten
     Compiled(when(valid, lower(v0)), collect(checks), StringType)
+  }
+
+  // --------------------------------------------------------------------- ip
+
+  /** `IPvAnyAddress`/`Interface`/`Network` (`networks.py:1159-1302`): the
+   * native [[graft.functions.IpCanon]] expression yields the CPython
+   * canonical string or null; null on non-null input raises the
+   * corresponding PydanticCustomError type with pydantic's exact message.
+   * The canon expression appears in both the value and the violation guard
+   * — codegen CSE dedupes the parse (the compileUuid pattern). */
+  private def compileIp(input: Column, t: DataType, loc: Column,
+                        s: IpSpec): Compiled = {
+    import graft.functions.IpCanon
+    val (canonOf, errT, what) = s.kind match {
+      case "interface" =>
+        ((c: Column) => IpCanon.ipInterface(c), T.ipAnyInterface,
+          "IPv4 or IPv6 interface")
+      case "network" =>
+        ((c: Column) => IpCanon.ipNetwork(c), T.ipAnyNetwork,
+          "IPv4 or IPv6 network")
+      case _ =>
+        ((c: Column) => IpCanon.ipAddress(c), T.ipAnyAddress,
+          "IPv4 or IPv6 address")
+    }
+    if (!t.isInstanceOf[StringType])
+      return typeViolation(loc, errT, s"value is not a valid $what",
+        input, StringType)
+    val canon = canonOf(input)
+    Compiled(canon,
+      collect(Seq(when(input.isNotNull && canon.isNull,
+        oneS(loc, errT, s"value is not a valid $what", input)))),
+      StringType)
   }
 
   // -------------------------------------------------------------------- url

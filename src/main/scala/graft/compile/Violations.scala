@@ -159,6 +159,11 @@ object Violations {
     val decimalMaxDigits = "decimal_max_digits"
     val decimalMaxPlaces = "decimal_max_places"
     val valueError = "value_error"
+    // PydanticCustomError types raised by the IPvAny* classes
+    // (pydantic/networks.py:1211,1252,1291)
+    val ipAnyAddress = "ip_any_address"
+    val ipAnyInterface = "ip_any_interface"
+    val ipAnyNetwork = "ip_any_network"
     // engine-level (table checks; no reference analog, SURVEY §2.3)
     val uniqueViolation = "unique_violation"
     val refIntegrity = "referential_integrity"

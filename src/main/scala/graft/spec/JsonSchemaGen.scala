@@ -64,6 +64,9 @@ object JsonSchemaGen {
         s.minLength.map(v => "minLength" -> v.toString) ++
         s.maxLength.map(v => "maxLength" -> v.toString))
     case s: UuidSpec => obj(Seq("type" -> str("string"), "format" -> str("uuid")))
+    // IPvAny* __get_pydantic_json_schema__ (networks.py:1203,1244,1283)
+    case IpSpec(kind) =>
+      obj(Seq("type" -> str("string"), "format" -> str(s"ipvany$kind")))
     case s: UrlSpec =>
       obj(Seq("type" -> str("string"), "format" -> str("uri"),
         "minLength" -> "1") ++ s.maxLength.map(v => "maxLength" -> v.toString))

@@ -96,6 +96,9 @@ object JsonSchemaReader {
           case Some("uuid") => UuidSpec()
           case Some("uri") => UrlSpec(maxLength = optInt(n, "maxLength"))
           case Some("fraction") => FractionSpec()
+          case Some("ipvanyaddress") => IpSpec("address")
+          case Some("ipvanyinterface") => IpSpec("interface")
+          case Some("ipvanynetwork") => IpSpec("network")
           case Some("binary") => BytesSpec(minLength = optInt(n, "minLength"),
             maxLength = optInt(n, "maxLength"))
           case _ if optText(n, "contentMediaType")

@@ -212,6 +212,15 @@ final case class UrlSpec(
     defaultPath: Option[String] = None
 ) extends Spec
 
+/** IP types — pydantic `IPvAnyAddress` / `IPvAnyInterface` /
+ * `IPvAnyNetwork` (`pydantic/networks.py:1159-1302`): try IPv4, then
+ * IPv6, serialize via CPython `ipaddress.__str__` (RFC-5952 canonical
+ * form; [[graft.functions.IpCanon]] transcribes the stdlib grammar).
+ * `kind`: "address" | "interface" | "network"; network is strict
+ * (host bits must be zero). Invalid input raises the PydanticCustomError
+ * types `ip_any_address` / `ip_any_interface` / `ip_any_network`. */
+final case class IpSpec(kind: String = "address") extends Spec
+
 /** Literal membership — reference `validators/literal.rs:28-100` (per-type
  * hash-map lookup; Catalyst `isin` compiles to the same InSet). */
 final case class LiteralSpec(values: Seq[String]) extends Spec
