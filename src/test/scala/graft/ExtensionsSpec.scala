@@ -58,6 +58,17 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r.getLong(4) == 1536L)
   }
 
+  test("ip functions from pure SQL") {
+    val r = spark.sql(
+      """SELECT graft_ip_address('2001:DB8::FF00:42:8329') a,
+        |       graft_ip_interface('1.2.3.0/255.255.255.0') i,
+        |       graft_ip_network('1.2.3.4/24') n""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "2001:db8::ff00:42:8329")
+    assert(r.getString(1) == "1.2.3.0/24")
+    assert(r.isNullAt(2)) // host bits set -> strict network rejects
+  }
+
   test("wrong arity fails analysis, not execution") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_hash60('a', 'b')").collect()
