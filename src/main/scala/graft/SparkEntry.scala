@@ -380,6 +380,12 @@ object SparkEntry {
     "c_lang_detect" -> ((s, dir) =>
       CodeOps.langDetect(codeInput(s), "id", "lang", "content")),
 
+    // ---- code: per-repo composition by path family (vendored/generated/
+    // test/docs/source) — the card The-Stack-style vendored-tree drops and
+    // test-share quality signals read; map-only CASE + one agg
+    "c_paths" -> ((s, dir) =>
+      CodeOps.pathStats(codeInput(s), "repo", "path")),
+
     // ---- code: Jupyter-notebook cell extraction from raw ipynb JSON
     // (from_json -> explode cells -> explode lines -> one agg); malformed
     // documents flagged valid=0, never thrown
@@ -1767,6 +1773,37 @@ object SparkEntry {
          |JOIN sizes sb ON sb.repo = pairs.repo_b
          |WHERE shared_files >= 3
          |  AND shared_files / least(sa.n, sb.n) >= 0.5""".stripMargin,
+
+    // independent replay of the path-family card: the same fixed-priority
+    // CASE over the same RE2-safe patterns, counter sums, one division
+    "c_paths" -> {
+      import graft.text.CodeOps
+      def cnt(v: String) =
+        s"CAST(sum(CASE WHEN pc = '$v' THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH k AS (SELECT repo, path,
+         |  CASE WHEN path IS NULL THEN NULL
+         |       WHEN regexp_matches(path, '${CodeOps.PathVendoredRe}')
+         |         THEN 'vendored'
+         |       WHEN regexp_matches(path, '${CodeOps.PathGeneratedRe}')
+         |         THEN 'generated'
+         |       WHEN regexp_matches(path, '${CodeOps.PathTestRe}')
+         |         THEN 'test'
+         |       WHEN regexp_matches(path, '${CodeOps.PathDocsRe}')
+         |         THEN 'docs'
+         |       ELSE 'source' END AS pc
+         |  FROM read_parquet('$codeInputPath/*.parquet')),
+         |a AS (SELECT repo, count(*) AS n_files,
+         |  ${cnt("source")} AS n_source, ${cnt("test")} AS n_test,
+         |  ${cnt("vendored")} AS n_vendored,
+         |  ${cnt("generated")} AS n_generated, ${cnt("docs")} AS n_docs,
+         |  CAST(sum(CASE WHEN path IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nopath
+         |  FROM k GROUP BY repo)
+         |SELECT a.*, CASE WHEN n_test + n_source > 0 THEN
+         |    CAST(n_test AS DOUBLE) / CAST(n_test + n_source AS DOUBLE)
+         |  END AS test_ratio
+         |FROM a""".stripMargin
+    },
 
     // independent replay of the notebook extraction: DuckDB from_json ->
     // double unnest -> cell-level + line-level aggregates (count over cells

@@ -58,12 +58,24 @@ object SourceFilesGen {
       .otherwise(col("id"))
     val kh = xxhash64(keyId, lit(seed))
 
-    // --- path: directory fan-out from the hash; null-injected
+    // --- path: directory fan-out from the hash; null-injected. A kh slice
+    // (keyId-derived, so duplicate triples stay identical) routes files
+    // into the directory families corpus curation classifies by:
+    // tests (2/13), vendored, generated, docs (1/13 each), else src
     val ext = element_at(typedLit(langs.map {
       case "python" => "py"; case "ruby" => "rb"; case l => l
     }), pmod(kh, lit(langs.size)).cast("int") + 1)
-    val path0 = concat(lit("src/m"), pmod(kh, lit(37)).cast("string"),
-      lit("/f"), keyId.cast("string"), lit("."), ext)
+    val fname = concat(lit("f"), keyId.cast("string"), lit("."), ext)
+    val pathKind = pmod(xxhash64(keyId, lit(seed + 3)), lit(13))
+    val path0 = when(pathKind.isin(0, 1),
+        concat(lit("tests/test_"), fname))
+      .when(pathKind === 2, concat(lit("vendor/lib"),
+        pmod(kh, lit(50)).cast("string"), lit("/"), fname))
+      .when(pathKind === 3, concat(lit("build/generated/f"),
+        keyId.cast("string"), lit("_gen."), ext))
+      .when(pathKind === 4, concat(lit("docs/examples/"), fname))
+      .otherwise(concat(lit("src/m"), pmod(kh, lit(37)).cast("string"),
+        lit("/"), fname))
     val pathBad = pmod(h3, lit(1000)) < violationRatePerMille / 4
     val path = when(pathBad, lit(null)).otherwise(path0)
 
