@@ -36,6 +36,32 @@ class IpOpsSpec extends SparkTestBase {
       .select(IpCanon.ipAddress(col("s"))).collect().head.isNullAt(0))
   }
 
+  test("property: canonical form is a fixpoint and re-parses to itself") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      // random hextets with zero-runs likely (favor zeros heavily)
+      val hx = Array.fill(8)(
+        if (rnd.nextInt(3) == 0) rnd.nextInt(0x10000) else 0)
+      val scope = if (rnd.nextInt(4) == 0) "eth" + rnd.nextInt(9) else null
+      val rendered = IpCanon.renderV6(IpCanon.V6(hx, scope))
+      val back = IpCanon.parseV6(rendered)
+      assert(back != null && back.hextets.sameElements(hx) &&
+        back.scope == scope, rendered)
+      // canon is idempotent through the public surface
+      assert(IpCanon.canon(rendered, IpCanon.ModeAddress) == rendered)
+      // and the /128 interface re-canonicalizes to itself too
+      val iface = rendered + "/128"
+      assert(IpCanon.canon(iface, IpCanon.ModeInterface) == iface)
+    }
+    (1 to 200).foreach { _ =>
+      val o = Array.fill(4)(rnd.nextInt(256))
+      val s = o.mkString(".")
+      assert(IpCanon.canon(s, IpCanon.ModeAddress) == s)
+      val p = rnd.nextInt(33)
+      assert(IpCanon.canon(s"$s/$p", IpCanon.ModeInterface) == s"$s/$p")
+    }
+  }
+
   test("IpSpec: model field validation + pydantic error type + schema") {
     import graft.spec._
     import graft.compile.ModelValidator
