@@ -448,6 +448,13 @@ object SparkEntry {
       CodeOps.forkDetect(forkInput(s), "repo", "path", "content",
         stagingDir = Some(stageDir(s, "forks")))),
 
+    // ---- text: corpus token-frequency quality stats (CCNet-style
+    // frequency filter, LM-free: mean corpus token frequency, rare-token
+    // and distinct-token fractions) — explode once, vocab agg, equi-join
+    // back, per-doc reagg; all-rational arithmetic for the oracle
+    "t_tok_freq" -> ((s, dir) =>
+      TextOps.tokenFreqStats(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -1891,6 +1898,22 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_secret_files
          |FROM read_parquet('$codeInputPath/*.parquet')
          |GROUP BY repo""".stripMargin,
+
+    // independent replay of the frequency stats: same explode/agg/join
+    // shape in SQL; only integer counts and double divisions
+    "t_tok_freq" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mean_tok_freq,
+        |  CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS rare_frac,
+        |  CAST(count(DISTINCT tok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS distinct_frac
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     "t_pii" -> {
       s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)

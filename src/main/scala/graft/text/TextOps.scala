@@ -269,4 +269,44 @@ object TextOps {
     }
     df.filter(keep)
   }
+
+  /**
+   * Corpus token-frequency quality stats — the LM-free half of the
+   * CCNet-style frequency filter: per document, the mean corpus frequency
+   * of its tokens, the fraction of rare tokens (corpus count <=
+   * `rareMax`), and the distinct-token fraction. Low mean frequency /
+   * high rare fraction marks gibberish and OCR noise; distinct fraction
+   * near 0 marks repetition (complements [[repetitionMetrics]]). All
+   * arithmetic stays rational — integer counts and single double
+   * divisions — so the oracle replays bit-exact with no transcendental
+   * (ln) cross-engine ulp risk.
+   *
+   * Scale shape: ONE explode feeds both sides — the vocabulary aggregate
+   * (map-side-combined groupBy, one row per distinct token) and the
+   * token->frequency equi-join back (AQE broadcasts the vocab side when
+   * it fits, which it does after any realistic min-count prune); the
+   * per-doc re-aggregate partial-combines map-side. Hot stopword tokens
+   * skew the JOIN key only on the small side, so no salting is needed.
+   */
+  def tokenFreqStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, rareMax: Long = 2)
+  : org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " "))
+      .as("__tok"))
+    val freq = toks.groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    toks.join(freq, "__tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__cnt")).as("__sum_cnt"),
+        sum(when(col("__cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        countDistinct(col("__tok")).as("n_distinct"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__sum_cnt").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_tok_freq"),
+        (col("n_rare").cast("double") / col("n_tokens").cast("double"))
+          .as("rare_frac"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .as("distinct_frac"))
+  }
 }

@@ -83,4 +83,21 @@ class ExtrasSpec extends SparkTestBase {
     assert(out(1) == ((2L, 3L, 0.0, 2.0 / 3)))
     assert(out(2) == ((3L, 1L, 0.0, 0.0)))
   }
+
+  test("token-frequency stats: mean corpus freq, rare + distinct fractions") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "the the cat"),  // corpus: the x5, cat x2, dog x1, sat x1
+      (2L, "the the the dog sat"),
+      (3L, "cat")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tokenFreqStats(df, "doc_id", "text", rareMax = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    // doc 1: freqs (5,5,2) -> mean 4.0; 0 rare; 2 distinct / 3
+    assert(out(0) == ((1L, 3L, 4.0, 0.0, 2.0 / 3)))
+    // doc 2: freqs (5,5,5,1,1) -> 17/5; rare 2/5; distinct 3/5
+    assert(out(1) == ((2L, 5L, 17.0 / 5, 2.0 / 5, 3.0 / 5)))
+    assert(out(2) == ((3L, 1L, 2.0, 0.0, 1.0)))
+  }
 }
