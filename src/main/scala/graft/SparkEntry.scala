@@ -448,6 +448,12 @@ object SparkEntry {
       CodeOps.forkDetect(forkInput(s), "repo", "path", "content",
         stagingDir = Some(stageDir(s, "forks")))),
 
+    // ---- text: fixed-size overlapping token chunking (context-window
+    // splitter; deterministic positional slices) — map-only explode+slice
+    "t_chunks" -> ((s, dir) =>
+      TextOps.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+        size = 64, stride = 48)),
+
     // ---- text: corpus token-frequency quality stats (CCNet-style
     // frequency filter, LM-free: mean corpus token frequency, rare-token
     // and distinct-token fractions) — explode once, vocab agg, equi-join
@@ -1898,6 +1904,22 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_secret_files
          |FROM read_parquet('$codeInputPath/*.parquet')
          |GROUP BY repo""".stripMargin,
+
+    // independent replay of the chunker: same ceil(n/stride) ordinal
+    // fan-out, 1-based inclusive list slices (both engines clamp past-end)
+    "t_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST((len(string_split(text, ' ')) + 47) // 48 AS INT) AS nc
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |    CAST(unnest(generate_series(0, nc - 1)) AS INT) AS chunk_id
+        |  FROM t)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64]) AS INT)
+        |    AS n_tokens,
+        |  array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ')
+        |    AS chunk
+        |FROM c""".stripMargin,
 
     // independent replay of the frequency stats: same explode/agg/join
     // shape in SQL; only integer counts and double divisions

@@ -271,6 +271,39 @@ object TextOps {
   }
 
   /**
+   * Fixed-size overlapping token chunking — the context-window splitter
+   * every training pipeline runs before tokenization proper: documents
+   * become `ceil(n / stride)` chunks of up to `size` tokens starting
+   * every `stride` tokens (overlap = size - stride carries context across
+   * boundaries; the final chunk is short). Deterministic and purely
+   * positional, so the same rows chunk identically across engines, runs
+   * and resumes.
+   *
+   * Scale shape: map-only — split once, explode a `sequence` of chunk
+   * ordinals, `slice` the shared token array per ordinal (no shuffle, no
+   * UDF; the token array is evaluated once per input row and reused by
+   * every chunk row). Output grows by the overlap factor only.
+   */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, size: Int = 64, stride: Int = 48)
+  : org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = split(col(textCol), " ")
+    // ceil(n / stride) via double division then floor: token counts are
+    // far below 2^52, so the double arithmetic is exact
+    val nChunks = floor((org.apache.spark.sql.functions.size(toks) +
+      (stride - 1)) / stride).cast("int")
+    val chunk = slice(col("__toks"), col("chunk_id") * stride + 1, lit(size))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        org.apache.spark.sql.functions.size(chunk).as("n_tokens"),
+        array_join(chunk, " ").as("chunk"))
+  }
+
+  /**
    * Corpus token-frequency quality stats — the LM-free half of the
    * CCNet-style frequency filter: per document, the mean corpus frequency
    * of its tokens, the fraction of rare tokens (corpus count <=

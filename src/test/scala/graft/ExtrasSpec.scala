@@ -84,6 +84,23 @@ class ExtrasSpec extends SparkTestBase {
     assert(out(2) == ((3L, 1L, 0.0, 0.0)))
   }
 
+  test("chunkTokens: overlap, short tail, single-chunk doc, determinism") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5"), // size 3 stride 2 -> [t1..t3],[t3..t5],[t5]
+      (2L, "a b")             // one chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(df, "doc_id", "text", size = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 0, 3, "t1 t2 t3"), (1L, 1, 3, "t3 t4 t5"), (1L, 2, 1, "t5"),
+      (2L, 0, 2, "a b")))
+    intercept[IllegalArgumentException] {
+      TextOps.chunkTokens(df, "doc_id", "text", size = 2, stride = 3)
+    }
+  }
+
   test("token-frequency stats: mean corpus freq, rare + distinct fractions") {
     import graft.text.TextOps
     val df = Seq(
