@@ -611,6 +611,13 @@ object SparkEntry {
           col("invalid_rows").cast("double") / col("row_count") <= 0.5)
     }),
 
+    // ---- freshness SLA: per event_type newest timestamp vs the global
+    // newest, stale when lag > 20min — exact integer microseconds end to
+    // end; one groupBy + a 1-row broadcast
+    "v_freshness" -> ((s, dir) =>
+      TableChecks.freshness(t(s, dir, "events"), col("event_type"),
+        col("ts"), maxLagSec = 1200L)),
+
     // ---- population anomaly scan: every repo's mean content length scored
     // against the population of repos via the modified z-score (median/MAD,
     // Iglewicz-Hoaglin) — flags the generator's drifted repo (4x lengths)
@@ -2200,6 +2207,17 @@ object SparkEntry {
         |  coalesce(vc.violation_count, 0) AS violation_count, base.invalid_rows,
         |  base.invalid_rows * 1.0 / base.row_count <= 0.5 AS passed
         |FROM base LEFT JOIN vc ON base.source = vc.source""".stripMargin,
+
+    // independent replay of the freshness check: epoch_us == unix_micros
+    // (both exact BIGINT microseconds), same lag algebra
+    "v_freshness" ->
+      """WITH p AS (SELECT event_type AS part_id, count(*) AS n_rows,
+        |    max(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY event_type),
+        |g AS (SELECT max(last_us) AS gmax FROM p)
+        |SELECT part_id, n_rows, last_us, gmax - last_us AS lag_us,
+        |  CAST(gmax - last_us > 1200000000 AS INT) AS stale
+        |FROM p, g""".stripMargin,
 
     // independent replay of the modified z-score anomaly scan: the manual
     // median (row_number ranks, two middle positions, sum/count midpoint)

@@ -170,6 +170,36 @@ object TableChecks {
   }
 
   /**
+   * Per-partition freshness check — the data-SLA complement of drift:
+   * each partition's newest event timestamp against the table's global
+   * newest, flagged stale when the lag exceeds `maxLagSec`. The check a
+   * scheduled ingest monitors ("did source X stop emitting?"); pydantic
+   * has no temporal table view at all — this only exists at table scale.
+   *
+   * Everything stays in exact integer microseconds (`unix_micros`), so
+   * the oracle replays bit-for-bit with no sub-second rendering or
+   * truncation differences between engines.
+   *
+   * Scale shape: ONE map-side-combined groupBy (per-partition max) plus a
+   * 1-row global aggregate broadcast back — two passes over counters, no
+   * wide shuffle.
+   */
+  def freshness(df: DataFrame, partCol: Column, tsCol: Column,
+                maxLagSec: Long): DataFrame = {
+    // NTZ parquet timestamps cast to session-TZ timestamps first (the
+    // session pins UTC, so the wall-clock micros are unchanged — matching
+    // DuckDB's epoch_us over the same naive values)
+    val us = unix_micros(tsCol.cast("timestamp"))
+    val per = df.groupBy(partCol.as("part_id"))
+      .agg(max(us).as("last_us"), count(lit(1)).as("n_rows"))
+    per.crossJoin(broadcast(per.agg(max(col("last_us")).as("__gmax"))))
+      .select(col("part_id"), col("n_rows"), col("last_us"),
+        (col("__gmax") - col("last_us")).as("lag_us"),
+        ((col("__gmax") - col("last_us")) > maxLagSec * 1000000L)
+          .cast("int").as("stale"))
+  }
+
+  /**
    * Violation regression diff — CI-for-data: classify each violation key
    * (row identity + loc + type) as `new` (absent from the previous run's
    * snapshot), `fixed` (present before, gone now) or `persisting`. The

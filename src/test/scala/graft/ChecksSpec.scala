@@ -161,6 +161,22 @@ class ChecksSpec extends SparkTestBase {
     assert(out.size == 4)
   }
 
+  test("freshness: exact micros lag, stale flag, global max has lag 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-01 00:00:00.000001"),
+      ("a", "2024-01-01 01:00:00.500000"),
+      ("b", "2024-01-01 00:30:00.250000"),
+      ("c", "2024-01-01 01:00:00.500000"))
+      .toDF("part", "s").select(col("part"), col("s").cast("timestamp").as("ts"))
+    val out = TableChecks.freshness(df, col("part"), col("ts"), 1200L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(3) == 0L && out("a").getInt(4) == 0)
+    assert(out("c").getLong(3) == 0L)
+    // b lags 30min 0.25s = 1800250000 us > 20min -> stale
+    assert(out("b").getLong(3) == 1800250000L && out("b").getInt(4) == 1)
+  }
+
   test("anomalyScan: drifted repo flagged, normal repos not, MAD=0 null") {
     import spark.implicits._
     val out = TableChecks.anomalyScan(sf, col("repo"), length(col("content")))
