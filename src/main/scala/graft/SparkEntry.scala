@@ -618,6 +618,92 @@ object SparkEntry {
       TableChecks.freshness(t(s, dir, "events"), col("event_type"),
         col("ts"), maxLagSec = 1200L)),
 
+    // ---- event-time: backward as-of join — every click enriched with the
+    // user's latest purchase value at-or-before it (union-window form, one
+    // key exchange, no candidate pairs; DuckDB ASOF JOIN is the oracle).
+    // Right side pre-aggregated to unique (user, ts) — both the engine
+    // and SQL ASOF are nondeterministic under right-side duplicates
+    "e_asof" -> ((s, dir) => {
+      import graft.events.EventOps
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      EventOps.asofJoin(clicks, purch, Seq("user_id"), "ts", "ts",
+          Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          EventOps.tsMicros(col("ts")).as("click_us"),
+          col("pval").as("last_purchase"), col("asof_lag_us"))
+    }),
+
+    // ---- event-time: gap sessionization (30-min inactivity) + session
+    // rollup. Money stays exact end-to-end: DECIMAL(18,2) sum rendered as
+    // integer cents, so the fold order of a double sum can never leak in
+    "e_sessions" -> ((s, dir) => {
+      import graft.events.EventOps
+      EventOps.sessionSummary(t(s, dir, "events"), Seq("user_id"), "ts",
+          "event_id", gapUs = 1800L * 1000000L, "value", "event_type")
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          col("start_us"), col("end_us"), col("duration_us"),
+          (col("sum_value") * 100).cast(org.apache.spark.sql.types.LongType)
+            .as("sum_cents"),
+          col("n_types"))
+    }),
+
+    // ---- event-time: per-event trailing 1h window (count + exact cents
+    // sum). RANGE frame on integer micros — tie rows are peers in both
+    // engines, so duplicate timestamps can't make the result order-dependent
+    "e_rolling" -> ((s, dir) => {
+      import graft.events.EventOps
+      EventOps.rollingAgg(t(s, dir, "events"), Seq("user_id"), "ts",
+          "value", windowUs = 3600L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          EventOps.tsMicros(col("ts")).as("us"), col("roll_n"),
+          (col("roll_sum") * 100).cast(org.apache.spark.sql.types.LongType)
+            .as("roll_cents"))
+    }),
+
+    // ---- event-time: interval (range) join via fixed-width binning —
+    // clicks landing inside each purchase's 10-minute attribution window,
+    // counted per purchase (zero-match purchases kept via the join back)
+    "e_range" -> ((s, dir) => {
+      import graft.events.EventOps
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("start_ts"),
+          (col("ts").cast("timestamp") + expr("INTERVAL 600 SECOND"))
+            .as("end_ts"))
+      val matched = EventOps.rangeJoinBinned(clicks, purch, Seq("user_id"),
+        "ts", "start_ts", "end_ts", binWidthUs = 600L * 1000000L,
+        Seq("event_id"), Seq("event_id"))
+      val cnt = matched.groupBy(col("i_event_id").as("event_id"))
+        .agg(count(lit(1)).as("__n"))
+      purch.select(col("event_id"), col("user_id"))
+        .join(cnt, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("__n"), lit(0L)).as("n_clicks"))
+    }),
+
+    // ---- event-time: ordered funnel signup -> click -> purchase, each
+    // stage strictly after the previous stage's earliest hit; per-pass
+    // conditional min, bounded state (no per-user event lists)
+    "e_funnel" -> ((s, dir) => {
+      import graft.events.EventOps
+      EventOps.funnel(t(s, dir, "events"), Seq("user_id"), "ts",
+        "event_type", Seq("signup", "click", "purchase"))
+    }),
+
+    // ---- data recipe: balance the corpus to its rarest language — the
+    // sampling rates are SOLVED from the observed distribution (exact
+    // rational n_min/n_lang, integer hash threshold), not configured
+    "t_mixture" -> ((s, dir) =>
+      TextOps.balanceStrata(t(s, dir, "documents"), "doc_id", "lang")
+        .select("doc_id", "lang", "source")),
+
     // ---- population anomaly scan: every repo's mean content length scored
     // against the population of repos via the modified z-score (median/MAD,
     // Iglewicz-Hoaglin) — flags the generator's drifted repo (4x lengths)
@@ -2218,6 +2304,77 @@ object SparkEntry {
         |SELECT part_id, n_rows, last_us, gmax - last_us AS lag_us,
         |  CAST(gmax - last_us > 1200000000 AS INT) AS stale
         |FROM p, g""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the independent replay of the engine's
+    // union-window as-of (>= : equal timestamps match)
+    "e_asof" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pval
+        |    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.us AS click_us,
+        |  p.pval AS last_purchase, c.us - p.us AS asof_lag_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.us >= p.us""".stripMargin,
+
+    "e_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,
+        |    event_type FROM events),
+        |b AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
+        |    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, CAST(sum(nb) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_seq
+        |    FROM b)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us,
+        |  max(us) - min(us) AS duration_us,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS sum_cents,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "e_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  count(*) OVER w AS roll_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT)
+        |    AS roll_cents
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "e_range" ->
+      """WITH c AS (SELECT user_id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS sus
+        |    FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, count(c.us) AS n_clicks
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.us >= p.sus AND c.us <= p.sus + 600000000
+        |GROUP BY 1, 2""".stripMargin,
+
+    "e_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |    FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |    WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING(user_id)
+        |    WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING(user_id)
+        |    WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+        |    AS stages_reached
+        |FROM s1 LEFT JOIN s2 USING(user_id)
+        |  LEFT JOIN s3 USING(user_id)""".stripMargin,
+
+    "t_mixture" ->
+      """WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+        |m AS (SELECT min(ns) AS nm FROM n)
+        |SELECT doc_id, lang, source FROM documents JOIN n USING(lang), m
+        |WHERE CAST(concat('0x',
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  % ns < nm""".stripMargin,
 
     // independent replay of the modified z-score anomaly scan: the manual
     // median (row_number ranks, two middle positions, sum/count midpoint)

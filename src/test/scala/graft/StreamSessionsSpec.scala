@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.events.EventOps
+import graft.streaming.StreamSessions
+
+/** Streaming sessionization: gap semantics identical to the batch
+ * operator (> gap breaks, == gap stays), watermark-timeout closing,
+ * and batch/stream parity on an in-order feed. */
+class StreamSessionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$sec%02d")
+
+  // (key, ts, id, cents, type) — two users, gaps around the 10-min mark
+  private val feed = Seq(
+    ("a", ts(0), 1L, 100L, "x"),
+    ("a", ts(10), 2L, 50L, "y"),   // gap exactly 10 min -> same session
+    ("a", ts(21), 3L, 25L, "x"),   // gap 11 min -> NEW session
+    ("b", ts(5), 4L, 10L, "z"))
+
+  test("streaming sessions close via watermark; gap semantics match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long, Long, String)]
+    val stream = mem.toDF().toDF("key", "t", "id", "cents", "tp")
+      .withWatermark("t", "1 minute")
+    val sessions = StreamSessions.closedSessions(stream, "key", "t", "id",
+      "cents", "tp", gapUs = 600L * 1000000L) // 10-min gap
+    val q = sessions.writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    try {
+      mem.addData(feed: _*)
+      q.processAllAvailable()
+      // batch 1 closes a's first session (broken by the in-batch 21-min
+      // event); the post-batch watermark (10:20) then fires b's timeout
+      // (closes at 10:15) in the trailing no-data batch. a's second
+      // session (closes at 10:31) must still be open.
+      val afterFirst = spark.table("sess_sink")
+        .select("key", "n_events", "sum_cents")
+        .as[(String, Long, Long)].collect().toSet
+      assert(afterFirst === Set(("a", 2L, 150L), ("b", 1L, 10L)))
+      // advance watermark far past every last+gap -> timeouts close the rest
+      mem.addData(("c", Timestamp.valueOf("2026-01-01 12:00:00"), 9L, 1L, "x"))
+      q.processAllAvailable()
+      mem.addData(("c", Timestamp.valueOf("2026-01-01 13:00:00"), 10L, 1L, "x"))
+      q.processAllAvailable()
+      val closed = spark.table("sess_sink")
+        .select("key", "session_seq", "n_events", "start_us", "end_us",
+          "duration_us", "sum_cents", "n_types")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      // batch ground truth over the same four-event feed
+      val batch = EventOps.sessionSummary(
+          feed.toDF("key", "t", "id", "cents", "tp")
+            .withColumn("v", col("cents") / 100.0),
+          Seq("key"), "t", "id", gapUs = 600L * 1000000L, "v", "tp")
+        .select(col("key"), col("session_seq"), col("n_events"),
+          col("start_us"), col("end_us"), col("duration_us"),
+          (col("sum_value") * 100).cast("long"), col("n_types"))
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      assert(batch.subsetOf(closed)) // every batch session closed & equal
+      assert(closed.filter(_._1 != "c") === batch)
+    } finally q.stop()
+  }
+}
