@@ -697,6 +697,22 @@ object SparkEntry {
         "event_type", Seq("signup", "click", "purchase"))
     }),
 
+    // ---- bounded-heap top-k per group (typed Aggregator): map-side
+    // combine reduces every partition to k rows per group BEFORE the
+    // exchange — the scale-first replacement for row_number()<=k, whose
+    // window form sorts and shuffles EVERY row of every group
+    "q_topk" -> ((s, dir) => {
+      import graft.functions.TopK
+      val top5 = udaf(new TopK.TopKAgg(5))
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(top5(col("n_chars"), col("doc_id")).as("__t"))
+        .select(col("lang"), posexplode(col("__t").getField("items")))
+        .select(col("lang"), (col("pos") + 1).as("rank"),
+          col("col").getField("id").as("doc_id"),
+          col("col").getField("v").as("n_chars"))
+    }),
+
     // ---- data recipe: balance the corpus to its rarest language — the
     // sampling rates are SOLVED from the observed distribution (exact
     // rational n_min/n_lang, integer hash threshold), not configured
@@ -2367,6 +2383,16 @@ object SparkEntry {
         |    AS stages_reached
         |FROM s1 LEFT JOIN s2 USING(user_id)
         |  LEFT JOIN s3 USING(user_id)""".stripMargin,
+
+    // the engine's bounded-heap Aggregator replays against the classic
+    // window-rank form — same total order (v DESC, id ASC)
+    "q_topk" ->
+      """SELECT lang, rank, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars, CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT)
+        |    AS rank
+        |  FROM documents) t
+        |WHERE rank <= 5""".stripMargin,
 
     "t_mixture" ->
       """WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
