@@ -697,6 +697,15 @@ object SparkEntry {
         "event_type", Seq("signup", "click", "purchase"))
     }),
 
+    // ---- exact per-group quantiles (nearest-rank, all-integer): the
+    // exact tier beside colStats' approx_percentile — distinct-value
+    // pre-agg shrinks the window input to the value domain, not the rows
+    "v_quantiles" -> ((s, dir) =>
+      TableChecks.exactQuantiles(t(s, dir, "documents"), col("lang"),
+        col("n_chars"),
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .withColumnRenamed("grp", "lang")),
+
     // ---- bounded-heap top-k per group (typed Aggregator): map-side
     // combine reduces every partition to k rows per group BEFORE the
     // exchange — the scale-first replacement for row_number()<=k, whose
@@ -2383,6 +2392,22 @@ object SparkEntry {
         |    AS stages_reached
         |FROM s1 LEFT JOIN s2 USING(user_id)
         |  LEFT JOIN s3 USING(user_id)""".stripMargin,
+
+    // nearest-rank exact quantiles: identical integer rank arithmetic
+    // ((n*num + den - 1) // den) on both engines — bit-exact by design
+    "v_quantiles" ->
+      """WITH c AS (SELECT lang, n_chars AS v, count(*) AS cnt
+        |    FROM documents GROUP BY 1, 2),
+        |w AS (SELECT lang, v, cnt, CAST(sum(cnt) OVER (PARTITION BY lang
+        |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |    FROM c),
+        |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT w.lang, qs.q, w.v AS value
+        |FROM w JOIN t USING(lang)
+        |CROSS JOIN (VALUES ('p50',1,2),('p90',9,10),('p99',99,100))
+        |  qs(q, num, den)
+        |WHERE (n*num + den - 1) // den > cum - cnt
+        |  AND (n*num + den - 1) // den <= cum""".stripMargin,
 
     // the engine's bounded-heap Aggregator replays against the classic
     // window-rank form — same total order (v DESC, id ASC)

@@ -230,4 +230,48 @@ object TableChecks {
       .select(keyCols.map(k => coalesce(cur(k), prev(k)).as(k)) :+
         status.as("status"): _*)
   }
+
+  /**
+   * Exact per-group quantiles — the exact complement to `colStats`'s
+   * approx_percentile, for the checks where a bound must be EXACT
+   * (SLA percentiles, drift-gate cut points). Nearest-rank (type-1)
+   * definition: the quantile at q = num/den is the smallest value whose
+   * cumulative count reaches `ceil(q * n)`. Every step is integer
+   * arithmetic (ranks as `(n*num + den - 1) div den`), so an independent
+   * SQL replay matches bit-for-bit — no interpolation, no doubles.
+   *
+   * Scale shape: ONE map-side-combined groupBy on (group, value) shrinks
+   * the data to distinct values per group BEFORE any window; the
+   * cumulative window then runs over value-distinct rows only (bounded by
+   * the value domain, not the row count), plus a group-sized total join.
+   * approx_percentile stays the one-pass default; this is the exact tier.
+   *
+   * `qs`: (label, num, den) with 0 < num <= den, e.g. ("p90", 9, 10).
+   * Output: one row per (group, label): `grp, q, value`.
+   */
+  def exactQuantiles(df: DataFrame, groupCol: Column, valueCol: Column,
+                     qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && n <= d })
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val counts = df.groupBy(groupCol.as("grp"), valueCol.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    val tot = counts.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    val qRows = explode(array(qs.map { case (label, num, den) =>
+      struct(lit(label).as("q"), lit(num.toLong).as("num"),
+        lit(den.toLong).as("den"))
+    }: _*)).as("__q")
+    val withQ = cum.join(tot, "grp").select(col("*"), qRows)
+      .select(col("grp"), col("v"), col("cnt"), col("cum"), col("n"),
+        col("__q.q").as("q"), col("__q.num").as("num"),
+        col("__q.den").as("den"))
+    // rank = ceil(n * num / den) in exact integer arithmetic
+    val num0 = col("n") * col("num") + col("den") - 1L
+    val rank = ((num0 - pmod(num0, col("den"))) / col("den")).cast(LongType)
+    withQ.where(rank > col("cum") - col("cnt") && rank <= col("cum"))
+      .select(col("grp"), col("q"), col("v").as("value"))
+  }
 }

@@ -202,4 +202,24 @@ class ChecksSpec extends SparkTestBase {
     assert(m("e").getDouble(4) == 0.6745 * 2 &&
       m("c").getDouble(4) == 0.0 && m("e").getInt(5) == 0)
   }
+
+  test("exactQuantiles: nearest-rank on hand-computed sets (ties, n=1, p100)") {
+    import spark.implicits._
+    // g1: values 1..4 -> n=4: p50 rank ceil(2)=2 -> 2; p75 rank 3 -> 3;
+    // p100 rank 4 -> 4. g2: single value. g3: heavy ties 5,5,5,9 ->
+    // p50 rank 2 -> 5; p75 rank 3 -> 5; p100 -> 9.
+    val df = (Seq(("g1", 1), ("g1", 2), ("g1", 3), ("g1", 4), ("g2", 7)) ++
+      Seq(("g3", 5), ("g3", 5), ("g3", 5), ("g3", 9))).toDF("g", "v")
+    val out = TableChecks.exactQuantiles(df, col("g"), col("v"),
+        Seq(("p50", 1, 2), ("p75", 3, 4), ("p100", 1, 1)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    assert(out === Map(
+      ("g1", "p50") -> 2, ("g1", "p75") -> 3, ("g1", "p100") -> 4,
+      ("g2", "p50") -> 7, ("g2", "p75") -> 7, ("g2", "p100") -> 7,
+      ("g3", "p50") -> 5, ("g3", "p75") -> 5, ("g3", "p100") -> 9))
+    // exactly one row per (group, q) — the rank-crossing filter is a
+    // partition of the rank space, never zero or duplicate matches
+    assert(out.size === 9)
+  }
 }
