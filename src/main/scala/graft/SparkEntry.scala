@@ -638,6 +638,25 @@ object SparkEntry {
           col("pval").as("last_purchase"), col("asof_lag_us"))
     }),
 
+    // ---- event-time: FORWARD as-of — every click paired with the user's
+    // NEXT purchase at-or-after it (time-to-conversion); same union-window
+    // plan, reversed order
+    "e_asof_fwd" -> ((s, dir) => {
+      import graft.events.EventOps
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      EventOps.asofJoin(clicks, purch, Seq("user_id"), "ts", "ts",
+          Seq("pval"), forward = true)
+        .select(col("event_id"), col("user_id"),
+          EventOps.tsMicros(col("ts")).as("click_us"),
+          col("pval").as("next_purchase"),
+          (-col("asof_lag_us")).as("lead_us"))
+    }),
+
     // ---- event-time: gap sessionization (30-min inactivity) + session
     // rollup. Money stays exact end-to-end: DECIMAL(18,2) sum rendered as
     // integer cents, so the fold order of a double sum can never leak in
@@ -2341,6 +2360,16 @@ object SparkEntry {
         |  p.pval AS last_purchase, c.us - p.us AS asof_lag_us
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.us >= p.us""".stripMargin,
+
+    "e_asof_fwd" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+        |    FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS us, max(value) AS pval
+        |    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.us AS click_us,
+        |  p.pval AS next_purchase, p.us - c.us AS lead_us
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.us <= p.us""".stripMargin,
 
     "e_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value,

@@ -56,12 +56,18 @@ object EventOps {
    *
    * Output: every left column, then for each payload column `p` a column
    * `p` from the matched right row (null when no match / out of
-   * tolerance), then `asof_lag_us` (leftTs - matched rightTs).
+   * tolerance), then `asof_lag_us` (leftTs - matched rightTs; negative
+   * of the lead in forward mode).
+   *
+   * `forward = true` flips the direction: the EARLIEST right row with
+   * `rightTs >= leftTs` (time-to-next-event); same plan shape, the
+   * window order just reverses.
    */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTsCol: String, rightTsCol: String,
                payload: Seq[String],
-               toleranceUs: Option[Long] = None): DataFrame = {
+               toleranceUs: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
     val lCols = left.columns.toSeq
     val l = left.select(
       keys.map(col) ++ Seq(
@@ -79,16 +85,20 @@ object EventOps {
           left.select(struct(lCols.map(col): _*)).schema.head.dataType)
           .as("__lrow"),
         struct((rightTsCol +: payload).map(col): _*).as("__r")): _*)
-    // right (side 0) sorts before left (side 1) at equal ts -> `<=` match
+    // right (side 0) sorts before left (side 1) at equal ts -> `<=`
+    // (backward) / `>=` (forward) both match equal timestamps
+    val ord = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(ord, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = last(col("__r"), ignoreNulls = true).over(w).as("__m")
     val base = l.unionByName(r).select(col("*"), matched)
       .where(col("__side") === 1)
-    val lagUs = col("__ts") - tsMicros(col("__m").getField(rightTsCol))
+    val mTs = tsMicros(col("__m").getField(rightTsCol))
+    val lagUs = if (forward) -(mTs - col("__ts"))
+                else col("__ts") - mTs
     val inTol = toleranceUs match {
-      case Some(t) => col("__m").isNotNull && lagUs <= t
+      case Some(t) => col("__m").isNotNull && abs(lagUs) <= t
       case None    => col("__m").isNotNull
     }
     base.select(

@@ -70,6 +70,20 @@ class EventOpsSpec extends SparkTestBase {
     assert(out.isNullAt(0) && out.getLong(1) === 10L) // matched row IS t=90
   }
 
+  test("asofJoin forward: earliest at-or-after; equal ts matches") {
+    val left = ev((1L, 10L, 0.0, 1L), (1L, 50L, 0.0, 2L), (1L, 85L, 0.0, 3L))
+    val right = rdim((1L, 50L, "a"), (1L, 80L, "b"))
+    val out = EventOps.asofJoin(left, right, Seq("k"), "t", "t", Seq("p"),
+        forward = true)
+      .select("id", "p", "asof_lag_us").collect()
+      .map(r => (r.getLong(0), r.getAs[String]("p"),
+        if (r.isNullAt(2)) 1L else r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, "a", -40L), // earliest at-or-after 10 is 50, NOT 80
+      (2L, "a", 0L),   // equal ts matches
+      (3L, null, 1L))) // nothing at-or-after 85
+  }
+
   // ------------------------------------------------------- sessionize
 
   test("sessionize: gap strictly greater breaks; exactly gap stays") {
