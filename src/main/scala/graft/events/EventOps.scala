@@ -260,6 +260,11 @@ object EventOps {
         .where(col("__us") > col("__pt"))
         .groupBy(keys.map(col): _*).agg(min(col("__us")).as(s"t$k"))
       acc = acc.join(nxt, keys, "left")
+      // acc is referenced twice per stage, so the logical plan doubles
+      // each round — harmless for the typical 3-5 stage funnel, but for
+      // deep funnels truncate lineage (acc is aggregate-sized: one row
+      // per stage-1 key)
+      if (stages.length > 5) acc = acc.localCheckpoint()
     }
     val reached = (1 to stages.length)
       .map(k => when(col(s"t$k").isNotNull, 1).otherwise(0))
