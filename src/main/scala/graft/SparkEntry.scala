@@ -2449,10 +2449,12 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
 
     "t_mixture" ->
-      """WITH n AS (SELECT lang, count(*) AS ns FROM documents GROUP BY 1),
+      """WITH n AS (SELECT lang, count(*) AS ns FROM documents
+        |    WHERE lang IS NOT NULL GROUP BY 1),
         |m AS (SELECT min(ns) AS nm FROM n)
-        |SELECT doc_id, lang, source FROM documents JOIN n USING(lang), m
-        |WHERE CAST(concat('0x',
+        |SELECT doc_id, lang, source
+        |FROM documents LEFT JOIN n USING(lang), m
+        |WHERE lang IS NULL OR CAST(concat('0x',
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
         |  % ns < nm""".stripMargin,
 

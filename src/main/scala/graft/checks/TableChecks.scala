@@ -254,7 +254,11 @@ object TableChecks {
     require(qs.nonEmpty && qs.forall { case (_, n, d) => n > 0 && n <= d })
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
-    val counts = df.groupBy(groupCol.as("grp"), valueCol.as("v"))
+    // NULL values are excluded (standard quantile semantics, matching
+    // approx_percentile) — counting them would also diverge from a SQL
+    // replay, since Spark windows order nulls first and DuckDB last
+    val counts = df.where(valueCol.isNotNull)
+      .groupBy(groupCol.as("grp"), valueCol.as("v"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("grp")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

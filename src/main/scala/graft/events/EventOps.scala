@@ -77,7 +77,12 @@ object EventOps {
         lit(null).cast(
           right.select(struct((rightTsCol +: payload).map(col): _*))
             .schema.head.dataType).as("__r")): _*)
-    val r = right.select(
+    val r = right
+      // a null-ts right row can never be "the latest at-or-before"
+      // anything (SQL ASOF matches nothing on null) — and unfiltered it
+      // would sort to an end of the window order and corrupt matches
+      .where(tsMicros(col(rightTsCol)).isNotNull)
+      .select(
       keys.map(col) ++ Seq(
         tsMicros(col(rightTsCol)).as("__ts"),
         lit(0).as("__side"),
@@ -97,9 +102,12 @@ object EventOps {
     val mTs = tsMicros(col("__m").getField(rightTsCol))
     val lagUs = if (forward) -(mTs - col("__ts"))
                 else col("__ts") - mTs
+    // a null-ts LEFT row matches nothing either (its window position is
+    // an artifact of null ordering, not time)
     val inTol = toleranceUs match {
-      case Some(t) => col("__m").isNotNull && abs(lagUs) <= t
-      case None    => col("__m").isNotNull
+      case Some(t) => col("__m").isNotNull && col("__ts").isNotNull &&
+        abs(lagUs) <= t
+      case None    => col("__m").isNotNull && col("__ts").isNotNull
     }
     base.select(
       lCols.map(n => col("__lrow").getField(n).as(n)) ++

@@ -21,6 +21,10 @@ import org.apache.spark.sql.expressions.Aggregator
  */
 object TopK {
 
+  /** Boxed fields so null value/id columns reach `reduce` (which skips
+   * them — SQL aggregates ignore nulls) instead of failing the typed
+   * input encoder with a non-nullable-field error. */
+  final case class In(v: java.lang.Long, id: java.lang.Long)
   final case class Entry(v: Long, id: Long)
   final case class Buf(items: List[Entry])
   final case class Out(items: Seq[Entry])
@@ -29,11 +33,13 @@ object TopK {
   private def beats(a: Entry, b: Entry): Boolean =
     a.v > b.v || (a.v == b.v && a.id < b.id)
 
-  final class TopKAgg(k: Int) extends Aggregator[Entry, Buf, Out] {
+  final class TopKAgg(k: Int) extends Aggregator[In, Buf, Out] {
     require(k > 0)
     def zero: Buf = Buf(Nil)
 
-    def reduce(buf: Buf, in: Entry): Buf = {
+    def reduce(buf: Buf, raw: In): Buf = {
+      if (raw == null || raw.v == null || raw.id == null) return buf
+      val in = Entry(raw.v, raw.id)
       val b = buf.items
       if (b.lengthCompare(k) >= 0 && !beats(in, b.last)) buf
       else {

@@ -31,6 +31,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * Money is carried as exact integer cents (pre-converted by the caller's
  * projection) so streaming accumulation is fold-order-free, matching the
  * batch DECIMAL(18,2) sum.
+ *
+ * Identity caveat: `session_seq` numbers sessions within one span of
+ * per-key state — closing a session via timeout EVICTS the key's state
+ * (that is what bounds the store on unbounded key domains), so a key
+ * that returns after an idle eviction restarts at seq 1. The STABLE
+ * session identity downstream consumers should key on is
+ * `(key, start_us)`, which is unique and batch-agreeing regardless of
+ * evictions; `session_seq` only totals batch semantics while state
+ * lives (and always in the single-batch/test shape).
  */
 object StreamSessions {
 
@@ -88,7 +97,10 @@ object StreamSessions {
             rows.toSeq.sortBy(e => (e.us, e.tie)).foreach { e =>
               cur match {
                 case Some(s) if e.us - s.lastUs <= gapUs =>
-                  cur = Some(SessState(s.startUs, math.max(s.lastUs, e.us),
+                  // late in-gap events (cross-batch, inside watermark)
+                  // extend BOTH bounds, matching the batch rollup
+                  cur = Some(SessState(math.min(s.startUs, e.us),
+                    math.max(s.lastUs, e.us),
                     s.n + 1, s.sumCents + e.cents, s.types + e.tp, s.seq))
                 case Some(s) =>
                   closed += close(key, s)

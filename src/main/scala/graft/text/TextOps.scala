@@ -258,29 +258,6 @@ object TextOps {
    * resumes (no RNG state); map-only, no shuffle; strata absent from
    * `rates` keep everything.
    */
-  /**
-   * Balance to the rarest stratum — the data-recipe step where the rates
-   * are SOLVED FROM the observed distribution instead of configured:
-   * every stratum is deterministically downsampled to (in expectation)
-   * the smallest stratum's size, via `hash60(id) mod n_s < n_min`. All
-   * arithmetic is integer (the exact rational rate n_min/n_s), so the
-   * kept set is bit-reproducible across engines, runs and resumes.
-   *
-   * Scale shape: one map-side-combined count per stratum (stratum-count
-   * rows), a 1-row global min, both broadcast back onto a map-only
-   * filter — no wide shuffle of the data itself.
-   */
-  def balanceStrata(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    stratumCol: String): org.apache.spark.sql.DataFrame = {
-    val n = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__ns"))
-    val m = n.agg(min(col("__ns")).as("__nm"))
-    df.join(broadcast(n), Seq(stratumCol))
-      .crossJoin(broadcast(m))
-      .where(pmod(hash60(col(idCol).cast(StringType)), col("__ns"))
-        < col("__nm"))
-      .drop("__ns", "__nm")
-  }
-
   def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
                        stratumCol: String,
                        rates: Map[String, (Long, Long)])
@@ -291,6 +268,36 @@ object TextOps {
         .otherwise(acc)
     }
     df.filter(keep)
+  }
+
+  /**
+   * Balance to the rarest stratum — the data-recipe step where the rates
+   * are SOLVED FROM the observed distribution instead of configured:
+   * every stratum is deterministically downsampled to (in expectation)
+   * the smallest stratum's size, via `hash60(id) mod n_s < n_min`. All
+   * arithmetic is integer (the exact rational rate n_min/n_s), so the
+   * kept set is bit-reproducible across engines, runs and resumes.
+   *
+   * NULL strata pass through unsampled and are excluded from the rate
+   * computation (mirroring `stratifiedSample`'s unlisted-strata rule:
+   * never drop what you can't classify — and never let a tiny null
+   * stratum become n_min and gut every real stratum).
+   *
+   * Scale shape: one map-side-combined count per stratum (stratum-count
+   * rows), a 1-row global min, both broadcast back onto a map-only
+   * filter — no wide shuffle of the data itself.
+   */
+  def balanceStrata(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    stratumCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__ns"))
+    val m = n.agg(min(col("__ns")).as("__nm"))
+    df.join(broadcast(n), Seq(stratumCol), "left")
+      .crossJoin(broadcast(m))
+      .where(col(stratumCol).isNull ||
+        pmod(hash60(col(idCol).cast(StringType)), col("__ns"))
+          < col("__nm"))
+      .drop("__ns", "__nm")
   }
 
   /**

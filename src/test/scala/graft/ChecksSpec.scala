@@ -210,16 +210,24 @@ class ChecksSpec extends SparkTestBase {
     // p50 rank 2 -> 5; p75 rank 3 -> 5; p100 -> 9.
     val df = (Seq(("g1", 1), ("g1", 2), ("g1", 3), ("g1", 4), ("g2", 7)) ++
       Seq(("g3", 5), ("g3", 5), ("g3", 5), ("g3", 9))).toDF("g", "v")
-    val out = TableChecks.exactQuantiles(df, col("g"), col("v"),
+    val rows = TableChecks.exactQuantiles(df, col("g"), col("v"),
         Seq(("p50", 1, 2), ("p75", 3, 4), ("p100", 1, 1)))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
-      .toMap
+    // exactly one row per (group, q) — the rank-crossing filter is a
+    // partition of the rank space, never zero or duplicate matches
+    // (assert BEFORE collapsing to a Map, which would mask duplicates)
+    assert(rows.length === 9)
+    val out = rows.toMap
     assert(out === Map(
       ("g1", "p50") -> 2, ("g1", "p75") -> 3, ("g1", "p100") -> 4,
       ("g2", "p50") -> 7, ("g2", "p75") -> 7, ("g2", "p100") -> 7,
       ("g3", "p50") -> 5, ("g3", "p75") -> 5, ("g3", "p100") -> 9))
-    // exactly one row per (group, q) — the rank-crossing filter is a
-    // partition of the rank space, never zero or duplicate matches
-    assert(out.size === 9)
+    // null values are excluded like approx_percentile (and unlike a
+    // naive count — Spark orders nulls first, DuckDB last)
+    val withNulls = (Seq(("g1", Some(1)), ("g1", None), ("g1", Some(3))))
+      .toDF("g", "v")
+    val q50 = TableChecks.exactQuantiles(withNulls, col("g"), col("v"),
+      Seq(("p50", 1, 2))).collect()
+    assert(q50.length === 1 && q50.head.getInt(2) === 1) // median of {1,3}
   }
 }

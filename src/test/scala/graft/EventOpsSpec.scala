@@ -84,6 +84,23 @@ class EventOpsSpec extends SparkTestBase {
       (3L, null, 1L))) // nothing at-or-after 85
   }
 
+  test("asofJoin: null timestamps match nothing on either side") {
+    val left = frame(evSchema, Seq(
+      Row(1L, ts(100L), 0.0, 1L), Row(1L, null, 0.0, 2L)))
+    val right = frame(rSchema, Seq(
+      Row(1L, null, "junk"), Row(1L, ts(50L), "a")))
+    for (fwd <- Seq(false, true)) {
+      val out = EventOps.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("p"), forward = fwd)
+        .select("id", "p").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("p"))).toMap
+      // null-ts left row (id 2) matches nothing in either direction;
+      // the null-ts right row ("junk") is never a match
+      assert(out(2L) === null)
+      assert(out(1L) === (if (fwd) null else "a"))
+    }
+  }
+
   // ------------------------------------------------------- sessionize
 
   test("sessionize: gap strictly greater breaks; exactly gap stays") {
@@ -190,5 +207,20 @@ class EventOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(kept("rare") === 20L)           // n_min == n_s -> all kept
     assert(kept("big") < 180L && kept("big") > 0L)
+  }
+
+  test("balanceStrata: null strata pass through and never set n_min") {
+    import graft.text.TextOps
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType)))
+    val rows = (0L until 100L).map { i =>
+      Row(i, if (i < 3) null else if (i < 53) "a" else "b")
+    }
+    val kept = TextOps.balanceStrata(frame(schema, rows), "id", "g")
+      .groupBy("g").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(kept(null) === 3L)  // unclassifiable rows are never dropped
+    // n_min = min(50, 47), NOT 3 — real strata keep ~everything
+    assert(kept("a") > 40L && kept("b") > 40L)
   }
 }

@@ -37,4 +37,15 @@ class TopKSpec extends SparkTestBase {
       .collect().head
     assert(got === Seq((5L, 11L), (1L, 10L)))
   }
+
+  test("TopKAgg: null value/id rows are skipped, not fatal") {
+    val df = Seq(("a", Some(1L), Some(10L)), ("a", None, Some(11L)),
+      ("a", Some(9L), None), ("a", Some(5L), Some(12L)))
+      .toDF("g", "v", "id")
+    val top2 = udaf(new TopK.TopKAgg(2))
+    val got = df.groupBy("g").agg(top2(col("v"), col("id")).as("t"))
+      .select(col("t").getField("items")).as[Seq[(Long, Long)]]
+      .collect().head
+    assert(got === Seq((5L, 12L), (1L, 10L)))
+  }
 }
