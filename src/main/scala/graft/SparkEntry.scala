@@ -367,6 +367,13 @@ object SparkEntry {
     "c_license" -> ((s, dir) =>
       CodeOps.licenseScan(codeInput(s), "id", "content")),
 
+    // ---- code: cross-file boilerplate-line scan (CCNet/Stack line-level
+    // dedup signal) — per file, distinct non-blank lines whose document
+    // frequency reaches 20 (license headers, vendored prologues); only
+    // 8-byte line hashes shuffle, never line text
+    "c_boilerplate" -> ((s, dir) =>
+      CodeOps.boilerplateScan(codeInput(s), "id", "content", minDf = 20L)),
+
     // ---- code: path-extension vs declared-lang referential parity (null
     // path / unknown lang -> unverifiable -> false)
     "c_ext_lang" -> ((s, dir) =>
@@ -1794,6 +1801,23 @@ object SparkEntry {
          |  COALESCE(license IN ('MIT', 'Apache-2.0', 'BSD', 'BSD-2-Clause',
          |    'BSD-3-Clause', 'ISC', 'Unlicense'), false) AS permissive
          |FROM l""".stripMargin,
+
+    // line-df replay on the 60-bit md5 line hash; one double division of
+    // exact integers -> bit-exact fraction
+    "c_boilerplate" ->
+      s"""WITH l AS (SELECT id, unnest(list_distinct(
+         |      string_split(content, chr(10)))) AS line
+         |    FROM read_parquet('$codeInputPath/*.parquet')),
+         |nb AS (SELECT id, CAST(concat('0x', substr(md5(line), 1, 15))
+         |      AS BIGINT) AS lh
+         |    FROM l WHERE trim(line) <> ''),
+         |d AS (SELECT lh, CAST(count(*) AS BIGINT) AS df FROM nb GROUP BY 1)
+         |SELECT id, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler,
+         |  CAST(sum(CASE WHEN df >= 20 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS boiler_frac
+         |FROM nb JOIN d USING(lh) GROUP BY id""".stripMargin,
 
     "c_ext_lang" ->
       s"""SELECT id, lang, regexp_extract(path, '\\.([a-z]+)$$', 1) AS ext,
