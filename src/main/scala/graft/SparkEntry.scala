@@ -440,6 +440,15 @@ object SparkEntry {
         stagingDir = Some(stageDir(s, "code_jaccard")))
     }),
 
+    // ---- code: the END-TO-END Stack-style cleaning pipeline — quality
+    // gate -> license policy -> secret redaction -> boilerplate-line
+    // strip -> near-dup drop, composed from the individually-oracled
+    // operators; the sha256 of each survivor's final rewritten content
+    // proves the WHOLE pipeline bit-exact, not just row membership
+    "p_code_clean" -> ((s, dir) =>
+      graft.text.CodeClean.run(codeInput(s),
+        stagingDir = Some(stageDir(s, "code_clean")))),
+
     // ---- code: ecosystem dependency stats — per-lang import extraction
     // (line-anchored patterns, Java∩RE2), per-file dedup, then one hash
     // aggregate: which modules the corpus imports and how widely (the
@@ -1858,6 +1867,82 @@ object SparkEntry {
          |SELECT ia AS id_a, ib AS id_b, c * 1.0 / (a.sz + b.sz - c) AS jaccard
          |FROM ov JOIN sz a ON a.doc_id = ov.ia JOIN sz b ON b.doc_id = ov.ib
          |WHERE 2 * c >= (a.sz + b.sz - c)""".stripMargin,
+
+    // the full-pipeline replay: every stage's CTE is the (already
+    // verified) standalone oracle's, composed in the engine's order;
+    // final sha256 over the rewritten content pins redaction + strip +
+    // rebuild byte-for-byte
+    "p_code_clean" ->
+      s"""WITH $codeQualityCteSql,
+         |keep AS (SELECT id FROM q WHERE NOT (autogen OR max_line_len > 1000
+         |  OR mean_line_len > 100.0 OR alnum_frac < 0.25)),
+         |hd AS (SELECT id, substring(content, 1, 400) AS head
+         |  FROM read_parquet('$codeInputPath/*.parquet')),
+         |lic AS (SELECT id, CASE
+         |  WHEN regexp_extract(head, '${graft.text.CodeOps.SpdxRe}', 1) <> ''
+         |    THEN regexp_extract(head, '${graft.text.CodeOps.SpdxRe}', 1)
+         |  WHEN contains(head, 'Permission is hereby granted, free of charge')
+         |    THEN 'MIT'
+         |  WHEN regexp_matches(head, 'Apache License,? Version 2\\.0')
+         |    THEN 'Apache-2.0'
+         |  WHEN contains(head, 'GNU General Public License') THEN 'GPL'
+         |  WHEN contains(head, 'Redistribution and use in source and binary forms')
+         |    THEN 'BSD'
+         |  END AS license FROM hd),
+         |nonperm AS (SELECT id FROM lic WHERE license IS NOT NULL
+         |  AND license NOT IN ('MIT', 'Apache-2.0', 'BSD', 'BSD-2-Clause',
+         |    'BSD-3-Clause', 'ISC', 'Unlicense')),
+         |g AS (SELECT c.id, c.lang, c.content
+         |  FROM read_parquet('$codeInputPath/*.parquet') c
+         |  JOIN keep USING(id)
+         |  WHERE c.id NOT IN (SELECT id FROM nonperm)),
+         |red AS (SELECT id, lang, regexp_replace(regexp_replace(
+         |    regexp_replace(content,
+         |    '${graft.text.CodeOps.SecretAwsRe}', '<SECRET>', 'g'),
+         |    '${graft.text.CodeOps.SecretGithubRe}', '<SECRET>', 'g'),
+         |    '${graft.text.CodeOps.SecretPemRe}', '<SECRET>', 'g')
+         |    AS content FROM g),
+         |pl AS (SELECT id,
+         |    unnest(generate_series(1, len(string_split(content, chr(10)))))
+         |      AS pos,
+         |    unnest(string_split(content, chr(10))) AS line
+         |  FROM red),
+         |dl AS (SELECT DISTINCT id, CAST(concat('0x',
+         |    substr(md5(line), 1, 15)) AS BIGINT) AS lh
+         |  FROM pl WHERE trim(line) <> ''),
+         |bo AS (SELECT lh FROM (SELECT lh, count(*) AS df FROM dl GROUP BY 1)
+         |  WHERE df >= 20),
+         |rb AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS content
+         |  FROM pl WHERE trim(line) = '' OR CAST(concat('0x',
+         |    substr(md5(line), 1, 15)) AS BIGINT) NOT IN (SELECT lh FROM bo)
+         |  GROUP BY id),
+         |n AS (SELECT g.id AS doc_id, trim(lower(regexp_replace(
+         |    CASE WHEN lang IN ('python', 'ruby')
+         |      THEN regexp_replace(content, '(?m)^[ \\t]*#[^\\n]*\\n?', '', 'g')
+         |      ELSE regexp_replace(content, '(?m)^[ \\t]*//[^\\n]*\\n?', '', 'g')
+         |    END, '[^A-Za-z0-9]+', ' ', 'g'))) AS nrm FROM g),
+         |tk AS (SELECT doc_id, regexp_split_to_array(nrm, '\\s+') tk
+         |  FROM n WHERE length(nrm) > 0),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |  generate_series(1, greatest(len(tk) - 2, 1)),
+         |  i -> array_to_string(tk[i:i+2], ' '))) sh FROM tk),
+         |sr0 AS (SELECT doc_id, unnest(sh) AS shg FROM s),
+         |sr AS (SELECT DISTINCT doc_id,
+         |         CAST(concat('0x', substr(md5(shg), 1, 15)) AS BIGINT) AS shg
+         |       FROM sr0),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sr GROUP BY doc_id),
+         |ov AS (SELECT sa.doc_id ia, sb.doc_id ib, count(*) c
+         |       FROM sr sa JOIN sr sb ON sa.shg = sb.shg AND sa.doc_id < sb.doc_id
+         |       GROUP BY ia, ib),
+         |dd AS (SELECT DISTINCT ib AS id
+         |       FROM ov JOIN sz a ON a.doc_id = ov.ia
+         |                JOIN sz b ON b.doc_id = ov.ib
+         |       WHERE 2 * c >= (a.sz + b.sz - c))
+         |SELECT g.id, g.lang,
+         |  length(coalesce(rb.content, '')) AS n_chars,
+         |  sha256(coalesce(rb.content, '')) AS sha
+         |FROM g LEFT JOIN rb USING(id)
+         |WHERE g.id NOT IN (SELECT id FROM dd)""".stripMargin,
 
     // independent replay of import extraction: per-lang literal patterns
     // (one UNION ALL branch per family), per-file dedup via list_distinct
