@@ -115,7 +115,9 @@ object Bench {
     // 9.5s against builder-clean ~5s).
     val vControl = vSecs * 2e6 / benchRows
     val heavyClass = Map("d_jaccard_ngram" -> 8.0, "p_corpus_clean" -> 8.0,
-      "d_components" -> 8.0, "d_minhash_lsh" -> 4.0)
+      "d_components" -> 8.0, "d_minhash_lsh" -> 4.0,
+      // five-stage staged pipeline (quality/license/redact/strip/dedup)
+      "p_code_clean" -> 12.0, "c_near_dup" -> 6.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warmSec = time(force(fn(spark, sfDir))) // warm (codegen + shuffles)
       // queries that persist/stage internal state (d_jaccard_ngram,
