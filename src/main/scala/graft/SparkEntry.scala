@@ -723,6 +723,15 @@ object SparkEntry {
           coalesce(col("__n"), lit(0L)).as("n_clicks"))
     }),
 
+    // ---- event-time: weekly cohort retention matrix — users bucketed by
+    // first-activity epoch-week, counted per (cohort, weeks-since);
+    // all-integer bucket arithmetic, (user, week)-distinct shuffles only
+    "e_retention" -> ((s, dir) => {
+      import graft.events.EventOps
+      EventOps.retention(t(s, dir, "events"), Seq("user_id"), "ts",
+        periodUs = 7L * 86400L * 1000000L)
+    }),
+
     // ---- event-time: ordered funnel signup -> click -> purchase, each
     // stage strictly after the previous stage's earliest hit; per-pass
     // conditional min, bounded state (no per-user event lists)
@@ -2515,6 +2524,14 @@ object SparkEntry {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.us >= p.sus AND c.us <= p.sus + 600000000
         |GROUP BY 1, 2""".stripMargin,
+
+    "e_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS p FROM events),
+        |c AS (SELECT user_id, min(p) AS c FROM a GROUP BY 1)
+        |SELECT c.c AS cohort, a.p - c.c AS k,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN c USING(user_id) GROUP BY 1, 2""".stripMargin,
 
     "e_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us

@@ -237,6 +237,31 @@ object EventOps {
   }
 
   // ---------------------------------------------------------------------
+  // Cohort retention
+  // ---------------------------------------------------------------------
+
+  /** Cohort retention matrix: users bucketed by first-activity period
+   * (integer `periodUs` buckets of the epoch), counted per (cohort,
+   * periods-since-cohort). All-integer bucket arithmetic — exact and
+   * SQL-replayable. Output: `cohort, k, n_users`.
+   *
+   * Scale shape: distinct (key, period) pre-agg (map-side combine), a
+   * per-key min for the cohort, one equi-join back on the key, one
+   * count agg — all shuffles carry (key, period)-distinct rows. */
+  def retention(df: DataFrame, keys: Seq[String], ts: String,
+                periodUs: Long): DataFrame = {
+    val period = (tsMicros(col(ts)) -
+      pmod(tsMicros(col(ts)), lit(periodUs))) / periodUs
+    val active = df.select((keys.map(col) :+
+        period.cast(LongType).as("__p")): _*).distinct()
+    val cohort = active.groupBy(keys.map(col): _*)
+      .agg(min(col("__p")).as("__c"))
+    active.join(cohort, keys)
+      .groupBy(col("__c").as("cohort"), (col("__p") - col("__c")).as("k"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  // ---------------------------------------------------------------------
   // Ordered funnel
   // ---------------------------------------------------------------------
 

@@ -194,6 +194,24 @@ class EventOpsSpec extends SparkTestBase {
     assert(out === Set((1L, 3), (2L, 2), (3L, 1)))
   }
 
+  test("retention: cohort = first period; distinct users per (cohort,k)") {
+    val P = 100L
+    val df = ev(
+      (1L, 10L, 0.0, 1L), (1L, 20L, 0.0, 2L),   // user 1: cohort 0, twice in p0
+      (1L, 250L, 0.0, 3L),                      // user 1 active p2
+      (2L, 150L, 0.0, 4L),                      // user 2: cohort 1
+      (2L, 250L, 0.0, 5L),                      // user 2 active p2
+      (3L, 30L, 0.0, 6L))                       // user 3: cohort 0 only
+    val out = EventOps.retention(df, Seq("k"), "t", periodUs = P)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L,   // users 1,3 (user 1 counted once despite 2 events)
+      (0L, 2L) -> 1L,   // user 1 returns in period 2
+      (1L, 0L) -> 1L,   // user 2's cohort
+      (1L, 1L) -> 1L))  // user 2 returns one period later
+  }
+
   // ----------------------------------------------------- balanceStrata
 
   test("balanceStrata: rarest stratum kept whole, others downsampled") {
