@@ -428,13 +428,11 @@ object SparkEntry {
       val keep = CodeOps.codeFilter(
           CodeOps.codeQuality(base, "id", "lang", "content"))
         .filter(col("keep")).select("id")
-      // strip comment lines before normalizing (license/autogen headers
-      // otherwise weld unrelated files into near-dup cliques), and drop
-      // files whose token stream is empty after stripping (no signal)
-      val norm = base.join(keep, "id")
-        .select(col("id"), CodeOps.normalizeCode(
-          CodeOps.stripComments(col("content"), col("lang"))).as("norm"))
-        .filter(length(col("norm")) > 0)
+      // the shared near-dup recipe (comment-strip before normalizing —
+      // license/autogen headers otherwise weld unrelated files into
+      // cliques; signal-free files dropped): CodeOps.nearDupNorm, the
+      // same definition CodeClean composes
+      val norm = CodeOps.nearDupNorm(base.join(keep, "id"))
       Dedup.jaccardNgramPairs(norm, "id", "norm",
         shingleN = 3, thrNum = 1L, thrDen = 2L,
         stagingDir = Some(stageDir(s, "code_jaccard")))
@@ -1852,7 +1850,7 @@ object SparkEntry {
     "c_near_dup" ->
       s"""WITH $codeQualityCteSql,
          |keep AS (SELECT id FROM q WHERE NOT (autogen OR max_line_len > 1000
-         |  OR mean_line_len > 100.0 OR alnum_frac < 0.25)),
+         |  OR mean_line_len > 100.0 OR coalesce(alnum_frac < 0.25, false))),
          |n AS (SELECT c.id AS doc_id, trim(lower(regexp_replace(
          |    CASE WHEN lang IN ('python', 'ruby')
          |      THEN regexp_replace(content, '(?m)^[ \\t]*#[^\\n]*\\n?', '', 'g')
@@ -1884,7 +1882,7 @@ object SparkEntry {
     "p_code_clean" ->
       s"""WITH $codeQualityCteSql,
          |keep AS (SELECT id FROM q WHERE NOT (autogen OR max_line_len > 1000
-         |  OR mean_line_len > 100.0 OR alnum_frac < 0.25)),
+         |  OR mean_line_len > 100.0 OR coalesce(alnum_frac < 0.25, false))),
          |hd AS (SELECT id, substring(content, 1, 400) AS head
          |  FROM read_parquet('$codeInputPath/*.parquet')),
          |lic AS (SELECT id, CASE
@@ -2552,7 +2550,7 @@ object SparkEntry {
     // ((n*num + den - 1) // den) on both engines — bit-exact by design
     "v_quantiles" ->
       """WITH c AS (SELECT lang, n_chars AS v, count(*) AS cnt
-        |    FROM documents GROUP BY 1, 2),
+        |    FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |w AS (SELECT lang, v, cnt, CAST(sum(cnt) OVER (PARTITION BY lang
         |      ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |    FROM c),
@@ -2571,7 +2569,8 @@ object SparkEntry {
         |  SELECT lang, doc_id, n_chars, CAST(row_number() OVER (
         |      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT)
         |    AS rank
-        |  FROM documents) t
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL) t
         |WHERE rank <= 5""".stripMargin,
 
     "t_mixture" ->

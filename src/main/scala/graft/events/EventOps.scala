@@ -229,12 +229,13 @@ object EventOps {
         col("__pus").as("point_us") :+ col("__sus").as("start_us"): _*)
   }
 
-  /** Exact floor division for possibly-negative micros (Column `/` on
-   * longs is DOUBLE division; `div` truncates toward zero). */
-  private def floorDiv(x: Column, y: Long): Column = {
-    val q = ((x - pmod(x, lit(y))) / y).cast(LongType)
-    q
-  }
+  /** Exact floor division for possibly-negative micros. Column `/` on
+   * longs is DOUBLE division (rounds above 2^53 — a dirty year-9999
+   * timestamp is enough); route the exact multiple through DECIMAL(38,0)
+   * so the quotient is integer-exact over the full long range. */
+  private[events] def floorDiv(x: Column, y: Long): Column =
+    ((x - pmod(x, lit(y))).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+      / y).cast(LongType)
 
   // ---------------------------------------------------------------------
   // Cohort retention
@@ -250,10 +251,9 @@ object EventOps {
    * count agg — all shuffles carry (key, period)-distinct rows. */
   def retention(df: DataFrame, keys: Seq[String], ts: String,
                 periodUs: Long): DataFrame = {
-    val period = (tsMicros(col(ts)) -
-      pmod(tsMicros(col(ts)), lit(periodUs))) / periodUs
+    val period = floorDiv(tsMicros(col(ts)), periodUs)
     val active = df.select((keys.map(col) :+
-        period.cast(LongType).as("__p")): _*).distinct()
+        period.as("__p")): _*).distinct()
     val cohort = active.groupBy(keys.map(col): _*)
       .agg(min(col("__p")).as("__c"))
     active.join(cohort, keys)

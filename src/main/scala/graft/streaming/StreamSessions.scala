@@ -96,6 +96,14 @@ object StreamSessions {
             var cur = state.getOption
             rows.toSeq.sortBy(e => (e.us, e.tie)).foreach { e =>
               cur match {
+                case Some(s) if e.us < s.startUs - gapUs =>
+                  // a cross-batch straggler MORE than a gap before the
+                  // open session's start can never merge with it under
+                  // batch semantics — emit it as its own closed
+                  // single-event session (seq 0 = out-of-band; stable
+                  // identity stays (key, start_us))
+                  closed += close(key,
+                    SessState(e.us, e.us, 1L, e.cents, Set(e.tp), 0L))
                 case Some(s) if e.us - s.lastUs <= gapUs =>
                   // late in-gap events (cross-batch, inside watermark)
                   // extend BOTH bounds, matching the batch rollup

@@ -73,11 +73,9 @@ object CodeClean {
     // 4. boilerplate strip (df over the gated+redacted corpus)
     val stripped = CodeOps.stripBoilerplate(red, "id", "content",
       boilerMinDf)
-    // 5. near-dup drop on the gated set (comment-stripped, normalized),
-    //    same recipe and threshold as the standalone c_near_dup operator
-    val norm = gated.select(col("id"), CodeOps.normalizeCode(
-        CodeOps.stripComments(col("content"), col("lang"))).as("norm"))
-      .filter(length(col("norm")) > 0)
+    // 5. near-dup drop on the gated set — the SHARED recipe
+    //    (CodeOps.nearDupNorm) and threshold of the standalone operator
+    val norm = CodeOps.nearDupNorm(gated)
     val dupIds = Dedup.jaccardNgramPairs(norm, "id", "norm",
         shingleN = shingleN, thrNum = thrNum, thrDen = thrDen,
         // namespaced: the index write is mode=overwrite and must never

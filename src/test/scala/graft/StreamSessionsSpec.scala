@@ -69,4 +69,28 @@ class StreamSessionsSpec extends SparkTestBase {
       assert(closed.filter(_._1 != "c") === batch)
     } finally q.stop()
   }
+
+  test("cross-batch straggler older than start-gap becomes its own " +
+      "out-of-band session (seq 0), never merged backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long, Long, String)]
+    val stream = mem.toDF().toDF("key", "t", "id", "cents", "tp")
+      .withWatermark("t", "2 hours") // wide: the straggler must ARRIVE
+    val sessions = StreamSessions.closedSessions(stream, "key", "t", "id",
+      "cents", "tp", gapUs = 600L * 1000000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_sink2")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", ts(50), 1L, 5L, "x")) // open session at 10:50
+      q.processAllAvailable()
+      // 10:00 straggler: 50 min before start, gap is 10 min -> can never
+      // merge under batch semantics -> immediate single-event session
+      mem.addData(("a", ts(0), 2L, 7L, "y"))
+      q.processAllAvailable()
+      val got = spark.table("sess_sink2")
+        .select("key", "session_seq", "n_events", "sum_cents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === Set(("a", 0L, 1L, 7L))) // the 10:50 session stays open
+    } finally q.stop()
+  }
 }
