@@ -101,6 +101,32 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("property: asofJoin (both directions) == brute force on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1L to 300L).map(id =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, 0.0, id))
+    // right: unique (key, ts) per the operator contract
+    val right = rnd.shuffle(
+      (for (k <- 0L to 4L; t <- 0L to 1000L) yield (k, t)).toSeq)
+      .take(400).map { case (k, t) => (k, t, s"p$k-$t") }
+    val lDf = ev(left: _*)
+    val rDf = rdim(right: _*)
+    val rByKey = right.groupBy(_._1)
+    for (fwd <- Seq(false, true)) {
+      val got = EventOps.asofJoin(lDf, rDf, Seq("k"), "t", "t", Seq("p"),
+          forward = fwd)
+        .select("id", "p").collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("p")).toMap
+      val want = left.map { case (k, t, _, id) =>
+        val cand = rByKey.getOrElse(k, Seq.empty)
+          .filter(r => if (fwd) r._2 >= t else r._2 <= t)
+        id -> (if (cand.isEmpty) null
+               else (if (fwd) cand.minBy(_._2) else cand.maxBy(_._2))._3)
+      }.toMap
+      assert(got === want, s"forward=$fwd")
+    }
+  }
+
   // ------------------------------------------------------- sessionize
 
   test("sessionize: gap strictly greater breaks; exactly gap stays") {
