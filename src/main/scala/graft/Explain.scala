@@ -16,7 +16,9 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("v_verdict", "z_dump_proj", "v_ri_lang", "q_join_agg",
         "d_minhash_lsh", "v_drift_psi", "d_jaccard_ngram", "s_ann_multi",
-        "s_near_dup", "v_json_partial", "s_ann_ivf", "q_named_tuple")
+        "s_near_dup", "v_json_partial", "s_ann_ivf", "q_named_tuple",
+        "e_asof", "e_sessions", "e_range", "q_topk", "v_quantiles",
+        "p_code_clean")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
