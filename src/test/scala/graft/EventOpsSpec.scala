@@ -199,6 +199,35 @@ class EventOpsSpec extends SparkTestBase {
     // key-2 point 12 < 20 out; and exactly once each despite 3 bins
   }
 
+  test("property: rangeJoinBinned == brute force across bin widths") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1L to 200L).map(id =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, 0.0, id))
+    val ivSchema = StructType(Seq(
+      StructField("k", LongType), StructField("s", TimestampType),
+      StructField("e", TimestampType), StructField("iid", LongType)))
+    val ivs = (1L to 60L).map { iid =>
+      val k = rnd.nextInt(3).toLong
+      val s = rnd.nextInt(500).toLong
+      (k, s, s + rnd.nextInt(80).toLong, iid)
+    }
+    val ivDf = frame(ivSchema,
+      ivs.map { case (k, s, e, iid) => Row(k, ts(s), ts(e), iid) })
+    val want = (for {
+      (pk, pt, _, pid) <- pts
+      (ik, is, ie, iid) <- ivs
+      if pk == ik && pt >= is && pt <= ie
+    } yield (pid, iid)).toSet
+    for (w <- Seq(1L, 7L, 80L, 512L)) { // width < len, ~len, >> len
+      val got = EventOps.rangeJoinBinned(ev(pts: _*), ivDf, Seq("k"),
+          "t", "s", "e", binWidthUs = w, Seq("id"), Seq("iid"))
+        .select("p_id", "i_iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"dup matches at width $w")
+      assert(got.toSet === want, s"width $w")
+    }
+  }
+
   // ------------------------------------------------------------ funnel
 
   test("funnel: strictly-after ordering; partial reach") {
