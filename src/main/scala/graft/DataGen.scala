@@ -73,6 +73,8 @@ object DataGen {
     val out = args(1)
     val factor = args(2).toInt
     val skewPct = if (args.length > 3) args(3).toInt else 0
+    require(skewPct >= 0 && skewPct <= 100,
+      s"skewPct must be 0..100, got $skewPct")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -107,8 +109,11 @@ object DataGen {
       val perturbed = d.withColumn("text", perturbText(col("text"), k))
       val skewed =
         if (skewPct <= 0) perturbed
+        // pmod(id,100) < pct hits EXACTLY pct% for any pct (the old
+        // 100/skewPct integer-division form silently over-skewed for
+        // pct in 34..99 and was an ANSI div-by-zero above 100)
         else perturbed.withColumn("text",
-          when(pmod(col("doc_id"), lit(100 / skewPct)) === 0,
+          when(pmod(col("doc_id"), lit(100)) < skewPct,
             boilerplate(col("doc_id"))).otherwise(col("text")))
       skewed.withColumn("n_chars", length(col("text")).cast(
         d.schema("n_chars").dataType))

@@ -1289,9 +1289,8 @@ object SparkEntry {
     // generated input is ALSO written to a fixed path so the DuckDB oracle
     // can replay the validation over the exact same rows.
     "ns_verdict" -> ((s, dir) => {
-      graft.data.NorthStar.generate(s, 5000L)
-        .write.mode("overwrite").parquet(nsInputPath)
-      val df = s.read.parquet(nsInputPath)
+      val df = ensureFixedInput(s, nsInputPath)(
+        graft.data.NorthStar.generate(s, 5000L))
       // planAuto -> exploded scale path for websites; the oracle's exact
       // n_viol equality now gates the EXPLODED path, not just the inline one
       ModelValidator.planAuto(df, graft.data.NorthStar.personSpec, "row_id")
@@ -1302,52 +1301,62 @@ object SparkEntry {
   )
 
   /** Where ns_verdict persists its generated input for the oracle. */
-  private val nsInputPath = "/tmp/graft_ns_input"
+  private val nsInputPath = "/tmp/graft_ns_input_v1"
 
   /** Where c_quality/c_filter persist the pathology-enabled code table for
    * the oracle (fixed path: the oracle SQL string embeds it, same contract
-   * as [[nsInputPath]]). Both queries rewrite it (deterministic generator,
-   * overwrite mode), so they are order-independent under Verify. */
-  private val codeInputPath = "/tmp/graft_code_input"
+   * as [[nsInputPath]]). The `_v1` suffix versions the GENERATOR: bump it
+   * whenever [[SourceFilesGen]] output changes, so stale dirs from older
+   * generators are never read (the suffix flows into every oracle SQL via
+   * interpolation). */
+  private val codeInputPath = "/tmp/graft_code_input_v1"
 
-  /** Write-once-per-JVM: the generator is deterministic, so the first
-   * c_* query of a process refreshes the table (guarding against a stale
-   * dir from an older generator) and the other five read it as a plain
-   * parquet scan — the operator under measurement, not the generator. */
-  private val codeInputWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def codeInput(s: SparkSession): DataFrame = {
-    if (codeInputWritten.compareAndSet(false, true))
-      SourceFilesGen.generate(s, 2000L, codePathologies = true)
-        .write.mode("overwrite").parquet(codeInputPath)
-    s.read.parquet(codeInputPath)
+  /** Materialize a deterministic generated table at a fixed path exactly
+   * once, concurrency-safe across PROCESSES: generate into a private temp
+   * dir and atomically rename into place, so readers only ever see a
+   * complete dir. Two concurrent processes may both generate; the rename
+   * loser deletes its temp copy (same deterministic bytes). This replaces
+   * the per-JVM AtomicBoolean guard, which raced an overwrite in one
+   * process against a read in another (FAILED_READ_FILE). */
+  private def ensureFixedInput(s: SparkSession, path: String)
+                              (gen: => DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val target = Paths.get(path)
+    if (!Files.exists(target)) {
+      val tmp = Paths.get(path + "_tmp_" + s.sparkContext.applicationId)
+      gen.write.mode("overwrite").parquet(tmp.toString)
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          // another process won the rename between our exists-check and
+          // move — its dir holds the identical deterministic bytes
+          org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      }
+    }
+    s.read.parquet(path)
   }
+
+  private def codeInput(s: SparkSession): DataFrame =
+    ensureFixedInput(s, codeInputPath)(
+      SourceFilesGen.generate(s, 2000L, codePathologies = true))
 
   /** Where c_notebook persists its generated ipynb table for the oracle
    * (same contract as [[codeInputPath]]). */
-  private val nbInputPath = "/tmp/graft_nb_input"
-  private val nbInputWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def nbInput(s: SparkSession): DataFrame = {
-    if (nbInputWritten.compareAndSet(false, true))
-      SourceFilesGen.notebooks(s, 2000L)
-        .write.mode("overwrite").parquet(nbInputPath)
-    s.read.parquet(nbInputPath)
-  }
+  private val nbInputPath = "/tmp/graft_nb_input_v1"
+  private def nbInput(s: SparkSession): DataFrame =
+    ensureFixedInput(s, nbInputPath)(SourceFilesGen.notebooks(s, 2000L))
 
   /** Where c_forks persists its fork-pathology table for the oracle (same
    * contract as [[codeInputPath]]; separate table so the other c_* oracles
    * keep their 2000-row input untouched). Fewer, larger repos
    * (repoCount=150, ~11 files each + the mega-repo) so containment over a
    * fork's file set clears the minShared floor. */
-  private val forkInputPath = "/tmp/graft_fork_input"
-  private val forkInputWritten = new java.util.concurrent.atomic.AtomicBoolean(false)
-  private def forkInput(s: SparkSession): DataFrame = {
-    if (forkInputWritten.compareAndSet(false, true))
+  private val forkInputPath = "/tmp/graft_fork_input_v1"
+  private def forkInput(s: SparkSession): DataFrame =
+    ensureFixedInput(s, forkInputPath)(
       SourceFilesGen.withForks(
-          SourceFilesGen.generate(s, 2000L, repoCount = 150,
-            codePathologies = true))
-        .write.mode("overwrite").parquet(forkInputPath)
-    s.read.parquet(forkInputPath)
-  }
+        SourceFilesGen.generate(s, 2000L, repoCount = 150,
+          codePathologies = true)))
 
   /** Shared DuckDB replay of [[CodeOps.codeQuality]] over the persisted
    * code-input table — `q(id, lang, n_lines, max_line_len, sum_line_len,

@@ -272,9 +272,14 @@ object TableChecks {
       .select(col("grp"), col("v"), col("cnt"), col("cum"), col("n"),
         col("__q.q").as("q"), col("__q.num").as("num"),
         col("__q.den").as("den"))
-    // rank = ceil(n * num / den) in exact integer arithmetic
+    // rank = ceil(n * num / den) in exact integer arithmetic. Column `/`
+    // on longs is DOUBLE division (exact only below 2^53) — route the
+    // exact multiple through DECIMAL(38,0), same discipline as
+    // EventOps.floorDiv.
     val num0 = col("n") * col("num") + col("den") - 1L
-    val rank = ((num0 - pmod(num0, col("den"))) / col("den")).cast(LongType)
+    val rank = ((num0 - pmod(num0, col("den")))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / col("den"))
+      .cast(LongType)
     withQ.where(rank > col("cum") - col("cnt") && rank <= col("cum"))
       .select(col("grp"), col("q"), col("v").as("value"))
   }

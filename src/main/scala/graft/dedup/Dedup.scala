@@ -148,13 +148,23 @@ object Dedup {
    * shared by 20% of a web crawl is template text, not near-dup signal,
    * and keeps candidate generation quadratic). Changes the similarity
    * universe to the filtered shingle sets, so it is None by default
-   * (exact published semantics, what the oracle replays). */
+   * (exact published semantics, what the oracle replays).
+   *
+   * `maxSetSize`: opt-in per-DOC cap, the row-width dual of `maxDf` — the
+   * Stage-3 verify materializes each doc's full shingle set as ONE array
+   * row, so a pathological 1-GB doc (the quality gate normally drops
+   * these upstream) would make a ~100-MB shuffle row. Docs with more
+   * than `maxSetSize` distinct shingles are excluded from the index
+   * ENTIRELY (they pair with nothing — same exclusion semantics as
+   * maxDf) and the drop is loud: a WARN with the exact doc count.
+   * None by default; the oracle replays the default. */
   def jaccardNgramPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, thrNum: Long = 1L,
                         thrDen: Long = 2L,
                         persistIndex: Boolean = true,
                         stagingDir: Option[String] = None,
-                        maxDf: Option[Long] = None): DataFrame = {
+                        maxDf: Option[Long] = None,
+                        maxSetSize: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // 60-bit md5 shingle ids: every downstream sort/join/intersect runs on
     // longs instead of ~20-byte strings (measured ~2x on the verify stage).
@@ -193,13 +203,28 @@ object Dedup {
     // parquet once and every later stage reads the files, so the plan does
     // not depend on aggregate executor storage (and a re-run's cost is
     // I/O-shaped, not shuffle-shaped). Values are identical either way.
-    val ranked = stagingDir match {
+    val rankedAll = stagingDir match {
       case Some(dir) =>
         ranked0.write.mode("overwrite").parquet(dir)
         df.sparkSession.read.parquet(dir)
       case None if persistIndex =>
         ranked0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case None => ranked0
+    }
+    // per-doc set-size guard (see scaladoc): counted AFTER staging/persist
+    // so the count is one cheap scan of the materialized index, then the
+    // oversized docs are filtered from every downstream stage
+    val ranked = maxSetSize match {
+      case Some(cap) =>
+        val dropped = rankedAll.filter(col("sz") > cap)
+          .agg(count_distinct(col("id"))).head().getLong(0)
+        if (dropped > 0)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"jaccardNgramPairs: dropping $dropped doc(s) with more than " +
+              s"$cap distinct shingles from the All-Pairs index " +
+              "(maxSetSize guard) — they will pair with nothing")
+        rankedAll.filter(col("sz") <= cap)
+      case None => rankedAll
     }
     // ceil(t*sz) with integer arithmetic: (thrNum*sz + thrDen - 1) div thrDen
     val ceilT = (lit(thrNum) * col("sz") + lit(thrDen - 1)) / lit(thrDen)
@@ -409,8 +434,10 @@ object Dedup {
    * rather than silently returning partial labels. Each round is two
    * hash shuffles (groupBy node). Convergence is detected structurally:
    * the edge set is a disjoint union of min-rooted stars iff no node
-   * appears as both a leaf and a center (one semi-join probe per round,
-   * on the by-then-contracted edge set).
+   * appears as both a leaf and a center (one aggregation probe per
+   * `probeEvery` rounds on the by-then-contracted edge set — safe to
+   * batch because a star forest is a fixpoint of both star operations,
+   * so a late probe still observes convergence).
    *
    * Returns (id, component) for every node appearing in `pairs`, where
    * component = the minimum node id of the group — identical output to
@@ -420,7 +447,9 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b",
                           maxIter: Int = 50,
+                          probeEvery: Int = 2,
                           checkpointDir: Option[String] = None): DataFrame = {
+    require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
     // invariant maintained across rounds: edges are (u, v) with u > v,
     // no self-loops, distinct. Lazy initial checkpoint: round 1's probe
     // materializes it — no upfront job (and no upfront isEmpty job: an
@@ -432,6 +461,12 @@ object Dedup {
         .distinct(), checkpointDir, eager = false)
     var iter = 0
     var converged = false
+    // lsT frames persisted in probe-skipped rounds: they are only
+    // consumed when the NEXT probe's job computes through the pending
+    // lazy checkpoints, so unpersisting them per-round (as the
+    // probe-every-round form did) would silently disable the cache and
+    // double the small-star work of skipped rounds
+    var pendingLs: List[DataFrame] = Nil
     while (!converged && iter < maxIter) {
       // large-star: center u over ALL neighbors; m = min(Γ(u) ∪ {u});
       // emit (v, m) for each strictly larger neighbor v — keeps v > m
@@ -461,6 +496,7 @@ object Dedup {
       // Spark job per round instead of three (matters at sandbox scale,
       // where d_components is scheduler-bound)
       edges = truncate(ss, checkpointDir, eager = false)
+      pendingLs ::= lsT
       // Deterministic fixpoint test — the edge set is a disjoint union
       // of min-rooted stars iff (a) every leaf u points at exactly ONE
       // center and (b) no node is both a leaf and a center. Leaf/center
@@ -470,16 +506,29 @@ object Dedup {
       // (n, null) mark n as a center; a group is bad if it has two
       // distinct centers (min(c) != max(c) — cheaper than countDistinct's
       // expand) or both roles (0 < count(c) < count(*)).
-      val roles = edges.select(col("u").as("n"), col("v").as("c"))
-        .union(edges.select(col("v").as("n"),
-          lit(null).cast(pairs.schema(idA).dataType).as("c")))
-      converged = roles.groupBy("n")
-        .agg(min(col("c")).as("c0"), max(col("c")).as("c1"),
-          count(col("c")).as("nc"), count(lit(1)).as("tot"))
-        .filter(col("c0") =!= col("c1") ||
-          (col("nc") > 0 && col("tot") > col("nc")))
-        .isEmpty
-      lsT.unpersist(false)
+      //
+      // Probed every `probeEvery` rounds, not every round: a min-rooted
+      // star forest is a FIXPOINT of both star operations (large-star
+      // re-emits each star, small-star re-contracts it), so a probe that
+      // runs late still reports converged — the cost of batching is at
+      // most probeEvery-1 idle (cheap, already-contracted) rounds, and
+      // the saving is a third of the per-round Spark jobs on the
+      // engine's heaviest query. The skipped rounds' lazy checkpoints
+      // materialize through the next probe's job, so cross-round lineage
+      // stays bounded at probeEvery rounds.
+      if ((iter + 1) % probeEvery == 0 || iter + 1 == maxIter) {
+        val roles = edges.select(col("u").as("n"), col("v").as("c"))
+          .union(edges.select(col("v").as("n"),
+            lit(null).cast(pairs.schema(idA).dataType).as("c")))
+        converged = roles.groupBy("n")
+          .agg(min(col("c")).as("c0"), max(col("c")).as("c1"),
+            count(col("c")).as("nc"), count(lit(1)).as("tot"))
+          .filter(col("c0") =!= col("c1") ||
+            (col("nc") > 0 && col("tot") > col("nc")))
+          .isEmpty
+        pendingLs.foreach(_.unpersist(false))
+        pendingLs = Nil
+      }
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

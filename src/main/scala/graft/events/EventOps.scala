@@ -82,6 +82,13 @@ object EventOps {
       // anything (SQL ASOF matches nothing on null) — and unfiltered it
       // would sort to an end of the window order and corrupt matches
       .where(tsMicros(col(rightTsCol)).isNotNull)
+      // same for null JOIN KEYS: Window.partitionBy groups nulls into one
+      // partition, so an unfiltered null-key right row would enrich
+      // null-key left rows — SQL ASOF/equi-join semantics never match on
+      // NULL. Dropping them here leaves null-key LEFT rows unmatched
+      // (their partition holds no right rows), which is the SQL answer.
+      .where(keys.map(col(_).isNotNull).reduceOption(_ && _)
+        .getOrElse(lit(true)))
       .select(
       keys.map(col) ++ Seq(
         tsMicros(col(rightTsCol)).as("__ts"),
@@ -129,6 +136,10 @@ object EventOps {
    * exchange). Ties on ts break by a caller-supplied unique `tieCol`
    * (an event id) so the ordering — and therefore the session numbering —
    * is deterministic and replayable by any SQL engine.
+   *
+   * NULL keys form one group (SQL GROUP BY semantics — sessionization is
+   * a grouping, not a join, so this is intentional; contrast [[asofJoin]],
+   * which drops null-key matches per equi-join semantics).
    */
   def sessionize(df: DataFrame, keys: Seq[String], ts: String,
                  tieCol: String, gapUs: Long): DataFrame = {

@@ -94,22 +94,48 @@ object StreamSessions {
           } else {
             val closed = Seq.newBuilder[Session]
             var cur = state.getOption
+            // far-past stragglers (more than a gap before the carried
+            // open session's start) CHAIN here within the batch: under
+            // batch semantics consecutive stragglers within gapUs of
+            // each other are ONE session, not per-event singletons.
+            // Chain sessions carry seq 0 (out-of-band; stable identity
+            // stays (key, start_us)). Sorted input means stragglers are
+            // a prefix relative to the carried state, so the chain only
+            // lives while `cur` is the previous batch's session.
+            var strag: Option[SessState] = None
             rows.toSeq.sortBy(e => (e.us, e.tie)).foreach { e =>
               cur match {
                 case Some(s) if e.us < s.startUs - gapUs =>
-                  // a cross-batch straggler MORE than a gap before the
-                  // open session's start can never merge with it under
-                  // batch semantics — emit it as its own closed
-                  // single-event session (seq 0 = out-of-band; stable
-                  // identity stays (key, start_us))
-                  closed += close(key,
-                    SessState(e.us, e.us, 1L, e.cents, Set(e.tp), 0L))
+                  strag match {
+                    case Some(ss) if e.us - ss.lastUs <= gapUs =>
+                      strag = Some(SessState(ss.startUs,
+                        math.max(ss.lastUs, e.us), ss.n + 1,
+                        ss.sumCents + e.cents, ss.types + e.tp, 0L))
+                    case _ =>
+                      strag.foreach(ss => closed += close(key, ss))
+                      strag = Some(SessState(e.us, e.us, 1L, e.cents,
+                        Set(e.tp), 0L))
+                  }
                 case Some(s) if e.us - s.lastUs <= gapUs =>
                   // late in-gap events (cross-batch, inside watermark)
                   // extend BOTH bounds, matching the batch rollup
-                  cur = Some(SessState(math.min(s.startUs, e.us),
-                    math.max(s.lastUs, e.us),
-                    s.n + 1, s.sumCents + e.cents, s.types + e.tp, s.seq))
+                  val newStart = math.min(s.startUs, e.us)
+                  strag match {
+                    case Some(ss) if newStart - ss.lastUs <= gapUs =>
+                      // an in-gap event extended the open session DOWN to
+                      // within a gap of the straggler chain — under batch
+                      // semantics the whole chain merges into the session
+                      cur = Some(SessState(math.min(ss.startUs, newStart),
+                        math.max(s.lastUs, e.us), s.n + ss.n + 1,
+                        s.sumCents + ss.sumCents + e.cents,
+                        s.types ++ ss.types + e.tp, s.seq))
+                      strag = None
+                    case _ =>
+                      cur = Some(SessState(newStart,
+                        math.max(s.lastUs, e.us),
+                        s.n + 1, s.sumCents + e.cents, s.types + e.tp,
+                        s.seq))
+                  }
                 case Some(s) =>
                   closed += close(key, s)
                   cur = Some(SessState(e.us, e.us, 1L, e.cents, Set(e.tp),
@@ -119,6 +145,10 @@ object StreamSessions {
                     1L))
               }
             }
+            // a chain still pending at batch end is emitted now — it is
+            // already far behind the watermark (cross-batch merging with
+            // a LATER straggler batch remains the documented deviation)
+            strag.foreach(ss => closed += close(key, ss))
             cur.foreach { s =>
               // close via watermark once no in-gap event can still arrive
               // (guarded: batch execution has no watermark and throws on

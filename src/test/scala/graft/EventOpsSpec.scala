@@ -101,6 +101,25 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("asofJoin: NULL join keys never match (equi-join semantics), " +
+      "in either direction") {
+    val left = frame(evSchema, Seq(
+      Row(null, ts(100L), 0.0, 1L), Row(1L, ts(100L), 0.0, 2L)))
+    val right = frame(rSchema, Seq(
+      Row(null, ts(50L), "nullmatch"), Row(1L, ts(50L), "a")))
+    for (fwd <- Seq(false, true)) {
+      val out = EventOps.asofJoin(left, right, Seq("k"), "t", "t",
+          Seq("p"), forward = fwd)
+        .select("id", "p").collect()
+        .map(r => (r.getLong(0), r.getAs[String]("p"))).toMap
+      // the null-key LEFT row survives (left join shape) but is never
+      // enriched from the null-key right row — SQL ASOF/equi-join
+      // semantics never match on NULL
+      assert(out(1L) === null)
+      assert(out(2L) === (if (fwd) null else "a"))
+    }
+  }
+
   test("property: asofJoin (both directions) == brute force on random data") {
     val rnd = new scala.util.Random(7)
     val left = (1L to 300L).map(id =>

@@ -152,6 +152,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(guarded == Set((10L, 11L)))
   }
 
+  test("jaccardNgramPairs maxSetSize: oversized docs are excluded from " +
+    "the index entirely; pairs among bounded docs are untouched") {
+    val orgA = (1 to 30).map(i => s"og$i").mkString(" ")
+    val orgB = (1 to 28).map(i => s"og$i").mkString(" ") + " zz yy"
+    // two monster docs that are near-dups of each other AND share a long
+    // run with orgA — with the cap set, neither may pair with anything
+    val huge1 = ((1 to 30).map(i => s"og$i") ++
+      (1 to 400).map(i => s"big$i")).mkString(" ")
+    val huge2 = ((1 to 30).map(i => s"og$i") ++
+      (1 to 398).map(i => s"big$i")).mkString(" ") + " qq ww"
+    val df = Seq((1L, orgA), (2L, orgB), (3L, huge1), (4L, huge2))
+      .toDF("id", "text")
+    val unguarded = Dedup.jaccardNgramPairs(df, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unguarded.contains((1L, 2L)) && unguarded.contains((3L, 4L)))
+    val guarded = Dedup.jaccardNgramPairs(df, "id", "text",
+      maxSetSize = Some(100L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded == Set((1L, 2L)))
+  }
+
   test("simhash: identical docs hash equal; near-dups are hamming-close") {
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
     val near = (1 to 79).map(i => s"tok$i").mkString(" ") + " tok80x"

@@ -144,6 +144,24 @@ class PropertySpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("connectedComponents: probeEvery batching returns identical labels " +
+    "(star forest is a fixpoint, so a late probe still sees convergence)") {
+    val rnd = new scala.util.Random(31)
+    val edges = ((0L until 59L).map(i => (i, i + 1)) ++ // 60-node path
+      (1 to 40).map(_ => (rnd.nextInt(30).toLong + 100L,
+        rnd.nextInt(30).toLong + 100L))).filter(e => e._1 != e._2)
+      .distinct.toDF("id_a", "id_b")
+    val every1 = graft.dedup.Dedup
+      .connectedComponents(edges, probeEvery = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (pe <- Seq(2, 3, 5)) {
+      val got = graft.dedup.Dedup
+        .connectedComponents(edges, probeEvery = pe)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == every1, s"probeEvery=$pe")
+    }
+  }
+
   test("connectedComponents: self-pairs yield singleton components; " +
     "reliable checkpoint dir path works") {
     import java.nio.file.Files

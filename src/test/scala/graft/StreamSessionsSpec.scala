@@ -93,4 +93,62 @@ class StreamSessionsSpec extends SparkTestBase {
       assert(got === Set(("a", 0L, 1L, 7L))) // the 10:50 session stays open
     } finally q.stop()
   }
+
+  test("multiple far-past stragglers in one batch gap-merge into chain " +
+      "sessions (batch semantics), not per-event singletons") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long, Long, String)]
+    val stream = mem.toDF().toDF("key", "t", "id", "cents", "tp")
+      .withWatermark("t", "2 hours")
+    val sessions = StreamSessions.closedSessions(stream, "key", "t", "id",
+      "cents", "tp", gapUs = 600L * 1000000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_sink3")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", ts(50), 1L, 5L, "x")) // open session at 10:50
+      q.processAllAvailable()
+      // one batch of three stragglers: 10:00 and 10:05 are within the
+      // 10-min gap of each other -> ONE chain session; 10:30 is 25 min
+      // past 10:05 -> its own chain session (and 20 min before the open
+      // 10:50 start, so it never merges forward either)
+      mem.addData(("a", ts(0), 2L, 7L, "y"), ("a", ts(5), 3L, 3L, "y"),
+        ("a", ts(30), 4L, 11L, "z"))
+      q.processAllAvailable()
+      val got = spark.table("sess_sink3")
+        .select("key", "session_seq", "n_events", "sum_cents")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === Set(("a", 0L, 2L, 10L), ("a", 0L, 1L, 11L)))
+    } finally q.stop()
+  }
+
+  test("straggler chain merges INTO the open session when an in-gap event " +
+      "extends the session down to within a gap of the chain") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Long, Long, String)]
+    val stream = mem.toDF().toDF("key", "t", "id", "cents", "tp")
+      .withWatermark("t", "2 hours")
+    val sessions = StreamSessions.closedSessions(stream, "key", "t", "id",
+      "cents", "tp", gapUs = 600L * 1000000L)
+    val q = sessions.writeStream.format("memory").queryName("sess_sink4")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", ts(50), 1L, 5L, "x")) // open session at 10:50
+      q.processAllAvailable()
+      // 10:35 is 15 min before start -> straggler; 10:42 is in-gap (8 min)
+      // and extends the session down to 10:42, which is 7 min past 10:35 —
+      // batch semantics (gaps 7, 8 <= 10) say ONE session of all three
+      mem.addData(("a", ts(35), 2L, 7L, "y"), ("a", ts(42), 3L, 3L, "z"))
+      q.processAllAvailable()
+      assert(spark.table("sess_sink4").isEmpty) // nothing closed yet
+      // advance the watermark far past last+gap -> the merged session closes
+      mem.addData(("b", Timestamp.valueOf("2026-01-01 14:00:00"), 9L, 1L, "x"))
+      q.processAllAvailable()
+      val got = spark.table("sess_sink4").where(col("key") === "a")
+        .select("key", "session_seq", "n_events", "sum_cents", "start_us",
+          "n_types")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val startUs = ts(35).getTime * 1000L
+      assert(got === Set(("a", 1L, 3L, 15L, startUs, 3L)))
+    } finally q.stop()
+  }
 }
