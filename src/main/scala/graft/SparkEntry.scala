@@ -1303,13 +1303,33 @@ object SparkEntry {
   /** Where ns_verdict persists its generated input for the oracle. */
   private val nsInputPath = "/tmp/graft_ns_input_v1"
 
+  /** Scale knob for the generated code-family inputs (round-5 scale
+   * proof): row count of the code/notebook/fork tables. Default 2000 is
+   * the driver gate's fixed input; the 10x/100x proofs run Verify with
+   * `SPARK_GRAFT_CODE_N=20000 / 200000` — every pathology in
+   * [[SourceFilesGen]] is a fixed-probability hash slice and near-dup
+   * truth is 97-id-block-local, so RATES are scale-constant by
+   * construction (the generator-level equivalent of the document mirror's
+   * token bijection). The n-suffixed path flows into the oracle SQL via
+   * interpolation, so the same DuckDB compare replays at any scale. */
+  private val codeN: Long =
+    sys.env.get("SPARK_GRAFT_CODE_N").map(_.toLong).getOrElse(2000L)
+
+  /** Repo counts scale WITH n (more repos, same per-repo shape — the
+   * web-scale growth axis; keeps every per-repo statistic and the fork
+   * containment floors scale-constant). */
+  private def scaledRepos(base: Int): Int =
+    math.max(base, (base * (codeN.toDouble / 2000.0)).toInt)
+
+  private val codeNSuffix = if (codeN == 2000L) "" else s"_n$codeN"
+
   /** Where c_quality/c_filter persist the pathology-enabled code table for
    * the oracle (fixed path: the oracle SQL string embeds it, same contract
    * as [[nsInputPath]]). The `_v1` suffix versions the GENERATOR: bump it
    * whenever [[SourceFilesGen]] output changes, so stale dirs from older
    * generators are never read (the suffix flows into every oracle SQL via
    * interpolation). */
-  private val codeInputPath = "/tmp/graft_code_input_v1"
+  private val codeInputPath = s"/tmp/graft_code_input_v1$codeNSuffix"
 
   /** Materialize a deterministic generated table at a fixed path exactly
    * once, concurrency-safe across PROCESSES: generate into a private temp
@@ -1338,24 +1358,25 @@ object SparkEntry {
 
   private def codeInput(s: SparkSession): DataFrame =
     ensureFixedInput(s, codeInputPath)(
-      SourceFilesGen.generate(s, 2000L, codePathologies = true))
+      SourceFilesGen.generate(s, codeN, repoCount = scaledRepos(1000),
+        codePathologies = true))
 
   /** Where c_notebook persists its generated ipynb table for the oracle
    * (same contract as [[codeInputPath]]). */
-  private val nbInputPath = "/tmp/graft_nb_input_v1"
+  private val nbInputPath = s"/tmp/graft_nb_input_v1$codeNSuffix"
   private def nbInput(s: SparkSession): DataFrame =
-    ensureFixedInput(s, nbInputPath)(SourceFilesGen.notebooks(s, 2000L))
+    ensureFixedInput(s, nbInputPath)(SourceFilesGen.notebooks(s, codeN))
 
   /** Where c_forks persists its fork-pathology table for the oracle (same
    * contract as [[codeInputPath]]; separate table so the other c_* oracles
    * keep their 2000-row input untouched). Fewer, larger repos
    * (repoCount=150, ~11 files each + the mega-repo) so containment over a
    * fork's file set clears the minShared floor. */
-  private val forkInputPath = "/tmp/graft_fork_input_v1"
+  private val forkInputPath = s"/tmp/graft_fork_input_v1$codeNSuffix"
   private def forkInput(s: SparkSession): DataFrame =
     ensureFixedInput(s, forkInputPath)(
       SourceFilesGen.withForks(
-        SourceFilesGen.generate(s, 2000L, repoCount = 150,
+        SourceFilesGen.generate(s, codeN, repoCount = scaledRepos(150),
           codePathologies = true)))
 
   /** Shared DuckDB replay of [[CodeOps.codeQuality]] over the persisted
@@ -1517,6 +1538,18 @@ object SparkEntry {
       "shaq@example.com"),
     ("Homer J. Simpson <homer@thesimpsons.com>", "Homer J. Simpson",
       "homer@thesimpsons.com"),
+    // UTS-46 deviation rows (round 5; goldens from python idna,
+    // non-transitional — the exact library email-validator v2 wraps):
+    // ß survives (IDNA2003 mapped it to ss), ACE labels decoding TO a
+    // deviation char decode (IDNA2003's round-trip check kept them
+    // ascii), uppercase final Σ maps context-free to σ (not ς), typed
+    // final ς is kept
+    ("x@straße.com", "x", "x@straße.com"),
+    ("x@STRAẞE.com", "x", "x@straße.com"),
+    ("x@xn--strae-oqa.com", "x", "x@straße.com"),
+    ("x@ΒΌΛΟΣ.com", "x", "x@βόλοσ.com"),
+    ("x@βόλος.com", "x", "x@βόλος.com"),
+    ("x@xn--nxasmq6b.com", "x", "x@βόλοσ.com"),
     // reject rows
     ("@example.com", null, null),
     ("f oo.bar@example.com", null, null),

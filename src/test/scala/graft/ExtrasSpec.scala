@@ -55,6 +55,88 @@ class ExtrasSpec extends SparkTestBase {
     assert(out(2).isNullAt(1))
   }
 
+  test("email UTS-46 parity: deviation code points, context-free sigma, " +
+      "punycode decode of deviation labels (idna goldens)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def d(s: String): String =
+      graft.functions.EmailNorm.domain(UTF8String.fromString(s)).toString
+    // goldens from python `idna` (UTS-46 non-transitional, std3 off) —
+    // the exact library email-validator v2 wraps. The first three were
+    // WRONG under the old java.net.IDN/IDNA2003 path (ß mapped to ss,
+    // ACE labels decoding to deviation chars kept ascii, final Σ picked
+    // the linguistic ς instead of the UTS-46 context-free σ).
+    assert(d("straße.com") == "straße.com")
+    assert(d("xn--strae-oqa.com") == "straße.com")
+    assert(d("ΒΌΛΟΣ.com") == "βόλοσ.com")
+    assert(d("STRAẞE.com") == "straße.com")
+    assert(d("STRASSE.com") == "strasse.com")
+    assert(d("βόλος.com") == "βόλος.com") // typed final ς kept (deviation)
+    assert(d("xn--nxasmq6b.com") == "βόλοσ.com")
+    assert(d("ΣΌΛΟΣ.gr") == "σόλοσ.gr")
+    assert(d("xn--80ak6aa92e.com") == "аррӏе.com")
+    assert(d("xn--bogus-!!!.com") == "xn--bogus-!!!.com") // undecodable
+  }
+
+  test("punycode decoder fuzz: 40 python-punycode-codec labels round-trip") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // (encoded-label, expected-decode) fuzz table: python punycode codec,
+    // seed 99, mixed Greek/Cyrillic/CJK/Hebrew/Devanagari/Deseret + ß
+    val punyFuzz: Seq[(String, String)] = Seq(
+      ("78,6e,2d,2d,7a,63,61,61,61,32,33,30,61,38,73,61,32,39,37,36,61,6a,33,38,6c", "df,43e,4e88,3b9,df,10441,df"),
+      ("78,6e,2d,2d,7a,63,61,38,38,6c,75,61,37,31,63,68,62,30,35,31,64", "df,44d,445,3c7,3c0,967"),
+      ("78,6e,2d,2d,6d,65,62", "5e1"),
+      ("78,6e,2d,2d,7a,63,61", "df"),
+      ("78,6e,2d,2d,6c,2d,72,6d,62,37,38,61,68,61,39,65,33,30,32,32,64", "3bf,4fd9,6c,43d,44c,43b"),
+      ("78,6e,2d,2d,6d,78,61", "3b1"),
+      ("78,6e,2d,2d,71,78,61,72,38,37,30,38,71", "10435,3be,3b5"),
+      ("78,6e,2d,2d,6d,75,2d,67,69,61,33,37,35,66,6d,39,35,67", "6d,922,df,75,4fc5"),
+      ("78,6e,2d,2d,65,2d,70,66,61,30,39,73,65,72,6a,31,73", "df,979,65,44a,3b4"),
+      ("78,6e,2d,2d,6b,31,61,6e", "442,43b"),
+      ("78,6e,2d,2d,6b,2d,6c,6d,62,34,37,61,38,61,7a,30,6f,75,7a,69,39,38,35,6c", "43d,97f,4f07,3bc,434,5d0,6b"),
+      ("78,6e,2d,2d,7a,63,61,61,36,32,34,64,38,69", "df,966,df,917"),
+      ("78,6e,2d,2d,6c,2d,71,66,61,33,30,33,31,64", "6c,df,4f3e"),
+      ("78,6e,2d,2d,7a,63,61,35,38,6c,68,61,76,32,32,64,71,31,66,72,62,34,35,36,62,6e,72,61,36,34,39,36,63,6c,78,61", "4f3e,3c7,937,4f88,5de,3bf,df,3c1,5e5,97a,440"),
+      ("78,6e,2d,2d,7a,63,61,37,34,6f,68,39,61,37,30,66,38,67,6c,66,6c,37,34,31,63", "5dd,442,df,4f84,932,901,94b"),
+      ("78,6e,2d,2d,7a,63,61,61,61,31,37,35,61", "440,df,df,df"),
+      ("78,6e,2d,2d,71,65,62,33,33,30,38,61", "4e01,5e5"),
+      ("78,6e,2d,2d,64,62,2d,66,69,61,63,61,34,30,33,63,69,63,7a,37,6e,38,61,36,36,31,66,62,71,32,72,6e,77,62", "44c,4f0e,df,5d6,64,5d2,62,df,94b,4e66,df,440"),
+      ("78,6e,2d,2d,7a,63,61,61,39,32,78,73,61,36,38,71,6e,62,32,31,30,62,77,76,31,30,64", "920,44c,df,447,5d6,5de,df,10449"),
+      ("78,6e,2d,2d,64,73,73,2d,74,79,63,37,61,38,37,78,37,63,31,36,35,61,6a,66,32,39,33,30,65,76,79,34,71", "1043d,3c2,4fd6,64,97e,3bb,73,5e4,73,969,5d5"),
+      ("78,6e,2d,2d,6d,62,2d,74,71,66", "6d,62,93a"),
+      ("78,6e,2d,2d,7a,63,61,33,35,77,6b,61,38,31,34,61,6b,61,39,38,36,37,68,78,6c,61,76,33,30,35,6a,78,64,61", "5d5,1042f,df,4e77,1043d,5d8,912,4eb1,914"),
+      ("78,6e,2d,2d,79,6b,2d,67,69,61,62,34,34,37,61,65,64,70,38,61,78,61,34,6a,75,35,70,6c,35,6c,67,7a,30,30,66", "3c8,438,435,79,df,93b,445,6b,df,5d5,3b5,10442"),
+      ("78,6e,2d,2d,68,2d,71,66,61,61,31,32,30,61,71,72,61,67,66,31,33,69,37,61,37,6b,79,37,34,61,77,71,61,66,34,38,38,64", "68,df,4fc6,3b6,44c,940,90b,df,5d5,430,5e9,5d9"),
+      ("78,6e,2d,2d,6e,78,61,39,34,34,32,6b", "10436,3b2"),
+      ("78,6e,2d,2d,6d,79,2d,77,6d,63,35,37,6e,78,39,67,6d,31,35,6b", "444,953,6d,5e3,4e9a,79"),
+      ("78,6e,2d,2d,7a,63,61,61,34,32,39,61,7a,70,36,67,35,6a,61", "df,4eb2,df,4ef7,5d5"),
+      ("78,6e,2d,2d,73,67,75,71,2d,77,6e,61,63,33,35,32,63,77,32,61,6f,38,68,66,62", "3be,73,67,43b,5d1,5d5,df,75,71,df"),
+      ("78,6e,2d,2d,6e,31,61,32,37,78", "43e,96f"),
+      ("78,6e,2d,2d,78,78,61,34,78,38,38,36,36,64", "1044e,3bc,43e"),
+      ("78,6e,2d,2d,7a,63,61,31,37,6c,62,61,76,34,33,65,64,35,65,64,62,32,33,33,64,34,73,32,6f,69,61,33,32,64,72,33,32,35,6f", "10442,3be,4eb1,44e,4eb0,5d5,3b8,4ee8,df,3b8,5da,97e"),
+      ("78,6e,2d,2d,62,2d,71,66,61,38,33,74,75,36,68", "3c5,62,df,930"),
+      ("78,6e,2d,2d,39,64,62", "5d5"),
+      ("78,6e,2d,2d,7a,63,61,35,35,6f,30,37,61,79,61,39,30,33,62", "5d0,5d6,91d,446,df"),
+      ("78,6e,2d,2d,6c,6c,66,2d,70,78,63,32,64,79,32,71,38,62,30,31,31,62,70,73,32,6f,32,64,61,6e,37,61,31,30,39,39,6e", "5e0,5d6,1042f,6c,4e90,3bd,6c,960,4e9d,3b1,66,4ee3"),
+      ("78,6e,2d,2d,6e,2d,71,66,61,38,33,74,66,61,31,34,79,78,79,68", "5e8,3c5,6e,3c6,df,97f"),
+      ("78,6e,2d,2d,68,2d,70,66,61,34,30,74,62,61,38,33,79,67,75,68,69,32,34,6c", "df,915,93c,3b9,4e41,68,5da,3b9"),
+      ("78,6e,2d,2d,74,2d,71,66,61,34,31,39,61,73,75,36,67,39,72,31,6a", "4ed9,10438,74,5d2,df"),
+      ("78,6e,2d,2d,6a,62,2d,67,69,61,33,38,30,61,69,61,32,30,66,6b,34,66,71,61,38,32,39,37,6e,64,6c,61,34,33,37,31,6f,6b,65,61", "6a,10438,df,4e6c,5dc,4e45,5de,1042b,3c7,62,3c5,44a"),
+      ("78,6e,2d,2d,64,2d,70,66,61,33,32,35,64,36,30,38,65", "df,64,937,4e6d"))
+    def fromHex(h: String): String = {
+      val sb = new java.lang.StringBuilder
+      h.split(",").foreach(c => sb.appendCodePoint(Integer.parseInt(c, 16)))
+      sb.toString
+    }
+    punyFuzz.foreach { case (encHex, expHex) =>
+      val enc = fromHex(encHex)
+      val exp = java.text.Normalizer.normalize(fromHex(expHex),
+        java.text.Normalizer.Form.NFC)
+      val got = graft.functions.EmailNorm.domain(
+        UTF8String.fromString(enc)).toString
+      assert(got == exp, s"decode of $encHex")
+    }
+  }
+
   test("email + base64 + redaction") {
     assert(Seq("a.b@ex.com").toDF("c").select(Extras.isEmail(col("c")))
       .as[Boolean].head())
