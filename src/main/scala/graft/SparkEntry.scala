@@ -855,9 +855,25 @@ object SparkEntry {
           struct(col("doc_id").as("i"), lit("a").as("s")),
           struct((col("doc_id") + 1).as("i"), lit("b").as("s")),
           struct((col("doc_id") + 2).as("i"), lit("c").as("s"))).as("items"))
-      Serializer.dumpJson(d, m, Serializer.DumpSpec(
-        includeTree = Map("doc_id" -> IncEx.Leaf,
-          "items" -> IncEx.tree("0" -> IncEx.Leaf, "-1" -> IncEx.Leaf))))
+      // json: positional element selection ({0: True, -1: True});
+      // json_sub: per-index SUBTREE projection ({0: {'i'}, -1: {'i'}} —
+      // the homogeneous int-key-subtree form, pydantic-golden-pinned in
+      // SerializeSpec). Both rendered with dumpJson's exact to_json
+      // options (two JSON columns need dumpColumns; dumpJson yields one).
+      def j(spec: Serializer.DumpSpec) =
+        to_json(struct(Serializer.dumpColumns(m, spec, json = true,
+          Some(d.schema)): _*), Map("ignoreNullFields" -> "false"))
+      d.select(
+        j(Serializer.DumpSpec(
+          includeTree = Map("doc_id" -> IncEx.Leaf,
+            "items" -> IncEx.tree("0" -> IncEx.Leaf, "-1" -> IncEx.Leaf))))
+          .as("json"),
+        j(Serializer.DumpSpec(
+          includeTree = Map("doc_id" -> IncEx.Leaf,
+            "items" -> IncEx.tree(
+              "0" -> IncEx.tree("i" -> IncEx.Leaf),
+              "-1" -> IncEx.tree("i" -> IncEx.Leaf)))))
+          .as("json_sub"))
     }),
 
     // ---- tagged union: O(1) dispatch on event_type, per-branch model
@@ -2763,7 +2779,10 @@ object SparkEntry {
     "z_dump_idx" ->
       """SELECT to_json(struct_pack(doc_id := doc_id,
         |  items := [struct_pack(i := doc_id, s := 'a'),
-        |            struct_pack(i := doc_id + 2, s := 'c')])) AS json
+        |            struct_pack(i := doc_id + 2, s := 'c')])) AS json,
+        |  to_json(struct_pack(doc_id := doc_id,
+        |  items := [struct_pack(i := doc_id),
+        |            struct_pack(i := doc_id + 2)])) AS json_sub
         |FROM documents""".stripMargin,
 
     "q_tagged_union" ->

@@ -175,11 +175,19 @@ object Serializer {
    * (intInclude, intExclude, dropAll, subInclude, subExclude): int keys
    * SELECT elements by position (negative = from the end), `__all__` ->
    * Leaf in exclude empties the sequence, and the remaining keys project
-   * each kept element as before. Engine bound (documented): an int key's
-   * subtree must be Leaf — columnar arrays are homogeneous, so per-index
-   * SCHEMAS cannot type (the reference's heterogeneous
-   * `{0: True, '__all__': {...}}` applies the `__all__` projection to
-   * every kept element here). */
+   * each kept element as before.
+   *
+   * Int-key SUBTREES (round 5): supported when the rebuilt element type
+   * stays HOMOGENEOUS — every include int key maps to the SAME subtree
+   * (then only int-selected elements survive and all project under it,
+   * `include={'items': {0: {'i'}, -1: {'i'}}}` -> `[{i..},{i..}]`,
+   * matching the pydantic golden exactly). Heterogeneous combinations
+   * stay rejected with a typed error, because columnar arrays cannot
+   * hold differently-SHAPED elements: differing per-index subtrees,
+   * Leaf mixed with subtrees, an int subtree beside `__all__`/field keys
+   * (pydantic UNIONS the two projections per element), and per-index
+   * EXCLUDE subtrees (the reference strips a field from one element
+   * only). */
   private def splitElementKeys(inc: Option[Map[String, IncEx]],
                                exc: Map[String, IncEx])
       : (Map[Int, IncEx], Map[Int, IncEx], Boolean,
@@ -187,19 +195,36 @@ object Serializer {
     def ints(m: Map[String, IncEx]): Map[Int, IncEx] =
       m.collect { case (k, v) if IntKeyRe.matches(k) => k.toInt -> v }
     val (ii, ie) = (inc.map(ints).getOrElse(Map.empty), ints(exc))
-    (ii ++ ie).foreach { case (k, v) =>
+    ie.foreach { case (k, v) =>
       if (v != IncEx.Leaf) throw new IllegalArgumentException(
-        s"IncEx integer index $k must map to Leaf (True): columnar arrays " +
-          "are homogeneous, per-index subtrees cannot type — use '__all__'")
+        s"IncEx integer index $k in EXCLUDE must map to Leaf (True): a " +
+          "per-index exclude subtree strips fields from SOME elements " +
+          "only — heterogeneous, columnar arrays cannot type it")
     }
+    val intSub: Option[Map[String, IncEx]] =
+      ii.values.toSeq.distinct match {
+        case Seq() | Seq(IncEx.Leaf) => None // none, or pure positional
+        case Seq(IncEx.Tree(m)) =>
+          if (inc.exists(_.keys.exists(k => !IntKeyRe.matches(k))))
+            throw new IllegalArgumentException(
+              "IncEx integer-index subtrees cannot mix with '__all__' or " +
+                "field keys in the same include map: pydantic unions the " +
+                "projections per element — heterogeneous, columnar arrays " +
+                "cannot type it")
+          Some(m)
+        case _ => throw new IllegalArgumentException(
+          "IncEx integer indices must all map to the SAME subtree (or all " +
+            "to Leaf): differing per-index projections are heterogeneous " +
+            "— columnar arrays cannot type it; use '__all__'")
+      }
     val dropAll = exc.get("__all__").contains(IncEx.Leaf)
     // an include map holding ONLY int keys is pure positional selection —
     // it must not project element fields away (Some(empty) would)
-    val (si, se) = elementTrees(
+    val (si0, se) = elementTrees(
       inc.map(_.filterNot(kv => IntKeyRe.matches(kv._1)))
         .filterNot(m => m.isEmpty && ii.nonEmpty),
       exc.filterNot(kv => IntKeyRe.matches(kv._1)))
-    (ii, ie, dropAll, si, se)
+    (ii, ie, dropAll, intSub.orElse(si0), se)
   }
 
   /** The data type [[projectIncEx]] produces for `dt` under (inc, exc). */

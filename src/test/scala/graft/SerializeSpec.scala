@@ -154,12 +154,35 @@ class SerializeSpec extends SparkTestBase {
       IncEx.tree("0" -> IncEx.Leaf,
         "__all__" -> IncEx.tree("y" -> IncEx.Leaf))))) ==
       """{"items":[{"x":1},{"x":2},{"x":3}]}""")
-    // documented columnar bound: an int key's subtree must be Leaf
-    val ex = intercept[IllegalArgumentException] {
-      dj(DumpSpec(includeTree = Map("items" ->
-        IncEx.tree("0" -> IncEx.tree("x" -> IncEx.Leaf)))))
-    }
-    assert(ex.getMessage.contains("homogeneous"))
+    // int-key SUBTREES, homogeneous form (round 5; pydantic goldens from
+    // a live model_dump_json run with the same args):
+    // include={'items': {0: {'x'}}} -> only element 0, projected to x
+    assert(dj(DumpSpec(includeTree = Map("items" ->
+      IncEx.tree("0" -> IncEx.tree("x" -> IncEx.Leaf))))) ==
+      """{"items":[{"x":0}]}""")
+    // include={'items': {0: {'x'}, -1: {'x'}}} -> first and last, both x
+    assert(dj(DumpSpec(includeTree = Map("items" ->
+      IncEx.tree("0" -> IncEx.tree("x" -> IncEx.Leaf),
+        "-1" -> IncEx.tree("x" -> IncEx.Leaf))))) ==
+      """{"items":[{"x":0},{"x":3}]}""")
+    // heterogeneous combinations stay rejected (columnar arrays cannot
+    // hold differently-shaped elements): differing subtrees, Leaf mixed
+    // with a subtree, subtree beside '__all__' (pydantic UNIONS the
+    // projections per element), per-index EXCLUDE subtree
+    for (bad <- Seq(
+      DumpSpec(includeTree = Map("items" ->
+        IncEx.tree("0" -> IncEx.tree("x" -> IncEx.Leaf),
+          "1" -> IncEx.tree("y" -> IncEx.Leaf)))),
+      DumpSpec(includeTree = Map("items" ->
+        IncEx.tree("0" -> IncEx.tree("x" -> IncEx.Leaf),
+          "1" -> IncEx.Leaf))),
+      DumpSpec(includeTree = Map("items" ->
+        IncEx.tree("0" -> IncEx.tree("x" -> IncEx.Leaf),
+          "__all__" -> IncEx.tree("y" -> IncEx.Leaf)))),
+      DumpSpec(excludeTree = Map("items" ->
+        IncEx.tree("0" -> IncEx.tree("y" -> IncEx.Leaf))))))
+      assert(intercept[IllegalArgumentException] { dj(bad) }
+        .getMessage.contains("heterogeneous"))
   }
 
   test("exclude_defaults compares in the field's native type (double vs default '1')") {
