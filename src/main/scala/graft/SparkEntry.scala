@@ -1064,6 +1064,146 @@ object SparkEntry {
           col("d.width").as("width"), col("d.height").as("height"))
     }),
 
+    // ---- multimodal: REAL pixel decode — synthesized uncompressed
+    // 24-bit BMPs (bottom-up BGR rows, live 4-byte padding the walker
+    // must skip) and binary PPM P6 rasters (with a header comment),
+    // solid per-doc colors so the DuckDB oracle replays exact channel
+    // sums from arithmetic. The engine's first content decode beyond
+    // headers; channel sums are longs (means = rationals downstream).
+    "m_pixel_stats" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      val w = (pmod(col("doc_id"), lit(13)) + 1).cast("int")
+      val h = (pmod(col("doc_id"), lit(7)) + 1).cast("int")
+      val r = pmod(col("doc_id") * 13, lit(256)).cast("int")
+      val g = pmod(col("doc_id") * 7, lit(256)).cast("int")
+      val b = pmod(col("doc_id"), lit(256)).cast("int")
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def rep(unit: Column, times: Column, maxTimes: Int, unitLen: Column) =
+        concat(Seq.fill(maxTimes)(unit): _*).substr(lit(1), times * unitLen)
+      // BMP: BGR pixel, rows padded to 4 bytes with 0xFF sentinels (a
+      // walker that reads padding would corrupt max/sums immediately)
+      val bgr = concat(h2(b), h2(g), h2(r))
+      val padB = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
+      val bmpRow = concat(rep(bgr, w, 13, lit(6)),
+        rep(lit("FF"), padB, 3, lit(2)))
+      val stride = w * 3 + padB
+      val bmpHex = concat(lit("424D"), le32h(lit(54) + stride * h),
+        lit("00000000"), le32h(lit(54)), le32h(lit(40)),
+        le32h(w), le32h(h), lit("0100"), lit("1800"), le32h(lit(0)),
+        le32h(stride * h), le32h(lit(2835)), le32h(lit(2835)),
+        le32h(lit(0)), le32h(lit(0)),
+        rep(bmpRow, h, 7, stride * 2))
+      // PPM P6: ascii header with a '#' comment line, RGB raster
+      val ppmHdr = concat(lit("P6\n# c"), col("doc_id").cast("string"),
+        lit("\n"), w.cast("string"), lit(" "), h.cast("string"),
+        lit("\n255\n"))
+      val rgb = concat(h2(r), h2(g), h2(b))
+      val ppm = concat(encode(ppmHdr, "UTF-8"),
+        unhex(rep(rgb, w * h, 91, lit(6))))
+      val payload = when(pmod(col("doc_id"), lit(2)) === 0, unhex(bmpHex))
+        .otherwise(ppm)
+      t(s, dir, "documents")
+        .select(col("doc_id"), MediaExtra.pixelStats(payload).as("p"))
+        .select(col("doc_id"), col("p.format").as("fmt"),
+          col("p.width").as("width"), col("p.height").as("height"),
+          col("p.sum_r").as("sum_r"), col("p.sum_g").as("sum_g"),
+          col("p.sum_b").as("sum_b"), col("p.n_px").as("n_px"),
+          col("p.min_ch").as("min_ch"), col("p.max_ch").as("max_ch"))
+    }),
+
+    // ---- multimodal: container/tag metadata — TIFF IFD dims (both byte
+    // orders), ICO directory dims (0-means-256 case live), ID3v2.3/v2.4
+    // TIT2/TPE1 text frames WITH a trailing ID3v1 block (both parsed),
+    // OGG Opus + Vorbis identification headers. All synthesized per doc,
+    // all replayed by the oracle from arithmetic.
+    "m_container_meta" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      val m = pmod(col("doc_id"), lit(5)).cast("int")
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def be16h(c: Column) = lpad(hex(c), 4, "0")
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def asciiHex(c: Column) = hex(c) // ascii strings only
+      val w = (pmod(col("doc_id"), lit(500)) + 1).cast("int")
+      val ht = (pmod(col("doc_id"), lit(300)) + 1).cast("int")
+      // TIFF: alternate byte order by doc parity; SHORT-typed dims
+      val tiffLe = concat(lit("49492A00"), le32h(lit(8)), lit("0200"),
+        lit("00010300"), le32h(lit(1)), le16h(w), lit("0000"),
+        lit("01010300"), le32h(lit(1)), le16h(ht), lit("0000"),
+        le32h(lit(0)))
+      val tiffBe = concat(lit("4D4D002A"), lit("00000008"), lit("0002"),
+        lit("01000003"), lit("00000001"), be16h(w), lit("0000"),
+        lit("01010003"), lit("00000001"), be16h(ht), lit("0000"),
+        lit("00000000"))
+      val tiff = when(pmod(col("doc_id"), lit(2)) === 0, tiffLe)
+        .otherwise(tiffBe)
+      // ICO: first directory entry; width/height bytes, 0 == 256
+      val wb = pmod(col("doc_id"), lit(256)).cast("int")
+      val hb = pmod(col("doc_id") * 3, lit(256)).cast("int")
+      val ico = concat(lit("00000100"), le16h(lit(1)), h2(wb), h2(hb),
+        lit("0000"), le16h(lit(1)), le16h(lit(32)), le32h(lit(64)),
+        le32h(lit(22)))
+      // ID3v2 (v2.3 even docs, v2.4 odd — sizes < 128 so syncsafe and
+      // plain u32 bytes coincide while exercising both parse paths),
+      // plus a trailing ID3v1 block with its own title/artist
+      val title = concat(lit("t"), col("doc_id").cast("string"))
+      val artist = concat(lit("a"), col("doc_id").cast("string"))
+      val tit2 = concat(lit("54495432"), le32h(lit(0)).substr(1, 6),
+        h2(length(title) + 1), lit("0000"), lit("00"), asciiHex(title))
+      val tpe1 = concat(lit("54504531"), le32h(lit(0)).substr(1, 6),
+        h2(length(artist) + 1), lit("0000"), lit("00"), asciiHex(artist))
+      val tagSz = length(title) + length(artist) + lit(22)
+      val vmaj = when(pmod(col("doc_id"), lit(2)) === 0, lit(3))
+        .otherwise(lit(4))
+      val id3v1 = concat(lit("544147"),
+        asciiHex(rpad(concat(lit("v1t"), col("doc_id").cast("string")),
+          30, " ")),
+        asciiHex(rpad(concat(lit("v1a"), col("doc_id").cast("string")),
+          30, " ")),
+        asciiHex(rpad(lit(""), 30, " ")), asciiHex(lit("2026")),
+        asciiHex(rpad(lit(""), 30, " ")), lit("FF"))
+      val id3 = concat(lit("494433"), h2(vmaj), lit("0000"),
+        le32h(lit(0)).substr(1, 6), h2(tagSz), tit2, tpe1, id3v1)
+      // OGG: one BOS page; Opus (19-byte OpusHead) / Vorbis (30-byte id)
+      val ch = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      val rate = element_at(typedLit(Seq(8000, 16000, 44100, 48000)),
+        pmod(col("doc_id"), lit(4)).cast("int") + 1)
+      val oggPre = concat(lit("4F676753"), lit("0002"),
+        lit("0000000000000000"), le32h(pmod(col("doc_id"), lit(65536))),
+        le32h(lit(0)), le32h(lit(0)), lit("01"))
+      val opus = concat(oggPre, lit("13"), lit("4F70757348656164"),
+        lit("01"), h2(ch), le16h(lit(312)), le32h(rate), lit("0000"),
+        lit("00"))
+      val vorbis = concat(oggPre, lit("1E"), lit("01"),
+        lit("766F72626973"), le32h(lit(0)), h2(ch), le32h(rate),
+        le32h(lit(0)), le32h(lit(0)), le32h(lit(0)), lit("00"), lit("01"))
+      val payload = unhex(when(m === 0, tiff).when(m === 1, ico)
+        .when(m === 2, id3).when(m === 3, opus).otherwise(vorbis))
+      val td = MediaExtra.tiffDims(payload)
+      val ic = MediaExtra.icoDims(payload)
+      val i2 = MediaExtra.id3v2Tags(payload)
+      val i1 = MediaExtra.id3v1Tags(payload)
+      val og = MediaExtra.oggInfo(payload)
+      t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, "tiff").when(m === 1, "ico").when(m === 2, "id3")
+          .otherwise("ogg").as("kind"),
+        coalesce(td.getField("width"), ic.getField("width")).as("width"),
+        coalesce(td.getField("height"), ic.getField("height")).as("height"),
+        i2.getField("version").as("id3_version"),
+        i2.getField("title").as("title"),
+        i2.getField("artist").as("artist"),
+        i1.getField("title").as("v1_title"),
+        og.getField("codec").as("codec"),
+        og.getField("channels").as("channels"),
+        og.getField("sample_rate").as("sample_rate"))
+    }),
+
     // ---- complex numbers (validators/complex.rs -> Python complex()
     // grammar): six synthesized literal forms incl. parens, pure-j,
     // exponents and a reject; value + str(complex)-style rendering
@@ -2769,6 +2909,51 @@ object SparkEntry {
         |       ELSE 'gif' END AS fmt,
         |  CAST(doc_id % 1000 + 1 AS INT) AS width,
         |  CAST(doc_id % 700 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    // the engine decoded REAL pixel bytes; the oracle replays the stats
+    // from the solid-color synthesis arithmetic (exact longs throughout)
+    "m_pixel_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+        |  CAST(doc_id % 13 + 1 AS INT) AS width,
+        |  CAST(doc_id % 7 + 1 AS INT) AS height,
+        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 13) % 256) AS sum_r,
+        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 7) % 256) AS sum_g,
+        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * (doc_id % 256) AS sum_b,
+        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) AS n_px,
+        |  CAST(least((doc_id * 13) % 256, (doc_id * 7) % 256,
+        |             doc_id % 256) AS INT) AS min_ch,
+        |  CAST(greatest((doc_id * 13) % 256, (doc_id * 7) % 256,
+        |                doc_id % 256) AS INT) AS max_ch
+        |FROM documents""".stripMargin,
+
+    "m_container_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'tiff' WHEN 1 THEN 'ico'
+        |       WHEN 2 THEN 'id3' ELSE 'ogg' END AS kind,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 500 + 1 AS INT)
+        |       WHEN doc_id % 5 = 1 THEN CAST(CASE WHEN doc_id % 256 = 0
+        |         THEN 256 ELSE doc_id % 256 END AS INT) END AS width,
+        |  CASE WHEN doc_id % 5 = 0 THEN CAST(doc_id % 300 + 1 AS INT)
+        |       WHEN doc_id % 5 = 1 THEN CAST(CASE WHEN (doc_id * 3) % 256 = 0
+        |         THEN 256 ELSE (doc_id * 3) % 256 END AS INT) END AS height,
+        |  CASE WHEN doc_id % 5 = 2 THEN '2.' ||
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS VARCHAR)
+        |    END AS id3_version,
+        |  CASE WHEN doc_id % 5 = 2
+        |    THEN 't' || CAST(doc_id AS VARCHAR) END AS title,
+        |  CASE WHEN doc_id % 5 = 2
+        |    THEN 'a' || CAST(doc_id AS VARCHAR) END AS artist,
+        |  CASE WHEN doc_id % 5 = 2
+        |    THEN 'v1t' || CAST(doc_id AS VARCHAR) END AS v1_title,
+        |  CASE WHEN doc_id % 5 = 3 THEN 'opus'
+        |       WHEN doc_id % 5 = 4 THEN 'vorbis' END AS codec,
+        |  CASE WHEN doc_id % 5 IN (3, 4)
+        |    THEN CAST(doc_id % 8 + 1 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 5 IN (3, 4) THEN CAST(
+        |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |         WHEN 2 THEN 44100 ELSE 48000 END AS INT) END AS sample_rate
         |FROM documents""".stripMargin,
 
     "z_dump_nested" ->

@@ -1,0 +1,428 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Round-5 native media parsers, shrinking the codec stub to genuinely
+ * codec-requiring decode only: uncompressed-BMP and PPM-P6 PIXEL decode
+ * (real per-pixel channel sums/min/max — the engine's first actual
+ * content decode, not just header dims), TIFF/ICO dimensions, ID3v1/v2
+ * tags, and OGG Opus/Vorbis identification headers. Same discipline as
+ * [[MediaHeaders]]: each parser is either pure Column arithmetic or a
+ * codegen'd unary expression funneling BOTH eval and doGenCode through
+ * one static `scan` method so interpreter and codegen cannot diverge.
+ *
+ * Reference anchor: the pydantic ecosystem treats media as opaque bytes
+ * with typed metadata models; these parsers supply that metadata at
+ * 100-TB scan scale without any codec library.
+ */
+object MediaExtra {
+
+  private def u8(bin: Column, pos: Int): Column =
+    conv(hex(substring(bin, pos, 1)), 16, 10).cast(IntegerType)
+
+  private def le16(bin: Column, pos: Int): Column =
+    (u8(bin, pos) + u8(bin, pos + 1) * 256).cast(IntegerType)
+
+  // ------------------------------------------------------------- BMP/PPM
+
+  /** struct(format, width, height, sum_r, sum_g, sum_b, n_px, min_ch,
+   * max_ch) — REAL pixel decode of uncompressed 24-bit BMPs (BGR rows
+   * bottom-up, 4-byte row padding skipped) and binary PPM P6 (RGB,
+   * maxval <= 255). Channel sums are exact longs so a SQL oracle replays
+   * means as rationals. Null for anything else. */
+  def pixelStats(bin: Column): Column = {
+    val bmp = ColumnShim.column(BmpPixelStats(ColumnShim.expression(bin)))
+    val ppm = ColumnShim.column(PpmInfo(ColumnShim.expression(bin)))
+    def pack(fmt: String, a: Column) = struct(
+      lit(fmt).as("format"),
+      element_at(a, 1).cast(IntegerType).as("width"),
+      element_at(a, 2).cast(IntegerType).as("height"),
+      element_at(a, 3).as("sum_r"), element_at(a, 4).as("sum_g"),
+      element_at(a, 5).as("sum_b"), element_at(a, 6).as("n_px"),
+      element_at(a, 7).cast(IntegerType).as("min_ch"),
+      element_at(a, 8).cast(IntegerType).as("max_ch"))
+    when(bmp.isNotNull, pack("bmp", bmp))
+      .when(ppm.isNotNull, pack("ppm", ppm))
+      .otherwise(lit(null).cast(
+        "struct<format:string,width:int,height:int,sum_r:bigint," +
+          "sum_g:bigint,sum_b:bigint,n_px:bigint,min_ch:int,max_ch:int>"))
+  }
+
+  // ---------------------------------------------------------- TIFF / ICO
+
+  /** struct(width, height) from TIFF IFD0 tags 256/257 (both byte
+   * orders, SHORT and LONG entry types); null otherwise. */
+  def tiffDims(bin: Column): Column = {
+    val a = ColumnShim.column(TiffDims(ColumnShim.expression(bin)))
+    when(a.isNotNull, struct(
+      element_at(a, 1).cast(IntegerType).as("width"),
+      element_at(a, 2).cast(IntegerType).as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+  }
+
+  def isIco(bin: Column): Column =
+    octet_length(bin) >= 22 && hex(substring(bin, 1, 4)) === "00000100" &&
+      le16(bin, 5) >= 1
+
+  /** struct(width, height) of an ICO's FIRST directory entry (byte
+   * dimensions, 0 meaning 256 per the format); null for non-ICO bytes. */
+  def icoDims(bin: Column): Column =
+    when(isIco(bin), struct(
+      when(u8(bin, 7) === 0, 256).otherwise(u8(bin, 7)).as("width"),
+      when(u8(bin, 8) === 0, 256).otherwise(u8(bin, 8)).as("height")))
+      .otherwise(lit(null).cast("struct<width:int,height:int>"))
+
+  // ---------------------------------------------------------------- ID3
+
+  /** struct(title, artist) from a trailing 128-byte ID3v1 block (fixed
+   * 30-byte fields, NUL/space padded, ISO-8859-1); null when absent. */
+  def id3v1Tags(bin: Column): Column = {
+    val n = octet_length(bin)
+    val block = bin.substr(n - 127, lit(128))
+    def f(pos: Int, len: Int) = regexp_replace(
+      decode(substring(block, pos, len), "ISO-8859-1"), "[\\x00 ]+$", "")
+    when(n >= 128 && hex(substring(block, 1, 3)) === "544147", // "TAG"
+      struct(f(4, 30).as("title"), f(34, 30).as("artist")))
+      .otherwise(lit(null).cast("struct<title:string,artist:string>"))
+  }
+
+  /** struct(version, title, artist) from an ID3v2.2-2.4 header's TIT2 /
+   * TPE1 frames (ISO-8859-1 and UTF-8 text encodings; v2.4 syncsafe and
+   * v2.3 plain frame sizes); struct null for non-ID3v2 payloads, fields
+   * null when the frame is absent. */
+  def id3v2Tags(bin: Column): Column = {
+    val a = ColumnShim.column(Id3v2Tags(ColumnShim.expression(bin)))
+    when(a.isNotNull, struct(
+      element_at(a, 1).as("version"),
+      element_at(a, 2).as("title"),
+      element_at(a, 3).as("artist")))
+      .otherwise(lit(null).cast(
+        "struct<version:string,title:string,artist:string>"))
+  }
+
+  // ---------------------------------------------------------------- OGG
+
+  /** struct(codec, channels, sample_rate) from the first OGG page's
+   * identification header — OpusHead (the 48kHz-internal input rate
+   * field) or Vorbis; null for non-OGG bytes. */
+  def oggInfo(bin: Column): Column = {
+    val a = ColumnShim.column(OggInfo(ColumnShim.expression(bin)))
+    when(a.isNotNull, struct(
+      when(element_at(a, 1) === 0L, "opus").otherwise("vorbis").as("codec"),
+      element_at(a, 2).cast(IntegerType).as("channels"),
+      element_at(a, 3).cast(IntegerType).as("sample_rate")))
+      .otherwise(lit(null).cast(
+        "struct<codec:string,channels:int,sample_rate:int>"))
+  }
+}
+
+/** Shared shape for the long-array media scan expressions. */
+private[multimodal] trait MediaScanExpr
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.catalogString}")
+  }
+  /** Fully-qualified static scan, e.g. `graft.multimodal.TiffDims.scan`. */
+  protected def staticScan: String
+  protected def scanImpl(b: Array[Byte]): Array[Long]
+  override def nullSafeEval(input: Any): Any = {
+    val out = scanImpl(input.asInstanceOf[Array[Byte]])
+    if (out == null) null else new GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |long[] $arr = $staticScan($b);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+}
+
+/** Uncompressed 24-bit BMP pixel decode (see [[BmpPixelStats.scan]]). */
+case class BmpPixelStats(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "bmp_pixel_stats"
+  override protected def staticScan: String =
+    "graft.multimodal.BmpPixelStats.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    BmpPixelStats.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): BmpPixelStats =
+    copy(child = newChild)
+}
+
+object BmpPixelStats {
+  /** [width, height, sumR, sumG, sumB, nPx, minCh, maxCh] for a
+   * BITMAPINFOHEADER BMP with bpp=24 and BI_RGB (no compression); rows
+   * are BGR bottom-up with 4-byte padding, which the walk SKIPS (the
+   * pad bytes must not contaminate sums or min/max). Null otherwise. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    val dataOff = le32(10)
+    val w = le32(18).toInt
+    val h = math.abs(le32(22).toInt) // negative height = top-down rows
+    val bpp = le16(28)
+    val comp = le32(30)
+    if (w <= 0 || h == 0 || bpp != 24 || comp != 0L) return null
+    val stride = (w * 3 + 3) & ~3
+    if (dataOff < 54 || dataOff + stride.toLong * h > b.length) return null
+    var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var row = 0
+    while (row < h) {
+      var p = dataOff.toInt + row * stride
+      var x = 0
+      while (x < w) {
+        val bb = u8(p); val gg = u8(p + 1); val rr = u8(p + 2)
+        sb += bb; sg += gg; sr += rr
+        val lo = math.min(bb, math.min(gg, rr))
+        val hi = math.max(bb, math.max(gg, rr))
+        if (lo < mn) mn = lo
+        if (hi > mx) mx = hi
+        p += 3; x += 1
+      }
+      row += 1
+    }
+    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx)
+  }
+}
+
+case class PpmInfo(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "ppm_info"
+  override protected def staticScan: String = "graft.multimodal.PpmInfo.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    PpmInfo.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): PpmInfo =
+    copy(child = newChild)
+}
+
+object PpmInfo {
+  /** [width, height, sumR, sumG, sumB, nPx, minCh, maxCh] for binary
+   * PPM (P6, maxval <= 255): ASCII header with `#` comments, ONE
+   * whitespace after maxval, then raw RGB triplets. Null otherwise. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 9 || b(0) != 'P' || b(1) != '6') return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def isWs(c: Int): Boolean =
+      c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    var i = 2
+    def nextInt(): Long = {
+      var run = true
+      while (run && i < b.length) {
+        if (isWs(u8(i))) i += 1
+        else if (u8(i) == '#') { while (i < b.length && u8(i) != '\n') i += 1 }
+        else run = false
+      }
+      if (i >= b.length || u8(i) < '0' || u8(i) > '9') return -1L
+      var v = 0L
+      while (i < b.length && u8(i) >= '0' && u8(i) <= '9') {
+        v = v * 10 + (u8(i) - '0')
+        if (v > (1L << 30)) return -1L
+        i += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val mv = nextInt()
+    if (w <= 0 || h <= 0 || mv <= 0 || mv > 255) return null
+    if (i >= b.length || !isWs(u8(i))) return null
+    i += 1 // exactly one whitespace before the raster
+    val n = w * h
+    if (i + n * 3 > b.length) return null
+    var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var k = 0L
+    var p = i
+    while (k < n) {
+      val rr = u8(p); val gg = u8(p + 1); val bb = u8(p + 2)
+      sr += rr; sg += gg; sb += bb
+      val lo = math.min(rr, math.min(gg, bb))
+      val hi = math.max(rr, math.max(gg, bb))
+      if (lo < mn) mn = lo
+      if (hi > mx) mx = hi
+      p += 3; k += 1
+    }
+    Array(w, h, sr, sg, sb, n, mn, mx)
+  }
+}
+
+case class TiffDims(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "tiff_dims"
+  override protected def staticScan: String = "graft.multimodal.TiffDims.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    TiffDims.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): TiffDims =
+    copy(child = newChild)
+}
+
+object TiffDims {
+  /** [width, height] from IFD0 tags 256/257 (SHORT=3 or LONG=4 entry
+   * types, value left-justified in the 4-byte field per the spec), both
+   * II and MM byte orders. Null for non-TIFF or truncated IFDs. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 8) return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    val le =
+      b(0) == 'I' && b(1) == 'I' && u8(2) == 42 && u8(3) == 0
+    val be =
+      b(0) == 'M' && b(1) == 'M' && u8(2) == 0 && u8(3) == 42
+    if (!le && !be) return null
+    @inline def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    @inline def u32(i: Int): Long =
+      if (le) u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = u16(ifd.toInt)
+    var w = -1L; var h = -1L
+    var k = 0
+    while (k < n) {
+      val e = ifd.toInt + 2 + k * 12
+      if (e + 12 > b.length) return null
+      val tag = u16(e); val typ = u16(e + 2)
+      val v: Long =
+        if (typ == 3) u16(e + 8).toLong // SHORT, left-justified
+        else if (typ == 4) u32(e + 8)   // LONG
+        else -1L
+      if (tag == 256) w = v
+      else if (tag == 257) h = v
+      k += 1
+    }
+    if (w > 0 && h > 0) Array(w, h) else null
+  }
+}
+
+/** ID3v2 TIT2/TPE1 extraction — string-array result, so it carries its
+ * own expression shape rather than [[MediaScanExpr]]. */
+case class Id3v2Tags(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def prettyName: String = "id3v2_tags"
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary input, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val out = Id3v2Tags.scan(input.asInstanceOf[Array[Byte]])
+    if (out == null) null else new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val arr = ctx.freshName("arr")
+      s"""
+         |Object[] $arr = graft.multimodal.Id3v2Tags.scan($b);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Id3v2Tags =
+    copy(child = newChild)
+}
+
+object Id3v2Tags {
+  /** [version, title, artist] as UTF8Strings (title/artist null when the
+   * frame is absent); null for non-ID3v2 payloads. Handles v2.3 (plain
+   * u32 frame sizes) and v2.4 (syncsafe); text encodings 0 (ISO-8859-1)
+   * and 3 (UTF-8); stops at the first padding byte. */
+  def scan(b: Array[Byte]): Array[AnyRef] = {
+    if (b == null || b.length < 10 ||
+      b(0) != 'I' || b(1) != 'D' || b(2) != '3') return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    val vmaj = u8(3)
+    if (vmaj < 2 || vmaj > 4) return null
+    @inline def ss32(i: Int): Int =
+      ((u8(i) & 0x7F) << 21) | ((u8(i + 1) & 0x7F) << 14) |
+        ((u8(i + 2) & 0x7F) << 7) | (u8(i + 3) & 0x7F)
+    @inline def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    val end = math.min(10L + ss32(6), b.length.toLong).toInt
+    var title: UTF8String = null
+    var artist: UTF8String = null
+    var i = 10
+    var run = true
+    while (run && i + 10 <= end) {
+      if (u8(i) == 0) run = false // padding region
+      else {
+        val fsz = (if (vmaj == 4) ss32(i + 4).toLong else u32(i + 4)).toInt
+        if (fsz <= 0 || i + 10 + fsz > end) run = false
+        else {
+          val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          if (id == "TIT2" || id == "TPE1") {
+            val enc = u8(i + 10)
+            val cs =
+              if (enc == 0) java.nio.charset.StandardCharsets.ISO_8859_1
+              else if (enc == 3) java.nio.charset.StandardCharsets.UTF_8
+              else null
+            if (cs != null && fsz > 1) {
+              var len = fsz - 1
+              while (len > 0 && b(i + 10 + len) == 0) len -= 1 // NUL term
+              val s = UTF8String.fromString(
+                new String(b, i + 11, len, cs))
+              if (id == "TIT2") title = s else artist = s
+            }
+          }
+          i += 10 + fsz
+        }
+      }
+    }
+    Array[AnyRef](UTF8String.fromString("2." + vmaj), title, artist)
+  }
+}
+
+case class OggInfo(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "ogg_info"
+  override protected def staticScan: String = "graft.multimodal.OggInfo.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    OggInfo.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): OggInfo =
+    copy(child = newChild)
+}
+
+object OggInfo {
+  /** [codec (0=opus, 1=vorbis), channels, sample_rate] from the first
+   * OGG page's identification packet — the packet starts right after
+   * the segment table (27 + n_segments bytes in). Opus rate is the
+   * OpusHead input-sample-rate field; Vorbis the u32 at offset 12.
+   * Null for non-OGG bytes or other codecs. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 28 ||
+      b(0) != 'O' || b(1) != 'g' || b(2) != 'g' || b(3) != 'S') return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    if (u8(4) != 0) return null // stream structure version
+    val nsegs = u8(26)
+    val p = 27 + nsegs
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    @inline def tag(i: Int, s: String): Boolean =
+      i + s.length <= b.length &&
+        s.indices.forall(k => u8(i + k) == s.charAt(k))
+    if (tag(p, "OpusHead") && p + 19 <= b.length)
+      Array(0L, u8(p + 9).toLong, le32(p + 12))
+    else if (p + 16 <= b.length && u8(p) == 1 && tag(p + 1, "vorbis"))
+      Array(1L, u8(p + 11).toLong, le32(p + 12))
+    else null
+  }
+}

@@ -224,6 +224,98 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.head.duration_ms == 78L)
   }
 
+  test("real BMP pixel decode: padding skipped, top-down rows, " +
+      "non-24bpp and compressed rejected") {
+    import graft.multimodal.BmpPixelStats
+    // 2x2 24-bit BMP: stride 8 (2 pad bytes/row, set to 0xEE — counting
+    // them would corrupt sums AND max). Pixels (B,G,R) row0: (1,2,3),
+    // (4,5,6); row1: (7,8,9), (10,11,12).
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def hdr(h: Int) = Array[Byte]('B', 'M') ++ le32(70) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(2) ++ le32(h) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(16) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0)
+    val px = Array[Byte](1, 2, 3, 4, 5, 6, 0xEE.toByte, 0xEE.toByte,
+      7, 8, 9, 10, 11, 12, 0xEE.toByte, 0xEE.toByte)
+    val up = BmpPixelStats.scan(hdr(2) ++ px)
+    // [w, h, sumR, sumG, sumB, nPx, min, max]
+    assert(up.toSeq == Seq(2L, 2L, 3L + 6 + 9 + 12, 2L + 5 + 8 + 11,
+      1L + 4 + 7 + 10, 4L, 1L, 12L))
+    // negative height (top-down rows) — same stats, order-insensitive
+    assert(BmpPixelStats.scan(hdr(-2) ++ px).toSeq == up.toSeq)
+    // 32bpp and compressed (BI_RLE8 = 1) are rejected
+    val h32 = hdr(2); h32(28) = 32
+    assert(BmpPixelStats.scan(h32 ++ px) == null)
+    val hC = hdr(2); hC(30) = 1
+    assert(BmpPixelStats.scan(hC ++ px) == null)
+    // truncated raster
+    assert(BmpPixelStats.scan(hdr(2) ++ px.take(10)) == null)
+  }
+
+  test("real PPM P6 decode: comments, 16-bit maxval and P5 rejected") {
+    import graft.multimodal.PpmInfo
+    val hdr = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val px = Array[Byte](10, 20, 30, 40, 50, 60) // RGB RGB
+    val got = PpmInfo.scan(hdr ++ px)
+    assert(got.toSeq == Seq(2L, 1L, 10L + 40, 20L + 50, 30L + 60, 2L,
+      10L, 60L))
+    assert(PpmInfo.scan("P6\n2 1\n65535\n".getBytes("US-ASCII") ++ px)
+      == null) // 16-bit maxval unsupported
+    assert(PpmInfo.scan("P5\n2 1\n255\n".getBytes("US-ASCII") ++ px)
+      == null) // grayscale P5 is a different format
+    assert(PpmInfo.scan(hdr ++ px.take(4)) == null) // truncated raster
+  }
+
+  test("real TIFF dims: LONG-typed entries and truncated IFDs") {
+    import graft.multimodal.TiffDims
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    // little-endian, LONG (type 4) dims — the query uses SHORT, so the
+    // LONG path is pinned here
+    val tiff = Array[Byte]('I', 'I', 42, 0) ++ le32(8) ++
+      Array[Byte](2, 0) ++
+      Array[Byte](0, 1, 4, 0) ++ le32(1) ++ le32(70000) ++
+      Array[Byte](1, 1, 4, 0) ++ le32(1) ++ le32(90000) ++ le32(0)
+    assert(TiffDims.scan(tiff).toSeq == Seq(70000L, 90000L))
+    assert(TiffDims.scan(tiff.take(20)) == null) // IFD truncated mid-entry
+    assert(TiffDims.scan("II+ ".getBytes("US-ASCII")) == null)
+  }
+
+  test("real ID3v2 decode: UTF-8 frames, missing artist, padding stop") {
+    import graft.multimodal.Id3v2Tags
+    // v2.4, one TIT2 with encoding 3 (UTF-8, non-ascii), then padding
+    val title = "café".getBytes("UTF-8")
+    val body = Array[Byte](3) ++ title
+    val frame = "TIT2".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, body.length.toByte, 0, 0) ++ body
+    val pad = Array.fill[Byte](8)(0)
+    val size = frame.length + pad.length
+    val tag = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, 0, size.toByte) ++ frame ++ pad
+    val got = Id3v2Tags.scan(tag)
+    assert(got(0).toString == "2.4")
+    assert(got(1).toString == "café")
+    assert(got(2) == null) // no TPE1
+    assert(Id3v2Tags.scan("ID4xxxxxxx".getBytes("US-ASCII")) == null)
+  }
+
+  test("real OGG decode: multi-segment table offsets; truncated null") {
+    import graft.multimodal.OggInfo
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    // page with TWO lacing values (the id packet split across segments):
+    // the payload still starts at 27 + nsegs
+    val opusHead = "OpusHead".getBytes("US-ASCII") ++
+      Array[Byte](1, 2) ++ Array[Byte](0x38, 1) ++ le32(48000) ++
+      Array[Byte](0, 0, 0)
+    val page = "OggS".getBytes("US-ASCII") ++ Array[Byte](0, 2) ++
+      Array.fill[Byte](8)(0) ++ le32(7) ++ le32(0) ++ le32(0) ++
+      Array[Byte](2, 10, 9) ++ opusHead
+    assert(OggInfo.scan(page).toSeq == Seq(0L, 2L, 48000L))
+    assert(OggInfo.scan(page.take(30)) == null)
+  }
+
   test("frame sampling plan: pure-expression sequence+explode") {
     val feats = Multimodal.extractFeatures(media.filter(col("kind") === "video"))
     val plan = Multimodal.frameSamplePlan(feats, everyMs = 1000L, maxFrames = 5)
