@@ -91,7 +91,19 @@ object Multimodal {
     val magic8 = upper(hex(substring(payload, 1, 4)))
     when(magic8.startsWith("89504E47"), "image")      // PNG
       .when(magic8.startsWith("FFD8FF"), "image")     // JPEG
+      .when(magic8.startsWith("47494638"), "image")   // GIF8?a
+      .when(magic8.startsWith("424D"), "image")       // BMP
+      .when(magic8.startsWith("5036") ||
+        magic8.startsWith("5035"), "image")           // PPM P6 / PGM P5
+      .when(magic8.startsWith("49492A00") ||
+        magic8 === "4D4D002A", "image")               // TIFF II/MM
+      .when(magic8 === "00000100", "image")           // ICO
       .when(magic8.startsWith("52494646"), "audio")   // RIFF/WAV
+      .when(magic8.startsWith("664C6143"), "audio")   // fLaC
+      .when(magic8.startsWith("494433"), "audio")     // ID3v2 (MP3)
+      .when(magic8.startsWith("FFFB") ||
+        magic8.startsWith("FFFA"), "audio")           // bare MP3 frame
+      .when(magic8 === "4F676753", "audio")           // OggS
       .when(magic8.startsWith("00000018") ||
         magic8.startsWith("66747970"), "video")       // MP4-ish
       .otherwise("unknown")
