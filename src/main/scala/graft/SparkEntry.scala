@@ -1439,6 +1439,36 @@ object SparkEntry {
         try_element_at(c.violations, lit(1)).getField("type").as("vtype"))
     }),
 
+    // Post-variadic tuple suffix (tuple[int, *tuple[str, ...], int, bool],
+    // reference tuple.rs:122-210): branches exercise zero / one / two
+    // variadic matches plus absent suffix positions, so the oracle pins
+    // the suffix binding AND the reference's lagged error locs.
+    "q_tuple_var" -> ((s, dir) => {
+      import graft.compile.Compiler
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      val d = t(s, dir, "documents")
+      val ds = col("doc_id").cast("string")
+      val nstr = col("n_chars").cast("string")
+      val bstr = when(pmod(col("doc_id"), lit(2)) === 0, lit("true"))
+        .otherwise(lit("no"))
+      val b = pmod(col("doc_id"), lit(4))
+      val tup = when(b === 0, array(ds))
+        .when(b === 1, array(ds, nstr, bstr))
+        .when(b === 2, array(ds, col("lang"), nstr, bstr))
+        .otherwise(array(ds, col("lang"), col("lang"), nstr, lit("x")))
+      val spec = TupleSpec(Seq(IntSpec(ge = Some(0))),
+        variadic = Some(StrSpec()),
+        suffix = Seq(IntSpec(le = Some(1000)), BoolSpec()))
+      val c = Compiler.compile(tup, ArrayType(StringType),
+        array(lit("tv")), spec, Mode.Lax)
+      d.select(col("doc_id"),
+        size(c.violations).as("n_viol"),
+        try_element_at(c.violations, lit(1)).getField("type").as("vtype"),
+        try_element_at(try_element_at(c.violations, lit(1)).getField("loc"),
+          lit(2)).cast("int").as("vloc"),
+        c.value.getField("_2").as("v2"))
+    }),
+
     // ---- north-star composite model: the reference's own flagship
     // benchmark shape — UUID/decimal/date/time/datetime + a list of
     // two-level discriminated unions, validated from lax strings. The
@@ -1908,6 +1938,30 @@ object SparkEntry {
         |       WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr') THEN 'enum'
         |       WHEN coalesce(doc_id % 7 = 0, FALSE) THEN 'missing'
         |       WHEN n_chars > 1000 THEN 'less_than_equal' END AS vtype
+        |FROM documents""".stripMargin,
+
+    // Replays the reference's post-variadic tuple semantics closed-form:
+    // suffix claims the LAST two elements; error locs lag by one once the
+    // variadic matched >= 1 element (tuple.rs:170-206), so the b=3 branch
+    // (two variadic matches) reports locs 2/3 while b=1/2 report loc 1.
+    "q_tuple_var" ->
+      """SELECT doc_id,
+        |  CAST((CASE WHEN doc_id < 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN doc_id % 4 = 0 THEN 2
+        |            WHEN doc_id % 4 = 3 THEN
+        |              (CASE WHEN n_chars > 1000 THEN 2 ELSE 1 END)
+        |            ELSE (CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END)
+        |       END) AS INT) AS n_viol,
+        |  CASE WHEN doc_id < 0 THEN 'greater_than_equal'
+        |       WHEN doc_id % 4 = 0 THEN 'missing'
+        |       WHEN n_chars > 1000 THEN 'less_than_equal'
+        |       WHEN doc_id % 4 = 3 THEN 'bool_parsing' END AS vtype,
+        |  CAST(CASE WHEN doc_id < 0 THEN 0
+        |       WHEN doc_id % 4 = 0 THEN 1
+        |       WHEN n_chars > 1000 AND doc_id % 4 IN (1, 2) THEN 1
+        |       WHEN n_chars > 1000 AND doc_id % 4 = 3 THEN 2
+        |       WHEN doc_id % 4 = 3 THEN 3 END AS INT) AS vloc,
+        |  CAST(CASE WHEN doc_id % 4 <> 0 THEN n_chars END AS BIGINT) AS v2
         |FROM documents""".stripMargin,
 
     "p_dataset_card" ->

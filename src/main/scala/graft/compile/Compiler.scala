@@ -1080,18 +1080,38 @@ object Compiler {
 
   /** Positional tuple — reference `validators/tuple.rs`. Output is a
    * struct `_0.._{n-1}` of per-position coerced values (+ `rest`
-   * array<variadic> when present): Spark's closest analog of a
-   * heterogeneous tuple. Head positions are static expressions (fully
-   * codegen'd); only the variadic tail uses array HOFs. */
+   * array<variadic> when present, + `_{n+1}..` post-variadic suffix
+   * positions named by their items_schema index). Head and suffix
+   * positions are static expressions (fully codegen'd); only the variadic
+   * tail uses array HOFs. Suffix binding and error locs follow the
+   * reference's tail-buffer iterator exactly (`tuple.rs:122-210`, see
+   * [[graft.spec.TupleSpec]]). */
   private def compileTuple(input: Column, t: DataType, loc: Column,
                            s: TupleSpec, mode: Mode): Compiled = {
+    require(s.suffix.isEmpty || s.variadic.nonEmpty,
+      "TupleSpec.suffix requires a variadic item (pydantic's " +
+        "variadic_item_index always points inside items_schema)")
     val n = s.items.size
     def elemLoc(i: Column) = concat(loc, array(i.cast(StringType)))
+
+    /** One post-variadic suffix position: element binding + the lagged
+     * reference loc (`P + j` at zero variadic matches, `P + m - 1 + j`
+     * otherwise — tuple.rs:170-206). */
+    def suffixItem(item: Spec, elem: Column, elemType: DataType,
+                   present: Column, locIdx: Column): (Column, Column, DataType) = {
+      val c = compile(elem, elemType, elemLoc(locIdx), item, mode)
+      val viols =
+        if (hasDefault(item)) c.violations // absent -> default (tuple.rs:90)
+        else when(present, c.violations).otherwise(collect(Seq(
+          oneS(elemLoc(locIdx), T.missing, "Field required", lit(null)))))
+      (c.value, viols, c.dataType)
+    }
 
     /** Shared logic once positions are exposed as (present, elem, type). */
     def build(len: Column, headElem: Int => Column, elemType: Int => DataType,
               tailViols: Option[Spec] => Seq[Column],
-              restValue: Option[(Column, DataType)]): Compiled = {
+              restValue: Option[(Column, DataType)],
+              suffixParts: Seq[(Column, Column, DataType)]): Compiled = {
       val head = s.items.zipWithIndex.map { case (item, i) =>
         val present = len > i
         val c = compile(headElem(i), elemType(i), elemLoc(lit(i)), item, mode)
@@ -1115,44 +1135,68 @@ object Compiler {
           input, Map("max_length" -> m.toString))))
       ).flatten
       val all = merge(head.map(_._2) ++
-        Seq(collect(sizeChecks)) ++ tailViols(s.variadic))
+        Seq(collect(sizeChecks)) ++ tailViols(s.variadic) ++
+        suffixParts.map(_._2))
       val gated0 = when(input.isNull, empty).otherwise(all)
       val gated = if (s.failFast) slice(gated0, 1, 1) else gated0
       val fields = head.zipWithIndex.map { case ((v, _, _), i) => v.as(s"_$i") }
-      val value = struct(fields ++ restValue.map(_._1.as("rest")): _*)
+      // suffix fields keep their items_schema index: the variadic itself
+      // occupies schema index n, so suffix j is `_{n+1+j}`
+      val sufFields = suffixParts.zipWithIndex.map { case ((v, _, _), j) =>
+        v.as(s"_${n + 1 + j}") }
+      val value = struct(fields ++ restValue.map(_._1.as("rest")) ++
+        sufFields: _*)
       val dt = StructType(
         head.zipWithIndex.map { case ((_, _, d), i) => StructField(s"_$i", d) } ++
-          restValue.map { case (_, rdt) => StructField("rest", ArrayType(rdt)) })
+          restValue.map { case (_, rdt) => StructField("rest", ArrayType(rdt)) } ++
+          suffixParts.zipWithIndex.map { case ((_, _, d), j) =>
+            StructField(s"_${n + 1 + j}", d) })
       Compiled(when(input.isNotNull, value), gated, dt)
     }
 
     t match {
       case ArrayType(elemType, _) =>
         val len = size(input)
+        val len0 = coalesce(len, lit(0))
+        // variadic match count: everything between the head and the
+        // suffix-claimed last elements (tuple.rs:167 — the tail buffer
+        // always holds the LAST suffix.size items)
+        val mVar = greatest(len0 - lit(n + s.suffix.size), lit(0))
         val tailViols = (variadic: Option[Spec]) => variadic.toSeq.map { v =>
           // variadic tail via HOF (interpreted — acceptable: tuples are not
           // the hot path; heavy homogeneous tails belong in ListSpec +
           // planExplodedList)
-          val tail = slice(input, lit(n + 1), greatest(len - n, lit(0)))
+          val tail = slice(input, lit(n + 1), mVar)
           when(input.isNull, empty).otherwise(
             flatten(transform(tail, (x, i) =>
               compile(x, elemType, elemLoc(i + n), v, mode).violations)))
         }
         val restValue = s.variadic.map { v =>
-          val tail = slice(input, lit(n + 1), greatest(len - n, lit(0)))
+          val tail = slice(input, lit(n + 1), mVar)
           (transform(tail, x => compile(x, elemType, loc, v, mode).value),
             compile(lit(null).cast(elemType), elemType, loc, v, mode).dataType)
         }
-        build(coalesce(len, lit(0)), i => try_element_at(input, lit(i + 1)),
-          _ => elemType, tailViols, restValue)
+        val suffixParts = s.suffix.zipWithIndex.map { case (item, j) =>
+          val idx0 = lit(n + j) + mVar // 0-based input index of suffix j
+          val present = len0 > idx0
+          val locIdx = when(mVar === lit(0), lit(n + j))
+            .otherwise(lit(n + j - 1) + mVar)
+          suffixItem(item, try_element_at(input, idx0 + lit(1)), elemType,
+            present, locIdx)
+        }
+        build(len0, i => try_element_at(input, lit(i + 1)),
+          _ => elemType, tailViols, restValue, suffixParts)
 
       case st: StructType =>
         // struct input: fields in declaration order are the positions —
         // everything static, fully codegen'd
         val fieldsN = st.fields.length
         val len = when(input.isNotNull, lit(fieldsN)).otherwise(lit(0))
+        // struct input has a static arity: the variadic match count and
+        // every suffix binding resolve at compile time
+        val mInt = math.max(fieldsN - n - s.suffix.size, 0)
         val tailViols = (variadic: Option[Spec]) => variadic.toSeq.flatMap { v =>
-          (n until fieldsN).map { i =>
+          (n until n + mInt).map { i =>
             when(input.isNull, empty).otherwise(
               compile(input.getField(st.fieldNames(i)), st.fields(i).dataType,
                 elemLoc(lit(i)), v, mode).violations)
@@ -1160,18 +1204,28 @@ object Compiler {
         }
         val restValue = s.variadic.map { v =>
           // struct tails may mix Spark types per position — unify as string
-          val restCols = (n until fieldsN).map { i =>
+          val restCols = (n until n + mInt).map { i =>
             compile(input.getField(st.fieldNames(i)), st.fields(i).dataType,
               loc, v, mode).value.cast(StringType)
           }
           (if (restCols.isEmpty) array().cast(ArrayType(StringType))
            else array(restCols: _*), StringType: DataType)
         }
+        val suffixParts = s.suffix.zipWithIndex.map { case (item, j) =>
+          val i = n + mInt + j
+          val lag = if (mInt == 0) n + j else n + mInt - 1 + j
+          if (i < fieldsN)
+            suffixItem(item, input.getField(st.fieldNames(i)),
+              st.fields(i).dataType, input.isNotNull, lit(lag))
+          else
+            suffixItem(item, lit(null).cast(StringType), StringType,
+              lit(false), lit(lag))
+        }
         build(len,
           i => if (i < fieldsN) input.getField(st.fieldNames(i))
                else lit(null).cast(StringType),
           i => if (i < fieldsN) st.fields(i).dataType else StringType,
-          tailViols, restValue)
+          tailViols, restValue, suffixParts)
 
       case _ =>
         typeViolation(loc, "tuple_type", "Input should be a valid tuple",

@@ -33,7 +33,8 @@ object Definitions {
         go(m, b).asInstanceOf[ModelSpec]))
       case l: ListSpec => l.copy(item = go(l.item, b))
       case t: TupleSpec => t.copy(items = t.items.map(go(_, b)),
-        variadic = t.variadic.map(go(_, b)))
+        variadic = t.variadic.map(go(_, b)),
+        suffix = t.suffix.map(go(_, b)))
       case nt: NamedTupleSpec =>
         nt.copy(fields = nt.fields.map(f => f.copy(spec = go(f.spec, b))))
       case dc: DataclassSpec =>

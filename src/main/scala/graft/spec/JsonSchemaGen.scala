@@ -121,6 +121,18 @@ object JsonSchemaGen {
         "required" -> req) ++
         (if (m.extra == Extra.Forbid) Seq("additionalProperties" -> "false")
          else Nil))
+    case s: TupleSpec if s.suffix.nonEmpty =>
+      // post-variadic tuples: pydantic flattens to prefixItems with the
+      // variadic rendered INLINE as an array schema and pins min/maxItems
+      // to the total position count (TypeAdapter(tuple[int, *tuple[str,
+      // ...], int, bool]).json_schema())
+      val total = s.items.size + 1 + s.suffix.size
+      val flat = s.items.map(toJson) ++
+        Seq(obj(Seq("items" -> toJson(s.variadic.get),
+          "type" -> str("array")))) ++ s.suffix.map(toJson)
+      obj(Seq("maxItems" -> total.toString, "minItems" -> total.toString,
+        "prefixItems" -> flat.mkString("[", ", ", "]"),
+        "type" -> str("array")))
     case s: TupleSpec =>
       // draft-2020-12 prefixItems, like pydantic for tuple[...] types
       obj(Seq("type" -> str("array"),

@@ -369,13 +369,26 @@ final case class ListSpec(
  * position is `missing` (unless the item spec carries a default,
  * `tuple.rs:90-95`); positions beyond the head validate against `variadic`
  * when set (tuple[X, ...]) and are `too_long` otherwise (`tuple.rs:232`).
- * Deviation (documented): validators AFTER a variadic item
- * (tuple[int, *tuple[str, ...], int]) are not supported — the variadic
- * item is always the tail. Input may be an array (homogeneous Spark type,
- * per-position specs coerce) or a struct (fields in declaration order). */
+ * `suffix` validators run AFTER the variadic item
+ * (tuple[int, *tuple[str, ...], int, bool] — reference
+ * `tuple.rs:122-210`): the last `suffix.size` input elements bind to the
+ * suffix positionally and the variadic consumes `len - items.size -
+ * suffix.size` middle elements (may be zero). Error locs mirror the
+ * reference's tail-buffer counting iterator exactly: head and variadic
+ * errors carry the true input index (`tuple.rs:163-166` — the buffer's
+ * S-item lag cancels the counter's S-item deficit), while suffix errors
+ * carry `P + j` when the variadic matched zero elements and `P + m - 1 +
+ * j` when it matched m >= 1 (the loop leaves `index` at the LAST entered
+ * buffer index, `tuple.rs:170-206`). A missing suffix position is
+ * `missing` at `P + j` (only reachable with m == 0) unless its spec
+ * carries a default. `suffix` requires `variadic` (pydantic's
+ * variadic_item_index always points inside items_schema). Input may be an
+ * array (homogeneous Spark type, per-position specs coerce) or a struct
+ * (fields in declaration order). */
 final case class TupleSpec(
     items: Seq[Spec],
     variadic: Option[Spec] = None,
+    suffix: Seq[Spec] = Nil,
     minLength: Option[Int] = None,
     maxLength: Option[Int] = None,
     /** keep only the first violation — reference `tuple.rs` fail_fast */

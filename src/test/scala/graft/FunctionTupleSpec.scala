@@ -143,6 +143,110 @@ class FunctionTupleSpec extends SparkTestBase {
     assert(out(1)._2 == Seq("string_too_short"))
   }
 
+  // ---- post-variadic suffix: tuple[int, *tuple[str, ...], int, bool]
+  // goldens from pydantic_core SchemaValidator({'type':'tuple',
+  // 'items_schema':[int,str,int,bool],'variadic_item_index':1})
+
+  private val sufTuple = TupleSpec(Seq(IntSpec()),
+    variadic = Some(StrSpec()), suffix = Seq(IntSpec(), BoolSpec()))
+
+  private def locsAndTypes(spec: Spec, values: Seq[Any]) = {
+    val schema = StructType(Seq(StructField("x", ArrayType(StringType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(values.map(v => Row(v)), 1), schema)
+    val c = Compiler.compile(col("x"), ArrayType(StringType),
+      array(lit("t")), spec, Mode.Lax)
+    df.select(transform(c.violations,
+        v => struct(v.getField("type"), v.getField("loc"))))
+      .collect().map(_.getSeq[Row](0)
+        .map(r => (r.getString(0), r.getSeq[String](1).drop(1).mkString(","))))
+      .toSeq
+  }
+
+  test("tuple suffix: last S elements bind to the suffix, variadic takes the middle (tuple.rs:122-210)") {
+    val out = run(sufTuple, ArrayType(StringType), Seq(
+      Seq("1", "a", "b", "2", "true"), // 2 variadic
+      Seq("1", "2", "true"),           // zero variadic: suffix wins the elems
+      Seq("1", "a", "b", "x", "9", "true"))) // 3 variadic
+    assert(out(0)._2 == Seq())
+    assert(out(0)._1.asInstanceOf[Row].toSeq ==
+      Seq(1L, Seq("a", "b"), 2L, true))
+    assert(out(1)._2 == Seq())
+    assert(out(1)._1.asInstanceOf[Row].toSeq == Seq(1L, Seq(), 2L, true))
+    assert(out(2)._2 == Seq())
+  }
+
+  test("tuple suffix: missing suffix positions report loc P+j (golden: [1] -> missing@1, missing@2)") {
+    assert(locsAndTypes(sufTuple, Seq(Seq("1"), Seq(), Seq("1", "5"))) == Seq(
+      Seq(("missing", "1"), ("missing", "2")),
+      Seq(("missing", "0"), ("missing", "1"), ("missing", "2")),
+      Seq(("missing", "2")))) // "5" coerces at the first suffix slot
+  }
+
+  test("tuple suffix: error locs lag by one once the variadic matched (tuple.rs:170-206)") {
+    assert(locsAndTypes(sufTuple, Seq(
+      Seq("1", "a", "7"),            // m=0: true indices 1,2
+      Seq("1", "a", "b", "c"),       // m=1: lagged to 1,2 (true: 2,3)
+      Seq("1", "a", "b", "x", "c"))) // m=2: lagged to 2,3 (true: 3,4)
+      == Seq(
+        Seq(("int_parsing", "1"), ("bool_parsing", "2")),
+        Seq(("int_parsing", "1"), ("bool_parsing", "2")),
+        Seq(("int_parsing", "2"), ("bool_parsing", "3"))))
+  }
+
+  test("tuple suffix: variadic errors keep the TRUE input index (tuple.rs:163-166 counter lag cancels)") {
+    val spec = TupleSpec(Seq(IntSpec()), variadic = Some(IntSpec()),
+      suffix = Seq(BoolSpec()))
+    assert(locsAndTypes(spec, Seq(Seq("1", "x", "2", "true"))) ==
+      Seq(Seq(("int_parsing", "1"))))
+  }
+
+  test("tuple suffix: default fills an absent suffix position (golden: [1] -> (1, 7))") {
+    val spec = TupleSpec(Seq(IntSpec()), variadic = Some(StrSpec()),
+      suffix = Seq(WithDefaultSpec(IntSpec(), default = "7")))
+    val out = run(spec, ArrayType(StringType), Seq(Seq("1"), Seq("1", "a")))
+    assert(out(0)._2 == Seq())
+    assert(out(0)._1.asInstanceOf[Row].toSeq == Seq(1L, Seq(), 7L))
+    assert(out(1)._2 == Seq("int_parsing")) // 'a' claimed by the suffix
+  }
+
+  test("tuple suffix: fail_fast stops at the first head error (golden ff)") {
+    val spec = sufTuple.copy(failFast = true)
+    assert(locsAndTypes(spec, Seq(Seq("x", "a", "b", "y", "z"))) ==
+      Seq(Seq(("int_parsing", "0"))))
+  }
+
+  test("tuple suffix: struct input binds statically") {
+    val st = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("c", LongType),
+      StructField("d", StringType)))
+    val schema = StructType(Seq(StructField("s", st)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(Row(1L, "v", 2L, "true")), Row(Row(1L, "v", 2L, "zz"))), 1),
+      schema)
+    val c = Compiler.compile(col("s"), st, array(lit("s")), sufTuple,
+      Mode.Lax)
+    val out = df.select(transform(c.violations, v => v.getField("type")))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq())
+    assert(out(1) == Seq("bool_parsing"))
+  }
+
+  test("tuple suffix: requires a variadic item") {
+    intercept[IllegalArgumentException] {
+      run(TupleSpec(Seq(IntSpec()), suffix = Seq(IntSpec())),
+        ArrayType(StringType), Seq(Seq("1")))
+    }
+  }
+
+  test("tuple suffix: json schema flattens to prefixItems with inline variadic (pydantic golden)") {
+    val js = graft.spec.JsonSchemaGen.toJson(sufTuple)
+    assert(js == """{"maxItems": 4, "minItems": 4, "prefixItems": """ +
+      """[{"type": "integer"}, {"items": {"type": "string"}, "type": "array"}, """ +
+      """{"type": "integer"}, {"type": "boolean"}], "type": "array"}""")
+  }
+
   test("tuple: min/max length with variadic (tuple.rs:257,298)") {
     val spec = TupleSpec(Seq(IntSpec()), variadic = Some(AnySpec),
       minLength = Some(2), maxLength = Some(3))
