@@ -888,7 +888,7 @@ object SparkEntry {
           from_json(col("props"),
             org.apache.spark.sql.types.DataType.fromDDL("k BIGINT"))
             .getField("k").as("k")).as("rec"))
-      val spec = TaggedUnionSpec("event_type", Map(
+      val spec = TaggedUnionSpec("event_type", Seq(
         "purchase" -> ModelSpec("purchase",
           Seq(FieldSpec("value", FloatSpec(ge = Some(10.0))))),
         "click" -> ModelSpec("click",

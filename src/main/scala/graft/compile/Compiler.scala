@@ -842,24 +842,29 @@ object Compiler {
       case _: StringType if !strict => s.mode match {
         case BytesEncoding.Utf8 => (input.cast(BinaryType), Nil)
         case BytesEncoding.Base64 =>
-          // unpadded accepted like the Rust base64 crate (general purpose,
-          // lenient padding); length ≡ 1 (mod 4) is never decodable
-          val ok = input.rlike("^[A-Za-z0-9+/]*={0,2}$") &&
-            length(regexp_replace(input, "=", "")) % 4 =!= 1
-          (when(ok, unbase64(input)),
-            Seq(when(input.isNotNull && !ok,
-              oneS(loc, "bytes_invalid_encoding",
-                "Data should be valid base64: invalid base64", input,
-                Map("encoding" -> "base64",
-                  "encoding_error" -> "invalid base64")))))
+          // native decode with the reference's exact two-alphabet fallback
+          // and crate error strings (config.rs:88-102, base64 0.22.1;
+          // golden strings test_json.py:229) — one evaluation per row,
+          // URL_SAFE and STANDARD alphabets both accepted like pydantic
+          val dec = graft.functions.BytesDecode.base64Col(input)
+          val err = dec.getField("err")
+          (dec.getField("bytes"),
+            Seq(when(input.isNotNull && err.isNotNull,
+              one(loc, "bytes_invalid_encoding",
+                concat(lit("Data should be valid base64: "), err), input,
+                map(lit("encoding"), lit("base64"),
+                  lit("encoding_error"), err)))))
         case BytesEncoding.Hex =>
-          val ok = input.rlike("^([0-9a-fA-F]{2})*$")
-          (when(ok, unhex(input)),
-            Seq(when(input.isNotNull && !ok,
-              oneS(loc, "bytes_invalid_encoding",
-                "Data should be valid hex: invalid hex", input,
-                Map("encoding" -> "hex",
-                  "encoding_error" -> "invalid hex")))))
+          // hex crate 0.4.3 semantics: odd length first, then first bad
+          // char with Rust char-debug rendering (test_json.py:261,273)
+          val dec = graft.functions.BytesDecode.hexCol(input)
+          val err = dec.getField("err")
+          (dec.getField("bytes"),
+            Seq(when(input.isNotNull && err.isNotNull,
+              one(loc, "bytes_invalid_encoding",
+                concat(lit("Data should be valid hex: "), err), input,
+                map(lit("encoding"), lit("hex"),
+                  lit("encoding_error"), err)))))
       }
       case _ =>
         return typeViolation(loc, T.bytesType, "Input should be a valid bytes",
@@ -1448,9 +1453,9 @@ object Compiler {
         // (`errors/types.rs` UnionTagInvalid: "Input tag '{tag}' found using
         // '{discriminator}' does not match any of the expected tags:
         // {expected_tags}") and carry tag/expected_tags in ctx. Tag order is
-        // sorted — Scala's HashMap iteration order is nondeterministic above
-        // 4 entries (documented deviation from insertion order).
-        val expectedTags = s.choices.keys.toSeq.sorted
+        // declaration order, matching the reference's tags_repr which walks
+        // the choices dict in insertion order (`union.rs:316-331`).
+        val expectedTags = s.choices.map(_._1)
           .map("'" + _ + "'").mkString(", ")
         val unknownMsg = concat(
           lit("Input tag '"), coalesce(disc.cast(StringType), lit("None")),

@@ -180,7 +180,7 @@ object ModelValidator {
    * the row projection over the 64KB codegen method limit. */
   def specWeight(s: Spec): Int = s match {
     case m: ModelSpec => 1 + m.fields.map(f => specWeight(f.spec)).sum
-    case TaggedUnionSpec(_, cs) => 1 + cs.values.map(specWeight).sum
+    case TaggedUnionSpec(_, cs) => 1 + cs.map(p => specWeight(p._2)).sum
     // Smart unions compile every branch strict+lax
     case UnionSpec(cs, UnionMode.Smart) => 1 + 2 * cs.map(specWeight).sum
     case UnionSpec(cs, _) => 1 + cs.map(specWeight).sum

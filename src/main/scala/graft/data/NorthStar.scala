@@ -22,7 +22,7 @@ object NorthStar {
 
   /** Website tagged union: type -> blog | profile; profile nests a second
    * discriminator on network (exactly the reference's two-level shape). */
-  val websiteSpec: Spec = TaggedUnionSpec("type", Map(
+  val websiteSpec: Spec = TaggedUnionSpec("type", Seq(
     "blog" -> ModelSpec("Blog", Seq(
       FieldSpec("type", LiteralSpec(Seq("blog"))),
       FieldSpec("title", StrSpec(minLength = Some(1))),
@@ -31,7 +31,7 @@ object NorthStar {
       FieldSpec("avg_post_rating", FloatSpec(ge = Some(0.0), le = Some(5.0))),
       FieldSpec("url", UrlSpec(allowedSchemes = Seq("http", "https"),
         hostRequired = true)))),
-    "profile" -> TaggedUnionSpec("network", Map(
+    "profile" -> TaggedUnionSpec("network", Seq(
       "facebook" -> ModelSpec("FacebookProfile", Seq(
         FieldSpec("network", LiteralSpec(Seq("facebook"))),
         FieldSpec("username", StrSpec(minLength = Some(1))),

@@ -93,7 +93,7 @@ object JsonSchemaGen {
       obj(Seq("anyOf" -> choices.map(toJson).mkString("[", ", ", "]")))
     case TaggedUnionSpec(disc, choices) =>
       obj(Seq(
-        "oneOf" -> choices.values.map(toJson).mkString("[", ", ", "]"),
+        "oneOf" -> choices.map(p => toJson(p._2)).mkString("[", ", ", "]"),
         "discriminator" -> obj(Seq("propertyName" -> str(disc)))))
     case s: ListSpec =>
       obj(Seq("type" -> str("array"), "items" -> toJson(s.item)) ++

@@ -81,7 +81,7 @@ object JsonSchemaReader {
       val cs = n.get("oneOf").elements().asScala.toSeq.zipWithIndex.map {
         case (c, i) => optText(c, "title").getOrElse(i.toString) -> read(c)
       }
-      return TaggedUnionSpec(disc, cs.toMap)
+      return TaggedUnionSpec(disc, cs)
     }
     if (n.has("enum"))
       return EnumSpec(n.get("enum").elements().asScala.map(_.asText).toSeq)

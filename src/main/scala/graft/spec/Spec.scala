@@ -171,9 +171,10 @@ object NowOp {
 /** Bytes schema — reference `validators/bytes.rs`; lengths are byte counts.
  * `mode` mirrors config `val_json_bytes` (`validators/config.rs`
  * ValBytesMode): how a STRING input coerces to bytes — utf8 (raw bytes),
- * base64, or hex; a malformed encoded string is `bytes_invalid_encoding`.
- * Deviation (documented): the encoding_error detail string is generic, not
- * the offset-precise message of the Rust base64/hex crates. */
+ * base64, or hex; a malformed encoded string is `bytes_invalid_encoding`
+ * carrying the Rust base64-/hex-crate Display string as `encoding_error`
+ * (offset-precise, two-alphabet base64 fallback — see
+ * [[graft.functions.BytesDecode]]). */
 final case class BytesSpec(
     minLength: Option[Int] = None,
     maxLength: Option[Int] = None,
@@ -327,8 +328,10 @@ final case class TaggedUnionSpec(
     discriminator: String,
     /** per-tag spec — usually a ModelSpec, but any Spec (e.g. a nested
      * TaggedUnionSpec for two-level discriminators like the reference
-     * north-star's Website -> SocialProfile). */
-    choices: Map[String, Spec]
+     * north-star's Website -> SocialProfile). Ordered: `expected_tags`
+     * renders in declaration order like the reference's choices dict
+     * (`union.rs:316-331` builds tags_repr by insertion order). */
+    choices: Seq[(String, Spec)]
 ) extends Spec
 
 /** Override the error emitted by the inner spec — reference

@@ -299,7 +299,7 @@ class FunctionTupleSpec extends SparkTestBase {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(
         Seq(Row(Row("frog", 1L)), Row(Row(null, 1L))), 1), schema)
-    val spec = TaggedUnionSpec("kind", Map(
+    val spec = TaggedUnionSpec("kind", Seq(
       "cat" -> ModelSpec("c", Seq(FieldSpec("v", IntSpec()))),
       "dog" -> ModelSpec("d", Seq(FieldSpec("v", IntSpec())))))
     val c = Compiler.compile(col("s"), schema("s").dataType,

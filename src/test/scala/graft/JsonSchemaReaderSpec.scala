@@ -35,7 +35,7 @@ class JsonSchemaReaderSpec extends SparkTestBase {
       WithDefaultSpec(StrSpec(), "dflt"),
       WithDefaultSpec(AnySpec, "42"),
       UnionSpec(Seq(IntSpec(), StrSpec())),
-      TaggedUnionSpec("kind", scala.collection.immutable.ListMap(
+      TaggedUnionSpec("kind", Seq(
         "A" -> ModelSpec("A", Seq(FieldSpec("x", IntSpec()))),
         "B" -> ModelSpec("B", Seq(FieldSpec("y", StrSpec()))))),
       ListSpec(StrSpec(minLength = Some(1)), minLength = Some(1)),

@@ -257,7 +257,7 @@ class PropertySpec extends SparkTestBase {
       case w: WithDefaultSpec => containsRef(w.inner)
       case ChainSpec(ss) => ss.exists(containsRef)
       case u: UnionSpec => u.choices.exists(containsRef)
-      case t: TaggedUnionSpec => t.choices.values.exists(containsRef)
+      case t: TaggedUnionSpec => t.choices.exists(p => containsRef(p._2))
       case l: ListSpec => containsRef(l.item)
       case m: ModelSpec => m.fields.exists(f => containsRef(f.spec))
       case _ => false

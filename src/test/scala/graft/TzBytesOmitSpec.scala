@@ -97,6 +97,56 @@ class TzBytesOmitSpec extends SparkTestBase {
     assert(out(2)._2 == Seq("bytes_invalid_encoding")) // odd length
   }
 
+  test("bytes encoding_error: the reference's exact crate Display strings " +
+      "(test_json.py:229,261,273; base64 0.22.1 / hex 0.4.3)") {
+    import org.apache.spark.sql.functions._
+    import graft.compile.Compiler
+    def msgs(spec: Spec, inputs: Seq[String]): Seq[(String, String)] = {
+      val schema = StructType(Seq(StructField("x", StringType)))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(
+        inputs.map(org.apache.spark.sql.Row(_)), 1), schema)
+      val c = Compiler.compile(col("x"), StringType, array(lit("x")), spec,
+        Mode.Lax)
+      df.select(
+          element_at(c.violations, 1).getField("msg"),
+          element_at(c.violations, 1).getField("ctx").getItem("encoding_error"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+    }
+    // pydantic-core tests/test_json.py:229 — 'wrong!': '!' (33) at offset 5
+    val b = msgs(BytesSpec(mode = BytesEncoding.Base64),
+      Seq("wrong!", "aa=", "aaaaa", "ab"))
+    assert(b(0) == (("Data should be valid base64: Invalid symbol 33, offset 5.",
+      "Invalid symbol 33, offset 5.")))
+    // partial padding under DecodePaddingMode::Indifferent
+    assert(b(1)._2 == "Invalid padding")
+    // 5 symbols, no padding -> symbols ≡ 1 (mod 4)
+    assert(b(2)._2 == "Invalid input length: 5")
+    // 'b' = 27 carries nonzero trailing bits in a 2-symbol tail
+    assert(b(3)._2 == "Invalid last symbol 98, offset 1.")
+    // test_json.py:261,273 — hex odd length, then Rust char-debug rendering
+    val h = msgs(BytesSpec(mode = BytesEncoding.Hex), Seq("a", "ag"))
+    assert(h(0) == (("Data should be valid hex: Odd number of digits",
+      "Odd number of digits")))
+    assert(h(1) == (("Data should be valid hex: Invalid character 'g' at position 1",
+      "Invalid character 'g' at position 1")))
+  }
+
+  test("bytes mode=base64: URL_SAFE alphabet accepted with STANDARD fallback " +
+      "(config.rs:91-96 two-engine decode)") {
+    val spec = BytesSpec(mode = BytesEncoding.Base64)
+    // '-_' (url-safe) and '+/' (standard, via fallback) both decode;
+    // 'a-a+' mixes alphabets -> the fallback engine still errors
+    val out = run(spec, StringType, Seq("-_-_", "+/+/", "a-a+"))
+    assert(out(0)._2 == Seq())
+    assert(out(1)._2 == Seq())
+    assert(out(2)._2 == Seq("bytes_invalid_encoding"))
+    // 111110 111111 111110 111111 -> 0xFB 0xFF 0xBF in both alphabets
+    assert(out(0)._1.asInstanceOf[Array[Byte]].toSeq ==
+      Array(0xfb, 0xff, 0xbf).map(_.toByte).toSeq)
+    assert(out(1)._1.asInstanceOf[Array[Byte]].toSeq ==
+      Array(0xfb, 0xff, 0xbf).map(_.toByte).toSeq)
+  }
+
   test("bytes mode=base64 composes with byte-count length checks") {
     val spec = BytesSpec(minLength = Some(3), mode = BytesEncoding.Base64)
     // "aGk" decodes to "hi" (2 bytes) -> bytes_too_short
