@@ -1082,37 +1082,52 @@ object SparkEntry {
         h2((c / 256).cast("int")))
       def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
         le16h((c / 65536).cast("int")))
-      def rep(unit: Column, times: Column, maxTimes: Int, unitLen: Column) =
-        concat(Seq.fill(maxTimes)(unit): _*).substr(lit(1), times * unitLen)
+      // SQL repeat with a COLUMN count: one expression node, vs the
+      // concat(Seq.fill(max)(unit)).substr form whose duplicated unit
+      // trees pushed the synthesis projection past Janino's 64KB method
+      // limit (codegen fallback to interpreted eval)
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
       // BMP: BGR pixel, rows padded to 4 bytes with 0xFF sentinels (a
       // walker that reads padding would corrupt max/sums immediately)
       val bgr = concat(h2(b), h2(g), h2(r))
       val padB = pmod(lit(4) - pmod(w * 3, lit(4)), lit(4))
-      val bmpRow = concat(rep(bgr, w, 13, lit(6)),
-        rep(lit("FF"), padB, 3, lit(2)))
+      val bmpRow = concat(rep(bgr, w), rep(lit("FF"), padB))
       val stride = w * 3 + padB
       val bmpHex = concat(lit("424D"), le32h(lit(54) + stride * h),
         lit("00000000"), le32h(lit(54)), le32h(lit(40)),
         le32h(w), le32h(h), lit("0100"), lit("1800"), le32h(lit(0)),
         le32h(stride * h), le32h(lit(2835)), le32h(lit(2835)),
         le32h(lit(0)), le32h(lit(0)),
-        rep(bmpRow, h, 7, stride * 2))
+        rep(bmpRow, h))
       // PPM P6: ascii header with a '#' comment line, RGB raster
       val ppmHdr = concat(lit("P6\n# c"), col("doc_id").cast("string"),
         lit("\n"), w.cast("string"), lit(" "), h.cast("string"),
         lit("\n255\n"))
       val rgb = concat(h2(r), h2(g), h2(b))
       val ppm = concat(encode(ppmHdr, "UTF-8"),
-        unhex(rep(rgb, w * h, 91, lit(6))))
+        unhex(rep(rgb, w * h)))
       val payload = when(pmod(col("doc_id"), lit(2)) === 0, unhex(bmpHex))
         .otherwise(ppm)
+      // three projections, each alias referenced 2+ times downstream, so
+      // CollapseProject keeps them apart (q_complex discipline): the
+      // payload synthesis and each raster walk run ONCE per row — the
+      // single-Column packed form re-evaluated the walk per stat field
+      // (15s for 500 rows vs sub-second staged)
+      def px(i: Int) = coalesce(
+        element_at(col("__bmp"), i), element_at(col("__ppm"), i))
       t(s, dir, "documents")
-        .select(col("doc_id"), MediaExtra.pixelStats(payload).as("p"))
-        .select(col("doc_id"), col("p.format").as("fmt"),
-          col("p.width").as("width"), col("p.height").as("height"),
-          col("p.sum_r").as("sum_r"), col("p.sum_g").as("sum_g"),
-          col("p.sum_b").as("sum_b"), col("p.n_px").as("n_px"),
-          col("p.min_ch").as("min_ch"), col("p.max_ch").as("max_ch"))
+        .select(col("doc_id"), payload.as("__pl"))
+        .select(col("doc_id"),
+          MediaExtra.bmpScan(col("__pl")).as("__bmp"),
+          MediaExtra.ppmScan(col("__pl")).as("__ppm"))
+        .select(col("doc_id"),
+          when(col("__bmp").isNotNull, "bmp")
+            .when(col("__ppm").isNotNull, "ppm").as("fmt"),
+          px(1).cast("int").as("width"), px(2).cast("int").as("height"),
+          px(3).as("sum_r"), px(4).as("sum_g"), px(5).as("sum_b"),
+          px(6).as("n_px"), px(7).cast("int").as("min_ch"),
+          px(8).cast("int").as("max_ch"))
     }),
 
     // ---- multimodal: container/tag metadata — TIFF IFD dims (both byte
@@ -1185,23 +1200,32 @@ object SparkEntry {
         le32h(lit(0)), le32h(lit(0)), le32h(lit(0)), lit("00"), lit("01"))
       val payload = unhex(when(m === 0, tiff).when(m === 1, ico)
         .when(m === 2, id3).when(m === 3, opus).otherwise(vorbis))
-      val td = MediaExtra.tiffDims(payload)
-      val ic = MediaExtra.icoDims(payload)
-      val i2 = MediaExtra.id3v2Tags(payload)
-      val i1 = MediaExtra.id3v1Tags(payload)
-      val og = MediaExtra.oggInfo(payload)
-      t(s, dir, "documents").select(col("doc_id"),
-        when(m === 0, "tiff").when(m === 1, "ico").when(m === 2, "id3")
-          .otherwise("ogg").as("kind"),
-        coalesce(td.getField("width"), ic.getField("width")).as("width"),
-        coalesce(td.getField("height"), ic.getField("height")).as("height"),
-        i2.getField("version").as("id3_version"),
-        i2.getField("title").as("title"),
-        i2.getField("artist").as("artist"),
-        i1.getField("title").as("v1_title"),
-        og.getField("codec").as("codec"),
-        og.getField("channels").as("channels"),
-        og.getField("sample_rate").as("sample_rate"))
+      // staged like m_pixel_stats: payload synthesis once, each header
+      // scan once, then a cheap unpack projection
+      t(s, dir, "documents")
+        .select(col("doc_id"), m.as("__m"), payload.as("__pl"))
+        .select(col("doc_id"), col("__m"),
+          MediaExtra.tiffScan(col("__pl")).as("__td"),
+          MediaExtra.icoDims(col("__pl")).as("__ic"),
+          MediaExtra.id3v2Scan(col("__pl")).as("__i2"),
+          MediaExtra.id3v1Tags(col("__pl")).as("__i1"),
+          MediaExtra.oggScan(col("__pl")).as("__og"))
+        .select(col("doc_id"),
+          when(col("__m") === 0, "tiff").when(col("__m") === 1, "ico")
+            .when(col("__m") === 2, "id3").otherwise("ogg").as("kind"),
+          coalesce(element_at(col("__td"), 1).cast("int"),
+            col("__ic.width")).as("width"),
+          coalesce(element_at(col("__td"), 2).cast("int"),
+            col("__ic.height")).as("height"),
+          element_at(col("__i2"), 1).as("id3_version"),
+          element_at(col("__i2"), 2).as("title"),
+          element_at(col("__i2"), 3).as("artist"),
+          col("__i1.title").as("v1_title"),
+          when(element_at(col("__og"), 1) === 0L, "opus")
+            .when(element_at(col("__og"), 1).isNotNull, "vorbis")
+            .as("codec"),
+          element_at(col("__og"), 2).cast("int").as("channels"),
+          element_at(col("__og"), 3).cast("int").as("sample_rate"))
     }),
 
     // ---- complex numbers (validators/complex.rs -> Python complex()

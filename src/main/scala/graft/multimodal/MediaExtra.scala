@@ -34,40 +34,32 @@ object MediaExtra {
 
   // ------------------------------------------------------------- BMP/PPM
 
-  /** struct(format, width, height, sum_r, sum_g, sum_b, n_px, min_ch,
-   * max_ch) — REAL pixel decode of uncompressed 24-bit BMPs (BGR rows
-   * bottom-up, 4-byte row padding skipped) and binary PPM P6 (RGB,
-   * maxval <= 255). Channel sums are exact longs so a SQL oracle replays
-   * means as rationals. Null for anything else. */
-  def pixelStats(bin: Column): Column = {
-    val bmp = ColumnShim.column(BmpPixelStats(ColumnShim.expression(bin)))
-    val ppm = ColumnShim.column(PpmInfo(ColumnShim.expression(bin)))
-    def pack(fmt: String, a: Column) = struct(
-      lit(fmt).as("format"),
-      element_at(a, 1).cast(IntegerType).as("width"),
-      element_at(a, 2).cast(IntegerType).as("height"),
-      element_at(a, 3).as("sum_r"), element_at(a, 4).as("sum_g"),
-      element_at(a, 5).as("sum_b"), element_at(a, 6).as("n_px"),
-      element_at(a, 7).cast(IntegerType).as("min_ch"),
-      element_at(a, 8).cast(IntegerType).as("max_ch"))
-    when(bmp.isNotNull, pack("bmp", bmp))
-      .when(ppm.isNotNull, pack("ppm", ppm))
-      .otherwise(lit(null).cast(
-        "struct<format:string,width:int,height:int,sum_r:bigint," +
-          "sum_g:bigint,sum_b:bigint,n_px:bigint,min_ch:int,max_ch:int>"))
-  }
+  /** Raw scan arrays, one per format. STAGE-ONCE DISCIPLINE: a caller
+   * unpacking the 8 stat slots references the array 8+ times, so the scan
+   * must be materialized as its OWN projection first (the q_complex /
+   * `Similarity.withNormalized` shape) — CollapseProject then refuses to
+   * inline it and each raster walks ONCE per row. Handing `bmpScan(bin)`
+   * straight to a multi-field unpack instead duplicates the walk (and the
+   * whole `bin` synthesis tree) per field: the original single-Column
+   * packing measured 15s for 500 rows; the staged shape is sub-second.
+   *
+   * Slots (longs): 1=width, 2=height, 3=sum_r, 4=sum_g, 5=sum_b, 6=n_px,
+   * 7=min_ch, 8=max_ch. BMP: uncompressed 24-bit, BGR rows bottom-up,
+   * 4-byte row padding skipped. PPM: binary P6, maxval <= 255, `#`
+   * header comments. Null for anything else. */
+  def bmpScan(bin: Column): Column =
+    ColumnShim.column(BmpPixelStats(ColumnShim.expression(bin)))
+
+  def ppmScan(bin: Column): Column =
+    ColumnShim.column(PpmInfo(ColumnShim.expression(bin)))
 
   // ---------------------------------------------------------- TIFF / ICO
 
-  /** struct(width, height) from TIFF IFD0 tags 256/257 (both byte
-   * orders, SHORT and LONG entry types); null otherwise. */
-  def tiffDims(bin: Column): Column = {
-    val a = ColumnShim.column(TiffDims(ColumnShim.expression(bin)))
-    when(a.isNotNull, struct(
-      element_at(a, 1).cast(IntegerType).as("width"),
-      element_at(a, 2).cast(IntegerType).as("height")))
-      .otherwise(lit(null).cast("struct<width:int,height:int>"))
-  }
+  /** array(width, height) from TIFF IFD0 tags 256/257 (both byte orders,
+   * SHORT and LONG entry types); null otherwise. Stage-once: see
+   * [[bmpScan]]. */
+  def tiffScan(bin: Column): Column =
+    ColumnShim.column(TiffDims(ColumnShim.expression(bin)))
 
   def isIco(bin: Column): Column =
     octet_length(bin) >= 22 && hex(substring(bin, 1, 4)) === "00000100" &&
@@ -95,34 +87,21 @@ object MediaExtra {
       .otherwise(lit(null).cast("struct<title:string,artist:string>"))
   }
 
-  /** struct(version, title, artist) from an ID3v2.2-2.4 header's TIT2 /
+  /** array(version, title, artist) from an ID3v2.2-2.4 header's TIT2 /
    * TPE1 frames (ISO-8859-1 and UTF-8 text encodings; v2.4 syncsafe and
-   * v2.3 plain frame sizes); struct null for non-ID3v2 payloads, fields
-   * null when the frame is absent. */
-  def id3v2Tags(bin: Column): Column = {
-    val a = ColumnShim.column(Id3v2Tags(ColumnShim.expression(bin)))
-    when(a.isNotNull, struct(
-      element_at(a, 1).as("version"),
-      element_at(a, 2).as("title"),
-      element_at(a, 3).as("artist")))
-      .otherwise(lit(null).cast(
-        "struct<version:string,title:string,artist:string>"))
-  }
+   * v2.3 plain frame sizes); null for non-ID3v2 payloads, elements null
+   * when the frame is absent. Stage-once: see [[bmpScan]]. */
+  def id3v2Scan(bin: Column): Column =
+    ColumnShim.column(Id3v2Tags(ColumnShim.expression(bin)))
 
   // ---------------------------------------------------------------- OGG
 
-  /** struct(codec, channels, sample_rate) from the first OGG page's
-   * identification header — OpusHead (the 48kHz-internal input rate
-   * field) or Vorbis; null for non-OGG bytes. */
-  def oggInfo(bin: Column): Column = {
-    val a = ColumnShim.column(OggInfo(ColumnShim.expression(bin)))
-    when(a.isNotNull, struct(
-      when(element_at(a, 1) === 0L, "opus").otherwise("vorbis").as("codec"),
-      element_at(a, 2).cast(IntegerType).as("channels"),
-      element_at(a, 3).cast(IntegerType).as("sample_rate")))
-      .otherwise(lit(null).cast(
-        "struct<codec:string,channels:int,sample_rate:int>"))
-  }
+  /** array(codec_id, channels, sample_rate) from the first OGG page's
+   * identification header — codec_id 0 = OpusHead (the 48kHz-internal
+   * input rate field), 1 = Vorbis; null for non-OGG bytes. Stage-once:
+   * see [[bmpScan]]. */
+  def oggScan(bin: Column): Column =
+    ColumnShim.column(OggInfo(ColumnShim.expression(bin)))
 }
 
 /** Shared shape for the long-array media scan expressions. */
