@@ -1066,10 +1066,13 @@ object SparkEntry {
 
     // ---- multimodal: REAL pixel decode — synthesized uncompressed
     // 24-bit BMPs (bottom-up BGR rows, live 4-byte padding the walker
-    // must skip) and binary PPM P6 rasters (with a header comment),
-    // solid per-doc colors so the DuckDB oracle replays exact channel
-    // sums from arithmetic. The engine's first content decode beyond
-    // headers; channel sums are longs (means = rationals downstream).
+    // must skip), binary PPM P6 rasters (with a header comment), and
+    // true PNGs (zlib stream with a stored-deflate block; the decoder
+    // inflates with the JDK Inflater and unfilters scanlines — the
+    // compressed-deflate + filter-1..4 paths are pinned by MediaPixelSpec
+    // against real Deflater output). Solid per-doc colors so the DuckDB
+    // oracle replays exact channel sums from arithmetic; channel sums
+    // are longs (means = rationals downstream).
     "m_pixel_stats" -> ((s, dir) => {
       import graft.multimodal.MediaExtra
       val w = (pmod(col("doc_id"), lit(13)) + 1).cast("int")
@@ -1107,23 +1110,41 @@ object SparkEntry {
       val rgb = concat(h2(r), h2(g), h2(b))
       val ppm = concat(encode(ppmHdr, "UTF-8"),
         unhex(rep(rgb, w * h)))
-      val payload = when(pmod(col("doc_id"), lit(2)) === 0, unhex(bmpHex))
-        .otherwise(ppm)
+      // PNG: stored-deflate zlib (BFINAL=1 BTYPE=00 block), filter byte 0
+      // per scanline. The decoder inflates RAW past the zlib header and
+      // never reads the Adler-32 / chunk CRCs, so those trail as zeros
+      // (IEND's constant CRC is the real one).
+      def be32h(c: Column) = lpad(hex(c), 8, "0")
+      val pngN = h * (w * 3 + 1) // filter byte + RGB row, h rows
+      val pngRow = concat(lit("00"), rep(rgb, w))
+      val pngZlib = concat(lit("780101"), le16h(pngN),
+        le16h(lit(65535) - pngN), rep(pngRow, h), lit("00000000"))
+      val pngHex = concat(lit("89504E470D0A1A0A"),
+        lit("0000000D49484452"), be32h(w), be32h(h), lit("0802000000"),
+        lit("00000000"),
+        be32h(pngN + 11), lit("49444154"), pngZlib, lit("00000000"),
+        lit("0000000049454E44AE426082"))
+      val m3 = pmod(col("doc_id"), lit(3)).cast("int")
+      val payload = when(m3 === 0, unhex(bmpHex))
+        .when(m3 === 1, ppm).otherwise(unhex(pngHex))
       // three projections, each alias referenced 2+ times downstream, so
       // CollapseProject keeps them apart (q_complex discipline): the
       // payload synthesis and each raster walk run ONCE per row — the
       // single-Column packed form re-evaluated the walk per stat field
       // (15s for 500 rows vs sub-second staged)
       def px(i: Int) = coalesce(
-        element_at(col("__bmp"), i), element_at(col("__ppm"), i))
+        element_at(col("__bmp"), i), element_at(col("__ppm"), i),
+        element_at(col("__png"), i))
       t(s, dir, "documents")
         .select(col("doc_id"), payload.as("__pl"))
         .select(col("doc_id"),
           MediaExtra.bmpScan(col("__pl")).as("__bmp"),
-          MediaExtra.ppmScan(col("__pl")).as("__ppm"))
+          MediaExtra.ppmScan(col("__pl")).as("__ppm"),
+          MediaExtra.pngScan(col("__pl")).as("__png"))
         .select(col("doc_id"),
           when(col("__bmp").isNotNull, "bmp")
-            .when(col("__ppm").isNotNull, "ppm").as("fmt"),
+            .when(col("__ppm").isNotNull, "ppm")
+            .when(col("__png").isNotNull, "png").as("fmt"),
           px(1).cast("int").as("width"), px(2).cast("int").as("height"),
           px(3).as("sum_r"), px(4).as("sum_g"), px(5).as("sum_b"),
           px(6).as("n_px"), px(7).cast("int").as("min_ch"),
@@ -1390,6 +1411,49 @@ object SparkEntry {
         .select(col("doc_id"), MediaHeaders.wavInfo(col("__wav")).as("w"))
         .select(col("doc_id"), col("w.sample_rate"), col("w.channels"),
           col("w.byte_rate"), col("w.duration_ms"))
+    }),
+
+    // ---- multimodal: REAL audio content decode — synthesized 16-bit
+    // PCM WAVs carrying a square wave (amplitude/channels/length all
+    // doc-deterministic, the doc_id%11 slice saturated at 32767 so the
+    // clipping counter has live rows); the sample walker reads every
+    // frame, so sum_abs/peak/n_clipped replay from closed-form
+    // arithmetic in the oracle
+    "m_audio_pcm" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      val sr = (lit(8000) + pmod(col("doc_id"), lit(8)).cast("int") * 4000)
+        .cast("int")
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val amp = when(pmod(col("doc_id"), lit(11)) === 0, lit(32767))
+        .otherwise(pmod(col("doc_id") * 37, lit(32767)).cast("int"))
+      val half = (pmod(col("doc_id"), lit(50)) + 1).cast("int")
+      val nFrames = half * 2
+      val ds = nFrames * ch * 2
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val neg = pmod(lit(65536) - amp, lit(65536))
+      val pair = concat(rep(le16h(amp), ch), rep(le16h(neg), ch))
+      val wav = concat(
+        lit("52494646"), le32h(ds + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), le16h(ch),
+        le32h(sr), le32h(sr * ch * 2), le16h(ch * 2), lit("1000"),
+        lit("64617461"), le32h(ds), rep(pair, half))
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(wav).as("__wav"))
+        .select(col("doc_id"),
+          MediaExtra.wavPcmScan(col("__wav")).as("__pcm"))
+        .select(col("doc_id"),
+          element_at(col("__pcm"), 1).cast("int").as("channels"),
+          element_at(col("__pcm"), 2).cast("int").as("sample_rate"),
+          element_at(col("__pcm"), 3).as("n_frames"),
+          element_at(col("__pcm"), 4).as("sum_abs"),
+          element_at(col("__pcm"), 5).as("peak"),
+          element_at(col("__pcm"), 6).as("n_clipped"))
     }),
 
     // ---- function/custom validators: AfterValidator transform, named
@@ -2981,6 +3045,22 @@ object SparkEntry {
         |    ((8000 + (doc_id % 8) * 4000) * (doc_id % 2 + 1) * 2) AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
 
+    // the engine walked every PCM sample; the oracle replays the square
+    // wave's stats in closed form (amplitude A, n2 frames, ch channels:
+    // sum_abs = n2*ch*A, both half-cycles clip when A saturates)
+    "m_audio_pcm" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+        |  (doc_id % 50 + 1) * 2 AS n_frames,
+        |  (doc_id % 50 + 1) * 2 * (doc_id % 2 + 1) * a AS sum_abs,
+        |  CAST(a AS BIGINT) AS peak,
+        |  CAST(CASE WHEN a = 32767
+        |    THEN (doc_id % 50 + 1) * 2 * (doc_id % 2 + 1)
+        |    ELSE 0 END AS BIGINT) AS n_clipped
+        |FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 32767
+        |  ELSE (doc_id * 37) % 32767 END AS a FROM documents)""".stripMargin,
+
     "m_image_dims" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
@@ -2993,7 +3073,8 @@ object SparkEntry {
     // from the solid-color synthesis arithmetic (exact longs throughout)
     "m_pixel_stats" ->
       """SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |       ELSE 'png' END AS fmt,
         |  CAST(doc_id % 13 + 1 AS INT) AS width,
         |  CAST(doc_id % 7 + 1 AS INT) AS height,
         |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 13) % 256) AS sum_r,

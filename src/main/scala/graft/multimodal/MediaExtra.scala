@@ -53,6 +53,16 @@ object MediaExtra {
   def ppmScan(bin: Column): Column =
     ColumnShim.column(PpmInfo(ColumnShim.expression(bin)))
 
+  /** Same slots — REAL PNG decode: zlib inflate (JDK Inflater) + RFC 2083
+   * scanline unfiltering; see [[PngPixelStats.scan]]. */
+  def pngScan(bin: Column): Column =
+    ColumnShim.column(PngPixelStats(ColumnShim.expression(bin)))
+
+  /** array(channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped)
+   * — REAL WAV PCM s16 sample decode; see [[WavPcmStats.scan]]. */
+  def wavPcmScan(bin: Column): Column =
+    ColumnShim.column(WavPcmStats(ColumnShim.expression(bin)))
+
   // ---------------------------------------------------------- TIFF / ICO
 
   /** array(width, height) from TIFF IFD0 tags 256/257 (both byte orders,
@@ -403,5 +413,198 @@ object OggInfo {
     else if (p + 16 <= b.length && u8(p) == 1 && tag(p + 1, "vorbis"))
       Array(1L, u8(p + 11).toLong, le32(p + 12))
     else null
+  }
+}
+
+/** Full PNG pixel decode (see [[PngPixelStats.scan]]). */
+case class PngPixelStats(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "png_pixel_stats"
+  override protected def staticScan: String =
+    "graft.multimodal.PngPixelStats.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    PngPixelStats.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): PngPixelStats =
+    copy(child = newChild)
+}
+
+object PngPixelStats {
+  private final val MaxPixels = 1L << 26 // 64 Mpx decode bound per payload
+
+  /** [width, height, sumR, sumG, sumB, nPx, minCh, maxCh] — REAL PNG
+   * decode, no codec library: chunk walk, multi-IDAT zlib inflate via the
+   * JDK's `java.util.zip.Inflater` (raw-deflate mode after validating the
+   * 2-byte zlib header, so the Adler-32 trailer is not required), and
+   * full scanline unfiltering (None/Sub/Up/Average/Paeth, RFC 2083 §6).
+   * Scope: 8-bit depth, color types 2 (RGB) and 6 (RGBA, alpha excluded
+   * from stats), no interlace. Chunk CRCs are NOT verified (the common
+   * fast-path choice, e.g. libpng's PNG_CRC_QUIET_USE); anything else —
+   * truncated stream, bad filter byte, short inflate — returns null. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 45) return null
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    var k = 0
+    while (k < 8) { if ((b(k) & 0xFF) != sig(k)) return null; k += 1 }
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    @inline def isTag(i: Int, s: String): Boolean =
+      s.indices.forall(j => u8(i + j) == s.charAt(j))
+    // pass 1: IHDR fields + total IDAT payload size
+    var w = -1L; var h = -1L; var bpp = 0
+    var idatLen = 0L
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = be32(i)
+      if (len < 0 || len > Int.MaxValue - 12 ||
+        i + 12 + len > b.length) return null
+      if (isTag(i + 4, "IHDR")) {
+        if (len != 13) return null
+        w = be32(i + 8); h = be32(i + 12)
+        val depth = u8(i + 16); val ct = u8(i + 17)
+        val comp = u8(i + 18); val filt = u8(i + 19); val il = u8(i + 20)
+        if (depth != 8 || (ct != 2 && ct != 6) || comp != 0 || filt != 0 ||
+          il != 0) return null
+        bpp = if (ct == 2) 3 else 4
+      } else if (isTag(i + 4, "IDAT")) idatLen += len
+      else if (isTag(i + 4, "IEND")) sawEnd = true
+      i += 12 + len.toInt
+    }
+    if (w <= 0 || h <= 0 || w * h > MaxPixels || idatLen < 3) return null
+    // pass 2: concatenate IDAT payloads
+    val z = new Array[Byte](idatLen.toInt)
+    var zp = 0
+    i = 8
+    while (i + 8 <= b.length) {
+      val len = be32(i).toInt
+      if (isTag(i + 4, "IDAT")) {
+        System.arraycopy(b, i + 8, z, zp, len); zp += len
+      }
+      i += 12 + len
+    }
+    // zlib header: deflate method, window bits; inflate RAW past it so a
+    // missing/garbage Adler-32 trailer cannot fail a full decode
+    if ((z(0) & 0x0F) != 8) return null
+    val stride = (w * bpp).toInt
+    val raw = new Array[Byte](((stride + 1).toLong * h).toInt)
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(z, 2, z.length - 2)
+      var got = 0
+      while (got < raw.length && !inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsDictionary()) return null
+        got += n
+      }
+      if (got < raw.length) return null
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inf.end()
+    // unfilter in place per RFC 2083; prior = reconstructed previous row
+    val recon = new Array[Byte](stride * h.toInt)
+    var row = 0
+    while (row < h) {
+      val f = raw(row * (stride + 1)) & 0xFF
+      if (f > 4) return null
+      val src = row * (stride + 1) + 1
+      val dst = row * stride
+      var x = 0
+      while (x < stride) {
+        val rv = raw(src + x) & 0xFF
+        val a = if (x >= bpp) recon(dst + x - bpp) & 0xFF else 0
+        val up = if (row > 0) recon(dst + x - stride) & 0xFF else 0
+        val c = if (row > 0 && x >= bpp) recon(dst + x - stride - bpp) & 0xFF
+          else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case _ => // Paeth
+            val p = a + up - c
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+        }
+        recon(dst + x) = ((rv + pred) & 0xFF).toByte
+        x += 1
+      }
+      row += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var p = 0
+    val n = w * h
+    var px = 0L
+    while (px < n) {
+      val rr = recon(p) & 0xFF; val gg = recon(p + 1) & 0xFF
+      val bb = recon(p + 2) & 0xFF
+      sr += rr; sg += gg; sb += bb
+      val lo = math.min(rr, math.min(gg, bb))
+      val hi = math.max(rr, math.max(gg, bb))
+      if (lo < mn) mn = lo
+      if (hi > mx) mx = hi
+      p += bpp; px += 1
+    }
+    Array(w, h, sr, sg, sb, n, mn, mx)
+  }
+}
+
+/** WAV PCM sample decode (see [[WavPcmStats.scan]]). */
+case class WavPcmStats(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "wav_pcm_stats"
+  override protected def staticScan: String =
+    "graft.multimodal.WavPcmStats.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    WavPcmStats.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats =
+    copy(child = newChild)
+}
+
+object WavPcmStats {
+  /** [channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped] —
+   * REAL audio content decode of RIFF/WAVE PCM (format 1, 16-bit): the
+   * data chunk is walked as signed little-endian samples. `sum_abs` and
+   * `peak_abs` are over ALL samples (channels interleaved); a sample
+   * counts as clipped when |s| >= 32767 (covering -32768). Chunk walk
+   * honors the RIFF even-byte padding rule. Null for non-WAV, non-PCM,
+   * non-16-bit, or truncated payloads. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 44) return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return null
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    var ch = -1; var rate = -1L
+    var dataOff = -1; var dataLen = -1L
+    var i = 12
+    while (i + 8 <= b.length && (ch < 0 || dataOff < 0)) {
+      val len = le32(i + 4) // chunk = [tag 4][len 4][body]
+      if (len < 0 || i + 8 + len > b.length) return null
+      if (tag(i, "fmt ") && len >= 16) {
+        if (le16(i + 8) != 1 || le16(i + 22) != 16) return null // PCM s16
+        ch = le16(i + 10); rate = le32(i + 12)
+      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = len }
+      i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
+    }
+    if (ch <= 0 || ch > 8 || rate <= 0 || dataOff < 0 ||
+      dataLen % (2L * ch) != 0) return null
+    val nSamp = (dataLen / 2).toInt
+    var sumAbs = 0L; var peak = 0L; var clipped = 0L
+    var p = dataOff
+    var k = 0
+    while (k < nSamp) {
+      val s = (u8(p) | (u8(p + 1) << 8)).toShort.toInt
+      val a = math.abs(s).toLong
+      sumAbs += a
+      if (a > peak) peak = a
+      if (a >= 32767) clipped += 1
+      p += 2; k += 1
+    }
+    Array(ch.toLong, rate, nSamp / ch, sumAbs, peak, clipped)
   }
 }
