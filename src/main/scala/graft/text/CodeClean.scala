@@ -82,11 +82,28 @@ object CodeClean {
         // share a directory with the staged pipeline frames
         stagingDir = stagingDir.map(d => s"$d/$runTag/jacc_index"))
       .select(col("id_b").as("id")).distinct()
-    red.select("id", "lang")
+    val out = red.select("id", "lang")
       .join(dupIds, Seq("id"), "left_anti")
       .join(stripped, "id")
       .select(col("id"), col("lang"),
         length(col("content")).as("n_chars"),
         sha2(col("content"), 256).as("sha"))
+    stagingDir match {
+      case Some(dir) =>
+        // stage the (orders-smaller) survivor projection, then eagerly
+        // delete the heavyweight intermediates — a long-lived service
+        // otherwise accumulates one gated+red corpus copy per invocation.
+        // The runTag path is never reused, so the FileStatusCache cannot
+        // serve a stale listing for it.
+        out.write.mode("overwrite").parquet(s"$dir/$runTag/out")
+        val spark = df.sparkSession
+        val hconf = spark.sessionState.newHadoopConf()
+        Seq("gated", "red", "jacc_index").foreach { n =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$runTag/$n")
+          p.getFileSystem(hconf).delete(p, true)
+        }
+        spark.read.parquet(s"$dir/$runTag/out")
+      case None => out
+    }
   }
 }
