@@ -1124,9 +1124,24 @@ object SparkEntry {
         lit("00000000"),
         be32h(pngN + 11), lit("49444154"), pngZlib, lit("00000000"),
         lit("0000000049454E44AE426082"))
-      val m3 = pmod(col("doc_id"), lit(3)).cast("int")
-      val payload = when(m3 === 0, unhex(bmpHex))
-        .when(m3 === 1, ppm).otherwise(unhex(pngHex))
+      // GIF: 128-entry global color table (every entry the doc color, so
+      // any index is the solid color), minCodeSize=7 -> 8-bit codes, and
+      // a CLEAR code (0x80) before every literal so the LZW dictionary
+      // never grows: the code stream is byte-aligned and synthesizable as
+      // repeat("80" + index). The decoder runs its REAL variable-width
+      // LZW; compressed multi-code streams are pinned by MediaPixelSpec's
+      // greedy-encoder round-trip.
+      val gifIdx = h2(pmod(col("doc_id"), lit(128)))
+      val gifN = w * h
+      val gifHex = concat(lit("474946383961"), le16h(w), le16h(h),
+        lit("F60000"), rep(rgb, lit(128)),
+        lit("2C"), lit("00000000"), le16h(w), le16h(h), lit("00"),
+        lit("07"), h2(gifN * 2 + 1), rep(concat(lit("80"), gifIdx), gifN),
+        lit("81"), lit("00"), lit("3B"))
+      val m4 = pmod(col("doc_id"), lit(4)).cast("int")
+      val payload = when(m4 === 0, unhex(bmpHex))
+        .when(m4 === 1, ppm).when(m4 === 2, unhex(pngHex))
+        .otherwise(unhex(gifHex))
       // three projections, each alias referenced 2+ times downstream, so
       // CollapseProject keeps them apart (q_complex discipline): the
       // payload synthesis and each raster walk run ONCE per row — the
@@ -1134,17 +1149,19 @@ object SparkEntry {
       // (15s for 500 rows vs sub-second staged)
       def px(i: Int) = coalesce(
         element_at(col("__bmp"), i), element_at(col("__ppm"), i),
-        element_at(col("__png"), i))
+        element_at(col("__png"), i), element_at(col("__gif"), i))
       t(s, dir, "documents")
         .select(col("doc_id"), payload.as("__pl"))
         .select(col("doc_id"),
           MediaExtra.bmpScan(col("__pl")).as("__bmp"),
           MediaExtra.ppmScan(col("__pl")).as("__ppm"),
-          MediaExtra.pngScan(col("__pl")).as("__png"))
+          MediaExtra.pngScan(col("__pl")).as("__png"),
+          MediaExtra.gifScan(col("__pl")).as("__gif"))
         .select(col("doc_id"),
           when(col("__bmp").isNotNull, "bmp")
             .when(col("__ppm").isNotNull, "ppm")
-            .when(col("__png").isNotNull, "png").as("fmt"),
+            .when(col("__png").isNotNull, "png")
+            .when(col("__gif").isNotNull, "gif").as("fmt"),
           px(1).cast("int").as("width"), px(2).cast("int").as("height"),
           px(3).as("sum_r"), px(4).as("sum_g"), px(5).as("sum_b"),
           px(6).as("n_px"), px(7).cast("int").as("min_ch"),
@@ -3073,8 +3090,8 @@ object SparkEntry {
     // from the solid-color synthesis arithmetic (exact longs throughout)
     "m_pixel_stats" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-        |       ELSE 'png' END AS fmt,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |       WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
         |  CAST(doc_id % 13 + 1 AS INT) AS width,
         |  CAST(doc_id % 7 + 1 AS INT) AS height,
         |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 13) % 256) AS sum_r,

@@ -58,6 +58,11 @@ object MediaExtra {
   def pngScan(bin: Column): Column =
     ColumnShim.column(PngPixelStats(ColumnShim.expression(bin)))
 
+  /** Same slots — REAL GIF decode: full variable-width LZW decompressor
+   * + color-table mapping; see [[GifPixelStats.scan]]. */
+  def gifScan(bin: Column): Column =
+    ColumnShim.column(GifPixelStats(ColumnShim.expression(bin)))
+
   /** array(channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped)
    * — REAL WAV PCM s16 sample decode; see [[WavPcmStats.scan]]. */
   def wavPcmScan(bin: Column): Column =
@@ -606,5 +611,153 @@ object WavPcmStats {
       p += 2; k += 1
     }
     Array(ch.toLong, rate, nSamp / ch, sumAbs, peak, clipped)
+  }
+}
+
+/** GIF pixel decode with a real LZW decompressor (see
+ * [[GifPixelStats.scan]]). */
+case class GifPixelStats(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "gif_pixel_stats"
+  override protected def staticScan: String =
+    "graft.multimodal.GifPixelStats.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    GifPixelStats.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): GifPixelStats =
+    copy(child = newChild)
+}
+
+object GifPixelStats {
+  private final val MaxPixels = 1L << 26
+
+  /** [width, height, sumR, sumG, sumB, nPx, minCh, maxCh] — REAL GIF
+   * decode, no codec library: logical-screen + color-table parse, block
+   * walk (extensions skipped sub-block-correctly), and a full variable-
+   * width LZW decompressor (clear/EOI codes, the KwKwK self-reference
+   * case, 4096-entry dictionary, width bumps at 2^w) over the FIRST
+   * image's index stream, mapped through the active (local-over-global)
+   * color table. Interlace is accepted: row order does not change
+   * channel sums or min/max. Null for non-GIF, truncated, or
+   * malformed-LZW payloads. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 14) return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+      (b(4) != '7' && b(4) != '9') || b(5) != 'a') return null
+    val packed = u8(10)
+    var i = 13
+    var gctOff = -1; var gctSize = 0
+    if ((packed & 0x80) != 0) {
+      gctSize = 2 << (packed & 7); gctOff = i
+      i += gctSize * 3
+    }
+    // block walk to the first image descriptor
+    while (i < b.length && u8(i) != 0x2C) {
+      u8(i) match {
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          while (i < b.length && u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x3B => return null // trailer before any image
+        case _ => return null
+      }
+    }
+    if (i + 10 > b.length) return null
+    val w = le16(i + 5); val h = le16(i + 7)
+    val iflags = u8(i + 9)
+    i += 10
+    var ctOff = gctOff; var ctSize = gctSize
+    if ((iflags & 0x80) != 0) { // local color table wins
+      ctSize = 2 << (iflags & 7); ctOff = i; i += ctSize * 3
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels || ctOff < 0 ||
+      ctOff + ctSize * 3 > b.length || i >= b.length) return null
+    val minCode = u8(i); i += 1
+    if (minCode < 2 || minCode > 8) return null
+    // concatenate the image's data sub-blocks
+    var total = 0
+    var j = i
+    while (j < b.length && u8(j) != 0) { total += u8(j); j += 1 + u8(j) }
+    if (j >= b.length) return null
+    val z = new Array[Byte](total)
+    var zp = 0; j = i
+    while (u8(j) != 0) {
+      val len = u8(j)
+      if (j + 1 + len > b.length) return null
+      System.arraycopy(b, j + 1, z, zp, len); zp += len; j += 1 + len
+    }
+    // LZW decode into the index raster
+    val n = w * h
+    val out = new Array[Byte](n)
+    var op = 0
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var width = minCode + 1; var next = eoi + 1
+    var bitPos = 0
+    var prev = -1
+    var prevFirst: Byte = 0 // first index of prev's decoded string
+    @inline def readCode(): Int = {
+      if (bitPos + width > z.length * 8) return -1
+      var v = 0; var k = 0
+      while (k < width) {
+        val bit = bitPos + k
+        if ((z(bit >> 3) & (1 << (bit & 7))) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    val stack = new Array[Byte](4096)
+    var done = false
+    while (!done && op < n) {
+      val code = readCode()
+      if (code < 0) return null
+      if (code == clear) {
+        width = minCode + 1; next = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else {
+        var sp = 0
+        var cur = code
+        if (code >= next) {
+          // KwKwK: code not yet in dict — must be prev + first(prev)
+          if (prev < 0 || code != next) return null
+          stack(sp) = prevFirst; sp += 1
+          cur = prev
+        }
+        while (cur >= clear + 2) { // walk dictionary chain
+          if (sp >= stack.length) return null
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        if (cur >= ctSize) return null // literal outside color table
+        val first = cur.toByte
+        if (op + sp + 1 > n) return null
+        out(op) = first; op += 1
+        while (sp > 0) { sp -= 1; out(op) = stack(sp); op += 1 }
+        if (prev >= 0 && next < 4096) {
+          prefix(next) = prev; suffix(next) = first
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prevFirst = first
+        prev = code
+      }
+    }
+    if (op != n) return null
+    var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var k = 0
+    while (k < n) {
+      val idx = out(k) & 0xFF
+      val p = ctOff + idx * 3
+      val rr = u8(p); val gg = u8(p + 1); val bb = u8(p + 2)
+      sr += rr; sg += gg; sb += bb
+      val lo = math.min(rr, math.min(gg, bb))
+      val hi = math.max(rr, math.max(gg, bb))
+      if (lo < mn) mn = lo
+      if (hi > mx) mx = hi
+      k += 1
+    }
+    Array(w.toLong, h.toLong, sr, sg, sb, n.toLong, mn, mx)
   }
 }

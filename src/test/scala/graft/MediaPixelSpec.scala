@@ -169,6 +169,113 @@ class MediaPixelSpec extends SparkTestBase {
     assert(out(1).isNullAt(1))
   }
 
+  // --------------------------------------------------------------- GIF
+
+  /** Independent greedy LZW ENCODER (the published GIF algorithm):
+   * variable code width, dictionary to 4096, emits CLEAR at dictionary
+   * overflow — exercises the decoder's chain-walk, width bumps, and the
+   * KwKwK case with genuinely compressed multi-code streams. */
+  private def lzwEncode(indices: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode; val eoi = clear + 1
+    var width = minCode + 1
+    val dict = scala.collection.mutable.HashMap[(Int, Int), Int]()
+    var next = eoi + 1
+    val bits = scala.collection.mutable.ArrayBuffer[Byte]()
+    var acc = 0L; var nAcc = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bits += (acc & 0xFF).toByte; acc >>= 8; nAcc -= 8 }
+    }
+    emit(clear)
+    var prev = indices(0)
+    for (k <- 1 until indices.length) {
+      val c = indices(k)
+      dict.get((prev, c)) match {
+        case Some(code) => prev = code
+        case None =>
+          emit(prev)
+          if (next < 4096) {
+            dict((prev, c)) = next
+            next += 1
+            // GIF encoders bump width when next EXCEEDS the code range
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          } else {
+            emit(clear)
+            dict.clear(); next = eoi + 1; width = minCode + 1
+          }
+          prev = c
+      }
+    }
+    emit(prev); emit(eoi)
+    if (nAcc > 0) bits += (acc & 0xFF).toByte
+    bits.toArray
+  }
+
+  private def gif(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+                  indices: Array[Int], minCode: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    val ctBits = (math.ceil(math.log(palette.length) / math.log(2)).toInt
+      max 1) - 1
+    val gct = palette.flatMap { case (r, g, b) =>
+      Array(r.toByte, g.toByte, b.toByte) }
+    val z = lzwEncode(indices, minCode)
+    val subBlocks = z.grouped(255)
+      .flatMap(g => g.length.toByte +: g).toArray
+    "GIF89a".getBytes("UTF-8") ++ le16(w) ++ le16(h) ++
+      Array((0x80 | (7 << 4) | ctBits).toByte, 0.toByte, 0.toByte) ++ gct ++
+      Array(0x2C.toByte) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
+      Array(0.toByte, minCode.toByte) ++ subBlocks ++
+      Array(0.toByte, 0x3B.toByte)
+  }
+
+  test("GIF: greedy-LZW-compressed stream round-trips exact pixel stats") {
+    val w = 16; val h = 8
+    // repetitive pattern so the encoder genuinely builds dictionary
+    // entries (and the decoder hits the KwKwK case)
+    val indices = Array.tabulate(w * h)(k => (k / 3) % 4)
+    val palette = Array.tabulate(4)(i => (i * 50, 255 - i * 60, i * 10))
+    val bytes = gif(w, h, palette, indices, minCode = 2)
+    assert(bytes.length < 6 + 7 + 12 + 10 + 2 + w * h + 4,
+      "stream should actually be compressed")
+    var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    for (i <- indices) {
+      val (r, g, b) = palette(i)
+      sr += r; sg += g; sb += b
+      mn = math.min(mn, math.min(r, math.min(g, b)))
+      mx = math.max(mx, math.max(r, math.max(g, b)))
+    }
+    assert(graft.multimodal.GifPixelStats.scan(bytes).toSeq ==
+      Seq(w.toLong, h.toLong, sr, sg, sb, (w * h).toLong, mn, mx))
+  }
+
+  test("GIF: width bumps past 2^w and a dictionary-overflow CLEAR decode") {
+    // 300 distinct-ish runs force the dictionary past 512 entries (width
+    // 9 -> 10) with an 8-bit color table
+    val rnd = new scala.util.Random(7)
+    val indices = Array.fill(6000)(rnd.nextInt(256))
+    val palette = Array.tabulate(256)(i => (i, (i * 7) % 256, (i * 13) % 256))
+    val bytes = gif(40, 150, palette, indices, minCode = 8)
+    val out = graft.multimodal.GifPixelStats.scan(bytes)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (i <- indices) { sr += palette(i)._1; sg += palette(i)._2; sb += palette(i)._3 }
+    assert(out.toSeq.slice(2, 6) == Seq(sr, sg, sb, 6000L))
+  }
+
+  test("GIF: extension blocks are skipped; rejects truncated and non-GIF") {
+    val palette = Array.tabulate(4)(i => (i, i, i))
+    val indices = Array.tabulate(8)(_ % 4)
+    val ok = gif(4, 2, palette, indices, minCode = 2)
+    // splice a graphic-control extension between LSD+GCT and the image
+    val lsdEnd = 6 + 7 + palette.length * 3
+    val ext = Array(0x21, 0xF9, 4, 0, 0, 0, 0, 0).map(_.toByte)
+    val withExt = ok.take(lsdEnd) ++ ext ++ ok.drop(lsdEnd)
+    assert(graft.multimodal.GifPixelStats.scan(withExt).toSeq ==
+      graft.multimodal.GifPixelStats.scan(ok).toSeq)
+    assert(graft.multimodal.GifPixelStats.scan(ok.dropRight(6)) == null)
+    assert(graft.multimodal.GifPixelStats.scan(
+      "GIF88a12345678".getBytes("UTF-8")) == null)
+  }
+
   // --------------------------------------------------------------- WAV
 
   private def wav(ch: Int, rate: Int, samples: Array[Int],
