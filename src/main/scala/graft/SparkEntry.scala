@@ -1138,10 +1138,41 @@ object SparkEntry {
         lit("2C"), lit("00000000"), le16h(w), le16h(h), lit("00"),
         lit("07"), h2(gifN * 2 + 1), rep(concat(lit("80"), gifIdx), gifN),
         lit("81"), lit("00"), lit("3B"))
-      val m4 = pmod(col("doc_id"), lit(4)).cast("int")
-      val payload = when(m4 === 0, unhex(bmpHex))
-        .when(m4 === 1, ppm).when(m4 === 2, unhex(pngHex))
-        .otherwise(unhex(gifHex))
+      // JPEG: REAL baseline decode (Huffman + dequant + IDCT). Grayscale,
+      // dims multiples of 8, custom DHT pair sized so the entropy stream
+      // is byte-aligned per MCU: first MCU = DC cat-7 code (4 bits) +
+      // 7 value bits + EOB (5 bits) = 2 bytes; every later MCU = DC
+      // cat-0 (3 bits) + EOB (5 bits) = one 0x00 byte, synthesizable as
+      // repeat. Q(0)=8 makes the DC-only IDCT exact by T.81 arithmetic
+      // (pixel = 128 + dc), so DuckDB replays the gray level exactly:
+      // 192..255 for even docs (positive DC diff), 1..64 for odd
+      // (negative, coded as d+127 in 7 bits). Compressed multi-
+      // coefficient streams are pinned by MediaPixelSpec against the
+      // JDK ImageIO codec.
+      def jbe16(c: Column) = lpad(hex(c), 4, "0")
+      val jw = (pmod(col("doc_id"), lit(4)) + 1).cast("int") * 8
+      val jh = (pmod(col("doc_id"), lit(3)) + 1).cast("int") * 8
+      val jd = pmod(col("doc_id"), lit(64)).cast("int") + 64
+      val vbits = when(pmod(col("doc_id"), lit(2)) === 0, jd)
+        .otherwise(lit(127) - jd)
+      val jpegHexFull = concat(
+        lit("FFD8"),
+        lit("FFDB004300"), rep(lit("08"), lit(64)),            // DQT, Q=8
+        lit("FFC0000B08"), jbe16(jh), jbe16(jw), lit("01011100"), // SOF0
+        lit("FFC4001500"),                                     // DHT DC
+        lit("00000101000000000000000000000000"), lit("0007"),  // len3->0, len4->7
+        lit("FFC4001410"),                                     // DHT AC
+        lit("00000000010000000000000000000000"), lit("00"),    // len5->EOB
+        lit("FFDA0008010100003F00"),                           // SOS
+        h2(lit(32) + (vbits / 8).cast("int")),                 // 0010 + v6..v3
+        h2(pmod(vbits, lit(8)) * 32),                          // v2..v0 + EOB
+        rep(lit("00"), (jw / 8) * (jh / 8) - 1),               // flat MCUs
+        lit("FFD9"))
+      val m5 = pmod(col("doc_id"), lit(5)).cast("int")
+      val payload = when(m5 === 0, unhex(bmpHex))
+        .when(m5 === 1, ppm).when(m5 === 2, unhex(pngHex))
+        .when(m5 === 3, unhex(gifHex))
+        .otherwise(unhex(jpegHexFull))
       // three projections, each alias referenced 2+ times downstream, so
       // CollapseProject keeps them apart (q_complex discipline): the
       // payload synthesis and each raster walk run ONCE per row — the
@@ -1149,19 +1180,22 @@ object SparkEntry {
       // (15s for 500 rows vs sub-second staged)
       def px(i: Int) = coalesce(
         element_at(col("__bmp"), i), element_at(col("__ppm"), i),
-        element_at(col("__png"), i), element_at(col("__gif"), i))
+        element_at(col("__png"), i), element_at(col("__gif"), i),
+        element_at(col("__jpg"), i))
       t(s, dir, "documents")
         .select(col("doc_id"), payload.as("__pl"))
         .select(col("doc_id"),
           MediaExtra.bmpScan(col("__pl")).as("__bmp"),
           MediaExtra.ppmScan(col("__pl")).as("__ppm"),
           MediaExtra.pngScan(col("__pl")).as("__png"),
-          MediaExtra.gifScan(col("__pl")).as("__gif"))
+          MediaExtra.gifScan(col("__pl")).as("__gif"),
+          MediaExtra.jpegScan(col("__pl")).as("__jpg"))
         .select(col("doc_id"),
           when(col("__bmp").isNotNull, "bmp")
             .when(col("__ppm").isNotNull, "ppm")
             .when(col("__png").isNotNull, "png")
-            .when(col("__gif").isNotNull, "gif").as("fmt"),
+            .when(col("__gif").isNotNull, "gif")
+            .when(col("__jpg").isNotNull, "jpeg").as("fmt"),
           px(1).cast("int").as("width"), px(2).cast("int").as("height"),
           px(3).as("sum_r"), px(4).as("sum_g"), px(5).as("sum_b"),
           px(6).as("n_px"), px(7).cast("int").as("min_ch"),
@@ -3088,20 +3122,45 @@ object SparkEntry {
 
     // the engine decoded REAL pixel bytes; the oracle replays the stats
     // from the solid-color synthesis arithmetic (exact longs throughout)
+    // jpeg arm: flat gray g = 192 + doc_id%64 (even docs, positive DC
+    // diff) or 64 - doc_id%64 (odd, negative) — exact because the
+    // synthesized stream is DC-only with Q=8, where any conforming IDCT
+    // reconstructs round(dc*8/8)+128 bit-exactly
     "m_pixel_stats" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
-        |       WHEN 2 THEN 'png' ELSE 'gif' END AS fmt,
-        |  CAST(doc_id % 13 + 1 AS INT) AS width,
-        |  CAST(doc_id % 7 + 1 AS INT) AS height,
-        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 13) % 256) AS sum_r,
-        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 7) % 256) AS sum_g,
-        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) * (doc_id % 256) AS sum_b,
-        |  (doc_id % 13 + 1) * (doc_id % 7 + 1) AS n_px,
-        |  CAST(least((doc_id * 13) % 256, (doc_id * 7) % 256,
-        |             doc_id % 256) AS INT) AS min_ch,
-        |  CAST(greatest((doc_id * 13) % 256, (doc_id * 7) % 256,
-        |                doc_id % 256) AS INT) AS max_ch
+        |  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |       WHEN 2 THEN 'png' WHEN 3 THEN 'gif' ELSE 'jpeg' END AS fmt,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN (doc_id % 4 + 1) * 8
+        |       ELSE doc_id % 13 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN (doc_id % 3 + 1) * 8
+        |       ELSE doc_id % 7 + 1 END AS INT) AS height,
+        |  CASE WHEN doc_id % 5 = 4 THEN 64 * (doc_id % 4 + 1) * (doc_id % 3 + 1) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END)
+        |       ELSE (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 13) % 256)
+        |       END AS sum_r,
+        |  CASE WHEN doc_id % 5 = 4 THEN 64 * (doc_id % 4 + 1) * (doc_id % 3 + 1) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END)
+        |       ELSE (doc_id % 13 + 1) * (doc_id % 7 + 1) * ((doc_id * 7) % 256)
+        |       END AS sum_g,
+        |  CASE WHEN doc_id % 5 = 4 THEN 64 * (doc_id % 4 + 1) * (doc_id % 3 + 1) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END)
+        |       ELSE (doc_id % 13 + 1) * (doc_id % 7 + 1) * (doc_id % 256)
+        |       END AS sum_b,
+        |  CASE WHEN doc_id % 5 = 4 THEN 64 * (doc_id % 4 + 1) * (doc_id % 3 + 1)
+        |       ELSE (doc_id % 13 + 1) * (doc_id % 7 + 1) END AS n_px,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN
+        |         CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |              ELSE 64 - doc_id % 64 END
+        |       ELSE least((doc_id * 13) % 256, (doc_id * 7) % 256,
+        |                   doc_id % 256) END AS INT) AS min_ch,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN
+        |         CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |              ELSE 64 - doc_id % 64 END
+        |       ELSE greatest((doc_id * 13) % 256, (doc_id * 7) % 256,
+        |                      doc_id % 256) END AS INT) AS max_ch
         |FROM documents""".stripMargin,
 
     "m_container_meta" ->

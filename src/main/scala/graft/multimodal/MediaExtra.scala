@@ -12,9 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Round-5 native media parsers, shrinking the codec stub to genuinely
- * codec-requiring decode only: uncompressed-BMP and PPM-P6 PIXEL decode
- * (real per-pixel channel sums/min/max — the engine's first actual
- * content decode, not just header dims), TIFF/ICO dimensions, ID3v1/v2
+ * codec-requiring decode only: BMP/PPM/PNG/GIF and baseline-JPEG PIXEL
+ * decode (real per-pixel channel sums/min/max — actual content decode,
+ * not just header dims; JPEG runs a full native Huffman + dequant +
+ * IDCT pipeline), TIFF/ICO dimensions, ID3v1/v2
  * tags, and OGG Opus/Vorbis identification headers. Same discipline as
  * [[MediaHeaders]]: each parser is either pure Column arithmetic or a
  * codegen'd unary expression funneling BOTH eval and doGenCode through
@@ -62,6 +63,12 @@ object MediaExtra {
    * + color-table mapping; see [[GifPixelStats.scan]]. */
   def gifScan(bin: Column): Column =
     ColumnShim.column(GifPixelStats(ColumnShim.expression(bin)))
+
+  /** Same slots — REAL baseline JPEG decode: marker parse, canonical
+   * Huffman entropy decode, dequantization, exact 2-D IDCT, chroma
+   * upsampling and YCbCr->RGB; see [[JpegPixelStats.scan]]. */
+  def jpegScan(bin: Column): Column =
+    ColumnShim.column(JpegPixelStats(ColumnShim.expression(bin)))
 
   /** array(channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped)
    * — REAL WAV PCM s16 sample decode; see [[WavPcmStats.scan]]. */
@@ -759,5 +766,406 @@ object GifPixelStats {
       k += 1
     }
     Array(w.toLong, h.toLong, sr, sg, sb, n.toLong, mn, mx)
+  }
+}
+
+/** Full baseline JPEG pixel decode (see [[JpegPixelStats.scan]]). */
+case class JpegPixelStats(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "jpeg_pixel_stats"
+  override protected def staticScan: String =
+    "graft.multimodal.JpegPixelStats.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    JpegPixelStats.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): JpegPixelStats =
+    copy(child = newChild)
+}
+
+object JpegPixelStats {
+  private final val MaxPixels = 1L << 26 // 64 Mpx decode bound per payload
+
+  /** IDCT basis: basis(u)(x) = C(u) cos((2x+1) u pi / 16), C(0)=1/sqrt2
+   * (ITU T.81 A.3.3). A DC-only block therefore reconstructs to exactly
+   * round(DC*Q/8)+128 in double precision — the property the oracled
+   * solid-gray synthesis leans on. */
+  private val basis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+      math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** zigzag index -> natural (row-major) index, T.81 figure A.6. */
+  private val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman table in the T.81 F.2.2.3 DECODE shape:
+   * per-length mincode/maxcode/valptr over the DHT value list. */
+  private final class Huff(val minCode: Array[Int], val maxCode: Array[Int],
+      val valPtr: Array[Int], val vals: Array[Int])
+
+  private def buildHuff(counts: Array[Int], vals: Array[Int]): Huff = {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      if (counts(l) > 0) {
+        valPtr(l) = k; minCode(l) = code
+        code += counts(l); k += counts(l)
+        maxCode(l) = code - 1
+      }
+      if (code > (1 << l)) return null // over-subscribed table
+      code <<= 1
+      l += 1
+    }
+    new Huff(minCode, maxCode, valPtr, vals)
+  }
+
+  /** Entropy-segment bit reader: 0xFF00 destuffing; any other marker
+   * byte ends the readable stream (restart consumption is explicit). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length) return -1
+        val v = b(pos) & 0xFF
+        pos += 1
+        if (v == 0xFF) {
+          if (pos >= b.length) return -1
+          if ((b(pos) & 0xFF) == 0x00) pos += 1 // stuffed data 0xFF
+          else { pos -= 1; return -1 }          // a real marker: stop
+        }
+        buf = v; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    /** Byte-align and consume one RSTn marker (T.81 F.2.1.3.1). */
+    def restart(): Boolean = {
+      cnt = 0
+      if (pos + 2 > b.length || (b(pos) & 0xFF) != 0xFF) return false
+      val m = b(pos + 1) & 0xFF
+      if (m < 0xD0 || m > 0xD7) return false
+      pos += 2
+      true
+    }
+    def decode(t: Huff): Int = {
+      var code = 0; var l = 1
+      while (l <= 16) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        if (code <= t.maxCode(l))
+          return t.vals(t.valPtr(l) + code - t.minCode(l))
+        l += 1
+      }
+      -1
+    }
+    /** n raw bits, MSB first; Int.MinValue on truncation. */
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val bit = nextBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** T.81 F.12 EXTEND: map an n-bit magnitude to its signed value. */
+  @inline private def extend(v: Int, n: Int): Int =
+    if (n == 0) 0 else if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+
+  /** Exact separable 2-D IDCT (double precision) + level shift + clamp. */
+  private def idct(coef: Array[Int], tmp: Array[Double],
+      out: Array[Int]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += basis(u)(x) * coef(v * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s
+        x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += basis(vv)(y) * tmp(vv * 8 + x); vv += 1 }
+        val p = math.round(s / 4.0 + 128.0).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** [width, height, sumR, sumG, sumB, nPx, minCh, maxCh] — REAL baseline
+   * JPEG decode, no codec library (ITU T.81 baseline sequential DCT):
+   * marker segment walk (DQT 8/16-bit, DHT, SOF0/SOF1, DRI, APPn/COM
+   * skipped), canonical Huffman entropy decode with 0xFF00 destuffing and
+   * RSTn restart-interval handling, dequantization through the zigzag
+   * map, an exact double-precision 2-D IDCT per 8x8 block, box chroma
+   * upsampling for subsampled scans (4:4:4/4:2:2/4:2:0), and JFIF
+   * YCbCr->RGB with per-channel rounding and clamping. Scope: 8-bit
+   * precision, 1 or 3 components, sampling factors 1-2, single
+   * interleaved scan in SOF component order. Progressive (SOF2),
+   * arithmetic-coded, hierarchical, 12-bit, and >2 sampling payloads
+   * return null, as does any truncated or malformed stream. Pinned in
+   * MediaPixelSpec against the JDK ImageIO codec on random images (gray
+   * exact-to-rounding, RGB within upsampling tolerance) and against
+   * hand-built DC-only streams where the decode is bit-exact. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 16) return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (u8(0) != 0xFF || u8(1) != 0xD8) return null
+    val quant = Array.ofDim[Int](4, 64) // natural order after zigzag map
+    val quantSeen = new Array[Boolean](4)
+    val huffDc = new Array[Huff](4)
+    val huffAc = new Array[Huff](4)
+    var w = 0; var h = 0; var nc = 0
+    val compId = new Array[Int](3); val compH = new Array[Int](3)
+    val compV = new Array[Int](3); val compTq = new Array[Int](3)
+    val compTd = new Array[Int](3); val compTa = new Array[Int](3)
+    var restartInterval = 0
+    var sosAt = -1
+    var i = 2
+    while (sosAt < 0) {
+      if (i + 2 > b.length) return null
+      if (u8(i) != 0xFF) return null
+      var m = u8(i + 1)
+      while (m == 0xFF && i + 2 < b.length) { i += 1; m = u8(i + 1) } // fill
+      i += 2
+      if (m == 0xD9) return null                 // EOI before any scan
+      else if ((m >= 0xD0 && m <= 0xD7) || m == 0x01) () // standalone
+      else {
+        if (i + 2 > b.length) return null
+        val len = be16(i)
+        if (len < 2 || i + len > b.length) return null
+        m match {
+          case 0xDB => // DQT: one or more tables, 8- or 16-bit entries
+            var p = i + 2
+            while (p < i + len) {
+              val pq = u8(p) >> 4; val tq = u8(p) & 15
+              val sz = if (pq == 0) 64 else 128
+              if (pq > 1 || tq > 3 || p + 1 + sz > i + len) return null
+              var k = 0
+              while (k < 64) {
+                quant(tq)(zigzag(k)) =
+                  if (pq == 0) u8(p + 1 + k)
+                  else (u8(p + 1 + 2 * k) << 8) | u8(p + 2 + 2 * k)
+                k += 1
+              }
+              quantSeen(tq) = true
+              p += 1 + sz
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = i + 2
+            while (p < i + len) {
+              val tc = u8(p) >> 4; val th = u8(p) & 15
+              if (tc > 1 || th > 3 || p + 17 > i + len) return null
+              val counts = new Array[Int](17)
+              var total = 0; var l = 1
+              while (l <= 16) { counts(l) = u8(p + l); total += counts(l); l += 1 }
+              if (total > 256 || p + 17 + total > i + len) return null
+              val vals = new Array[Int](total)
+              var j = 0
+              while (j < total) { vals(j) = u8(p + 17 + j); j += 1 }
+              val tbl = buildHuff(counts, vals)
+              if (tbl == null) return null
+              if (tc == 0) huffDc(th) = tbl else huffAc(th) = tbl
+              p += 17 + total
+            }
+          case 0xC0 | 0xC1 => // SOF0 baseline / SOF1 extended sequential
+            if (len < 8) return null
+            val prec = u8(i + 2)
+            h = be16(i + 3); w = be16(i + 5); nc = u8(i + 7)
+            if (prec != 8 || (nc != 1 && nc != 3) || len != 8 + 3 * nc)
+              return null
+            var c = 0
+            while (c < nc) {
+              compId(c) = u8(i + 8 + 3 * c)
+              val hv = u8(i + 9 + 3 * c)
+              compH(c) = hv >> 4; compV(c) = hv & 15
+              compTq(c) = u8(i + 10 + 3 * c)
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 ||
+                compV(c) > 2 || compTq(c) > 3) return null
+              c += 1
+            }
+          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+              0xCD | 0xCE | 0xCF =>
+            return null // progressive / lossless / arithmetic: not baseline
+          case 0xDD => // DRI
+            if (len != 4) return null
+            restartInterval = be16(i + 2)
+          case 0xDA => // SOS: require the interleaved scan in SOF order
+            if (w <= 0) return null
+            val ns = u8(i + 2)
+            if (ns != nc || len != 6 + 2 * ns) return null
+            var c = 0
+            while (c < ns) {
+              if (u8(i + 3 + 2 * c) != compId(c)) return null
+              compTd(c) = u8(i + 4 + 2 * c) >> 4
+              compTa(c) = u8(i + 4 + 2 * c) & 15
+              c += 1
+            }
+            sosAt = i + len
+          case _ => () // APPn / COM / DNL etc.: skip by length
+        }
+        i += len
+      }
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+    // single-component scans are never interleaved: MCU = one block
+    if (nc == 1) { compH(0) = 1; compV(0) = 1 }
+    var hMax = 1; var vMax = 1
+    var c = 0
+    while (c < nc) {
+      if (!quantSeen(compTq(c)) || huffDc(compTd(c)) == null ||
+        huffAc(compTa(c)) == null) return null
+      if (compH(c) > hMax) hMax = compH(c)
+      if (compV(c) > vMax) vMax = compV(c)
+      c += 1
+    }
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeW = new Array[Int](nc)
+    val planes = new Array[Array[Byte]](nc)
+    c = 0
+    while (c < nc) {
+      planeW(c) = mcusX * compH(c) * 8
+      planes(c) = new Array[Byte](planeW(c) * (mcusY * compV(c) * 8))
+      c += 1
+    }
+    val dcPred = new Array[Int](3)
+    val br = new BitReader(b, sosAt)
+    val coef = new Array[Int](64)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val nMcus = mcusX * mcusY
+    var mcu = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!br.restart()) return null
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      c = 0
+      while (c < nc) {
+        val q = quant(compTq(c))
+        val dcT = huffDc(compTd(c)); val acT = huffAc(compTa(c))
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            java.util.Arrays.fill(coef, 0)
+            val s = br.decode(dcT)
+            if (s < 0 || s > 11) return null
+            val diffBits = br.receive(s)
+            if (diffBits == Int.MinValue) return null
+            dcPred(c) += extend(diffBits, s)
+            coef(0) = dcPred(c) * q(0)
+            var k = 1
+            var open = true
+            while (open && k < 64) {
+              val rs = br.decode(acT)
+              if (rs < 0) return null
+              val run = rs >> 4; val sz = rs & 15
+              if (sz == 0) {
+                if (run == 15) k += 16 else open = false // ZRL / EOB
+              } else {
+                if (sz > 10) return null
+                k += run
+                if (k > 63) return null
+                val vb = br.receive(sz)
+                if (vb == Int.MinValue) return null
+                coef(zigzag(k)) = extend(vb, sz) * q(zigzag(k))
+                k += 1
+              }
+            }
+            idct(coef, tmp, blk)
+            val px0 = (mx * compH(c) + bx) * 8
+            val py0 = (my * compV(c) + by) * 8
+            val pw = planeW(c); val pl = planes(c)
+            var yy = 0
+            while (yy < 8) {
+              val off = (py0 + yy) * pw + px0
+              var xx = 0
+              while (xx < 8) { pl(off + xx) = blk(yy * 8 + xx).toByte; xx += 1 }
+              yy += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // color conversion + stats over the visible w x h window
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var mn = 255L; var mx2 = 0L
+    val y0 = planes(0); val pw0 = planeW(0)
+    if (nc == 1) {
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val v = y0(yy * pw0 + xx) & 0xFF
+          sr += v
+          if (v < mn) mn = v
+          if (v > mx2) mx2 = v
+          xx += 1
+        }
+        yy += 1
+      }
+      sg = sr; sb = sr
+    } else {
+      val cbP = planes(1); val crP = planes(2)
+      val pw1 = planeW(1); val pw2 = planeW(2)
+      val h0 = compH(0); val v0 = compV(0)
+      val h1 = compH(1); val v1 = compV(1)
+      val h2c = compH(2); val v2 = compV(2)
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val yv = (y0((yy * v0 / vMax) * pw0 + (xx * h0 / hMax)) & 0xFF)
+            .toDouble
+          val cb = (cbP((yy * v1 / vMax) * pw1 + (xx * h1 / hMax)) & 0xFF) -
+            128.0
+          val cr = (crP((yy * v2 / vMax) * pw2 + (xx * h2c / hMax)) & 0xFF) -
+            128.0
+          @inline def cl(d: Double): Int = {
+            val p = math.round(d).toInt
+            if (p < 0) 0 else if (p > 255) 255 else p
+          }
+          val rr = cl(yv + 1.402 * cr)
+          val gg = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          val bb = cl(yv + 1.772 * cb)
+          sr += rr; sg += gg; sb += bb
+          val lo = math.min(rr, math.min(gg, bb))
+          val hi = math.max(rr, math.max(gg, bb))
+          if (lo < mn) mn = lo
+          if (hi > mx2) mx2 = hi
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx2)
   }
 }

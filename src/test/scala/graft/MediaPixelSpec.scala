@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.{MediaExtra, PngPixelStats, WavPcmStats}
 
 /**
- * Content-decode specs for the PNG and WAV PCM walkers. The oracle query
- * (m_pixel_stats) only exercises stored-deflate blocks with filter 0, so
- * this suite pins the paths a columnar synthesizer can't produce: REAL
- * deflate compression (java.util.zip.Deflater, test-side only), all five
- * scanline filters, RGBA alpha exclusion, multi-IDAT streams, and the
- * reject cases (interlace, depth, palette, truncation).
+ * Content-decode specs for the PNG, GIF, WAV PCM, and baseline-JPEG
+ * walkers. The oracle query (m_pixel_stats) only exercises byte-aligned
+ * synthesizable streams (stored-deflate PNG, clear-before-literal GIF,
+ * DC-only JPEG), so this suite pins the paths a columnar synthesizer
+ * can't produce: REAL deflate compression (java.util.zip.Deflater),
+ * all five scanline filters, RGBA alpha exclusion, multi-IDAT streams,
+ * greedy-LZW-compressed GIF code streams, JDK-ImageIO-encoded JPEGs
+ * (full Huffman/AC coefficients, 4:2:0 subsampling, partial MCUs), and
+ * the reject cases (interlace, depth, palette, SOF2, truncation).
  */
 class MediaPixelSpec extends SparkTestBase {
 
@@ -326,6 +329,226 @@ class MediaPixelSpec extends SparkTestBase {
         MediaExtra.wavPcmScan(col("payload")).as("p"))
       .orderBy("id").collect()
     assert(out(0).getSeq[Long](1) == Seq(1L, 22050L, 3L, 32967L, 32767L, 1L))
+    assert(out(1).isNullAt(1))
+  }
+
+  // -------------------------------------------------------------- JPEG
+
+  /** DC-only baseline grayscale JPEG, the m_pixel_stats synthesis shape:
+   * custom DHT pair making every MCU byte-aligned; flat gray 128+dc. */
+  private def jpegGray(w: Int, h: Int, dc: Int,
+      restartEvery: Int = 0): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0 && dc >= -127 && dc <= 127 &&
+      math.abs(dc) >= 64)
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(hexStr: String): Unit =
+      out.write(hexStr.replaceAll(" ", "").grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray)
+    wr("FFD8")
+    wr("FFDB004300" + "08" * 64)
+    wr(f"FFC0000B08$h%04X$w%04X01011100")
+    wr("FFC4001500" + "00000101" + "00" * 12 + "0007")
+    wr("FFC4001410" + "0000000001" + "00" * 11 + "00")
+    if (restartEvery > 0) wr(f"FFDD0004$restartEvery%04X")
+    wr("FFDA0008010100003F00")
+    val vbits = if (dc >= 0) dc else dc + 127 // EXTEND-inverse, 7 bits
+    def firstMcu(): Unit =
+      wr(f"${0x20 | (vbits >> 3)}%02X${(vbits & 7) << 5}%02X")
+    val nB = (w / 8) * (h / 8)
+    val period = if (restartEvery > 0) restartEvery else nB + 1
+    var b = 0
+    while (b < nB) {
+      if (b % period == 0) {
+        if (b > 0) wr(f"FF${0xD0 + (b / period - 1) % 8}%02X")
+        firstMcu() // DC predictor reset: re-code the absolute level
+      } else wr("00")
+      b += 1
+    }
+    wr("FFD9")
+    out.toByteArray
+  }
+
+  test("JPEG DC-only: hand-built stream decodes to the exact flat gray") {
+    import graft.multimodal.JpegPixelStats
+    for ((w, h, dc) <- Seq((8, 8, 64), (8, 8, 127), (8, 8, -64),
+        (32, 24, 100), (16, 8, -127))) {
+      val g = 128 + dc
+      val s = JpegPixelStats.scan(jpegGray(w, h, dc))
+      assert(s != null, s"$w x $h dc=$dc")
+      assert(s.toSeq == Seq[Long](w, h, g.toLong * w * h, g.toLong * w * h,
+        g.toLong * w * h, w.toLong * h, g, g), s"dc=$dc")
+    }
+  }
+
+  test("JPEG restart intervals: RSTn consumed, DC predictors reset") {
+    import graft.multimodal.JpegPixelStats
+    val s = JpegPixelStats.scan(jpegGray(48, 16, 90, restartEvery = 3))
+    assert(s != null)
+    val g = 218L
+    assert(s.toSeq == Seq[Long](48, 16, g * 768, g * 768, g * 768, 768, g, g))
+    // a missing RST where one is declared must fail loudly, not misparse
+    val noDri = jpegGray(48, 16, 90)
+    val withDriOnly = {
+      val b = jpegGray(48, 16, 90, restartEvery = 3)
+      // strip the RST markers but keep DRI: decoder must return null
+      val hx = b.map(x => f"${x & 0xFF}%02X").mkString
+      val stripped = hx.replaceAll("FFD[0-7]", "")
+      stripped.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    }
+    assert(JpegPixelStats.scan(noDri) != null)
+    assert(JpegPixelStats.scan(withDriOnly) == null)
+  }
+
+  /** DC-only 4:4:4 THREE-component JPEG (flat YCbCr), one shared quant
+   * and Huffman table set; every MCU is 3 byte-aligned blocks. */
+  private def jpegColor(w: Int, h: Int, dcY: Int, dcCb: Int,
+      dcCr: Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def wr(hexStr: String): Unit =
+      out.write(hexStr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+    wr("FFD8")
+    wr("FFDB004300" + "08" * 64)
+    wr(f"FFC0001108$h%04X$w%04X03" + "011100" + "021100" + "031100")
+    wr("FFC4001500" + "00000101" + "00" * 12 + "0007")
+    wr("FFC4001410" + "0000000001" + "00" * 11 + "00")
+    wr("FFDA000C03010002000300003F00")
+    def block(dc: Int, first: Boolean): String =
+      if (first) {
+        val vbits = if (dc >= 0) dc else dc + 127
+        f"${0x20 | (vbits >> 3)}%02X${(vbits & 7) << 5}%02X"
+      } else "00"
+    val nB = (w / 8) * (h / 8)
+    var b = 0
+    while (b < nB) {
+      wr(block(dcY, b == 0) + block(dcCb, b == 0) + block(dcCr, b == 0))
+      b += 1
+    }
+    wr("FFD9")
+    out.toByteArray
+  }
+
+  test("JPEG 4:4:4 color: YCbCr conversion matches the JDK codec to 1 ulp") {
+    import graft.multimodal.JpegPixelStats
+    for ((dy, dcb, dcr) <- Seq((100, -70, 64), (-64, 64, -100),
+        (127, -127, 127))) {
+      val bytes = jpegColor(16, 8, dy, dcb, dcr)
+      val s = JpegPixelStats.scan(bytes)
+      assert(s != null, s"($dy,$dcb,$dcr)")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 8)
+      // flat image: compare the per-pixel channel values (all equal)
+      val rgb = img.getRGB(3, 3)
+      val (er, eg, eb) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+      val n = 128L
+      val (ar, ag, ab) = (s(2) / n, s(3) / n, s(4) / n)
+      assert(s(2) % n == 0 && s(3) % n == 0 && s(4) % n == 0,
+        "flat image must have uniform channels")
+      assert(math.abs(ar - er) <= 1 && math.abs(ag - eg) <= 1 &&
+        math.abs(ab - eb) <= 1,
+        s"engine ($ar,$ag,$ab) vs ImageIO ($er,$eg,$eb)")
+    }
+  }
+
+  test("JPEG vs ImageIO: grayscale round-trip exact to IDCT rounding") {
+    import graft.multimodal.JpegPixelStats
+    // smooth-ish gradient + texture; odd dims exercise partial MCUs
+    for ((w, h) <- Seq((24, 16), (17, 13), (8, 8), (40, 25))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255 / math.max(w - 1, 1) + y * 7 + (x * y) % 13) % 256
+        img.getRaster.setSample(x, y, 0, v)
+      }
+      val bo = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bo))
+      val bytes = bo.toByteArray
+      val s = JpegPixelStats.scan(bytes)
+      assert(s != null, s"$w x $h")
+      assert(s(0) == w && s(1) == h && s(5) == w.toLong * h)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      var sum = 0L; var mn = 255; var mx = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = ref.getRaster.getSample(x, y, 0)
+        sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      }
+      // both decoders see the same coefficients; they differ only in
+      // IDCT arithmetic (exact double here, fixed-point in the JDK) —
+      // bound the drift at 1/pixel and 2 at the extremes
+      assert(math.abs(s(2) - sum) <= w.toLong * h,
+        s"graySum ${s(2)} vs ImageIO $sum at $w x $h")
+      assert(s(2) == s(3) && s(3) == s(4))
+      assert(math.abs(s(6) - mn) <= 2 && math.abs(s(7) - mx) <= 2)
+    }
+  }
+
+  test("JPEG vs ImageIO: 4:2:0 RGB round-trip within upsampling tolerance") {
+    import graft.multimodal.JpegPixelStats
+    val w = 32; val h = 20
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = x * 255 / (w - 1)
+      val g = y * 255 / (h - 1)
+      val b = ((x + y) * 5) % 160 + 40
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bo = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bo))
+    val bytes = bo.toByteArray
+    val s = JpegPixelStats.scan(bytes)
+    assert(s != null)
+    assert(s(0) == w && s(1) == h && s(5) == w.toLong * h)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = ref.getRGB(x, y)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+    }
+    // the JDK uses triangle (fancy) chroma upsampling, this decoder uses
+    // box: per-channel MEANS stay within a few levels on smooth data
+    val n = w.toLong * h
+    assert(math.abs(s(2) - sr) <= 3 * n, s"R mean ${s(2) / n} vs ${sr / n}")
+    assert(math.abs(s(3) - sg) <= 3 * n, s"G mean ${s(3) / n} vs ${sg / n}")
+    assert(math.abs(s(4) - sb) <= 3 * n, s"B mean ${s(4) / n} vs ${sb / n}")
+  }
+
+  test("JPEG rejects: progressive, truncated entropy, non-JPEG, bad DHT") {
+    import graft.multimodal.JpegPixelStats
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val wtr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wtr.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bo = new java.io.ByteArrayOutputStream()
+    wtr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bo))
+    wtr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wtr.dispose()
+    val prog = bo.toByteArray
+    assert(prog.sliding(2).exists(a =>
+      (a(0) & 0xFF) == 0xFF && (a(1) & 0xFF) == 0xC2), "fixture is SOF2")
+    assert(JpegPixelStats.scan(prog) == null)
+    val good = jpegGray(16, 8, 80)
+    assert(JpegPixelStats.scan(good.dropRight(4)) == null) // truncated
+    assert(JpegPixelStats.scan("not a jpeg".getBytes) == null)
+    // over-subscribed Huffman table: three codes of length 1
+    val bad = good.clone()
+    val dhtAt = good.indexOfSlice(Array(0xFF.toByte, 0xC4.toByte))
+    bad(dhtAt + 5) = 3
+    assert(JpegPixelStats.scan(bad) == null)
+  }
+
+  test("JPEG expression: eval and codegen agree through a DataFrame") {
+    val df = Seq((1L, jpegGray(16, 8, 72)), (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "payload")
+    val out = df.select(col("id"),
+        MediaExtra.jpegScan(col("payload")).as("j"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[Long](1) ==
+      Seq[Long](16, 8, 200L * 128, 200L * 128, 200L * 128, 128, 200, 200))
     assert(out(1).isNullAt(1))
   }
 }
