@@ -1507,6 +1507,50 @@ object SparkEntry {
           element_at(col("__pcm"), 6).as("n_clipped"))
     }),
 
+    // ---- multimodal: REAL FLAC audio decode — a complete native frame
+    // decoder (CONSTANT/VERBATIM/FIXED/LPC subframes, rice residuals,
+    // stereo decorrelation). The oracled arm synthesizes single-frame
+    // CONSTANT-subframe streams, which are byte-aligned by construction
+    // (16-bit values after 1-byte subframe headers), so DuckDB replays
+    // the stats in closed form; genuinely rice-coded FIXED/LPC streams
+    // and the mid/side paths are pinned by MediaAudioSpec against an
+    // independent test-side encoder (lossless codec -> bit-exact).
+    "m_audio_flac" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      val rate = (lit(8000) + pmod(col("doc_id"), lit(8)).cast("int") * 4000)
+        .cast("int")
+      val ch = (pmod(col("doc_id"), lit(2)) + 1).cast("int")
+      val amp = when(pmod(col("doc_id"), lit(11)) === 0, lit(32767))
+        .otherwise(pmod(col("doc_id") * 37, lit(32767)).cast("int"))
+      val bs = ((pmod(col("doc_id"), lit(100)) + 1) * 16).cast("int")
+      def be16h(c: Column) = lpad(hex(c), 4, "0")
+      // STREAMINFO packed tail: rate(20) | ch-1(3) | bps-1=15(5) | total(36)
+      val packed = shiftleft(rate.cast("long"), 44) +
+        shiftleft((ch - 1).cast("long"), 41) +
+        shiftleft(lit(15L), 36) + bs.cast("long")
+      val neg = pmod(lit(65536) - amp, lit(65536))
+      val subs = when(ch === 1, concat(lit("00"), be16h(amp)))
+        .otherwise(concat(lit("00"), be16h(amp), lit("00"), be16h(neg)))
+      val flac = concat(
+        lit("664C6143" + "80000022"), be16h(bs), be16h(bs),
+        lit("000000" + "000000"), lpad(hex(packed), 16, "0"), lit("0" * 32),
+        lit("FFF8" + "7D"),                 // sync; bs code 7, rate code 13
+        lpad(hex((ch - 1) * 16 + 8), 2, "0"), // chan asgn | bps code 4 | res
+        lit("00"), be16h(bs - 1), be16h(rate), lit("00"), // frame# bs rate crc8
+        subs, lit("0000"))                  // CONSTANT subframes, crc16
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(flac).as("__flac"))
+        .select(col("doc_id"),
+          MediaExtra.flacPcmScan(col("__flac")).as("__pcm"))
+        .select(col("doc_id"),
+          element_at(col("__pcm"), 1).cast("int").as("channels"),
+          element_at(col("__pcm"), 2).cast("int").as("sample_rate"),
+          element_at(col("__pcm"), 3).as("n_frames"),
+          element_at(col("__pcm"), 4).as("sum_abs"),
+          element_at(col("__pcm"), 5).as("peak"),
+          element_at(col("__pcm"), 6).as("n_clipped"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -3108,6 +3152,21 @@ object SparkEntry {
         |  CAST(a AS BIGINT) AS peak,
         |  CAST(CASE WHEN a = 32767
         |    THEN (doc_id % 50 + 1) * 2 * (doc_id % 2 + 1)
+        |    ELSE 0 END AS BIGINT) AS n_clipped
+        |FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 32767
+        |  ELSE (doc_id * 37) % 32767 END AS a FROM documents)""".stripMargin,
+
+    // flac CONSTANT frames: every sample is the per-doc amplitude (or its
+    // negation on channel 2), so the lossless decode replays in closed form
+    "m_audio_flac" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST(8000 + (doc_id % 8) * 4000 AS INT) AS sample_rate,
+        |  (doc_id % 100 + 1) * 16 AS n_frames,
+        |  (doc_id % 100 + 1) * 16 * (doc_id % 2 + 1) * a AS sum_abs,
+        |  CAST(a AS BIGINT) AS peak,
+        |  CAST(CASE WHEN a = 32767
+        |    THEN (doc_id % 100 + 1) * 16 * (doc_id % 2 + 1)
         |    ELSE 0 END AS BIGINT) AS n_clipped
         |FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 32767
         |  ELSE (doc_id * 37) % 32767 END AS a FROM documents)""".stripMargin,

@@ -75,6 +75,12 @@ object MediaExtra {
   def wavPcmScan(bin: Column): Column =
     ColumnShim.column(WavPcmStats(ColumnShim.expression(bin)))
 
+  /** Same slots — REAL FLAC audio decode: full subframe set (CONSTANT/
+   * VERBATIM/FIXED/LPC), rice residuals, stereo decorrelation; see
+   * [[FlacPcmStats.scan]]. */
+  def flacPcmScan(bin: Column): Column =
+    ColumnShim.column(FlacPcmStats(ColumnShim.expression(bin)))
+
   // ---------------------------------------------------------- TIFF / ICO
 
   /** array(width, height) from TIFF IFD0 tags 256/257 (both byte orders,
@@ -1167,5 +1173,311 @@ object JpegPixelStats {
       }
     }
     Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx2)
+  }
+}
+
+/** Full FLAC frame decode to PCM samples (see [[FlacPcmStats.scan]]). */
+case class FlacPcmStats(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "flac_pcm_stats"
+  override protected def staticScan: String =
+    "graft.multimodal.FlacPcmStats.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    FlacPcmStats.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): FlacPcmStats =
+    copy(child = newChild)
+}
+
+object FlacPcmStats {
+  private final val MaxSamples = 1L << 26
+
+  /** Control-flow sentinel for malformed streams (no stack trace). */
+  private object Bad extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** MSB-first bit reader over the whole payload. */
+  private final class Bits(b: Array[Byte]) {
+    var pos = 0 // absolute bit position
+    private val end = b.length.toLong * 8
+    @inline def need(n: Long): Unit = if (pos + n > end) throw Bad
+    def bit(): Int = {
+      need(1)
+      val r = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      r
+    }
+    /** up to 57 bits, unsigned. */
+    def bits(n: Int): Long = {
+      need(n)
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** n-bit two's-complement signed, n in 1..32. */
+    def sbits(n: Int): Int = {
+      val v = bits(n)
+      (v << (64 - n) >> (64 - n)).toInt
+    }
+    /** zero-run unary (count 0s, consume the terminating 1). */
+    def unary(): Int = {
+      var q = 0
+      while (bit() == 0) { q += 1; if (q > (1 << 24)) throw Bad }
+      q
+    }
+    def align(): Unit = pos = (pos + 7) & ~7
+    def atEnd: Boolean = pos == end
+  }
+
+  private val RateTable = Array(-1, 88200, 176400, 192000, 8000, 16000,
+    22050, 24000, 32000, 44100, 48000, 96000)
+  private val BpsTable = Array(-1, 8, 12, -1, 16, 20, 24, 32)
+
+  /** Rice/rice2-coded residual into `out[from until blockSize]`. */
+  private def residual(r: Bits, out: Array[Int], order: Int,
+      blockSize: Int): Unit = {
+    val method = r.bits(2).toInt
+    if (method > 1) throw Bad
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val po = r.bits(4).toInt
+    val parts = 1 << po
+    if (blockSize % parts != 0) throw Bad
+    val perPart = blockSize >> po
+    if (perPart <= order && parts == 1) throw Bad
+    var p = 0
+    var k = order
+    while (p < parts) {
+      val n = if (p == 0) perPart - order else perPart
+      if (n < 0) throw Bad
+      val param = r.bits(paramBits).toInt
+      if (param == escape) {
+        val raw = r.bits(5).toInt // verbatim residual width, 0 = all zero
+        var i = 0
+        while (i < n) { out(k) = if (raw == 0) 0 else r.sbits(raw); k += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < n) {
+          val q = r.unary()
+          val v = (q.toLong << param) | r.bits(param)
+          out(k) = ((v >>> 1) ^ -(v & 1)).toInt // zigzag
+          k += 1; i += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  /** One subframe into `out` (blockSize samples at effective bps). */
+  private def subframe(r: Bits, out: Array[Int], blockSize: Int,
+      bps: Int): Unit = {
+    if (r.bit() != 0) throw Bad // mandatory zero pad bit
+    val ty = r.bits(6).toInt
+    var wasted = 0
+    if (r.bit() == 1) wasted = r.unary() + 1
+    val eff = bps - wasted
+    if (eff <= 0 || eff > 32) throw Bad
+    ty match {
+      case 0 => // CONSTANT
+        val v = r.sbits(eff)
+        java.util.Arrays.fill(out, 0, blockSize, v)
+      case 1 => // VERBATIM
+        var i = 0
+        while (i < blockSize) { out(i) = r.sbits(eff); i += 1 }
+      case t if t >= 8 && t <= 12 => // FIXED, order 0..4
+        val order = t - 8
+        if (order > blockSize) throw Bad
+        var i = 0
+        while (i < order) { out(i) = r.sbits(eff); i += 1 }
+        residual(r, out, order, blockSize)
+        var k = order
+        order match {
+          case 0 => ()
+          case 1 => while (k < blockSize) { out(k) += out(k - 1); k += 1 }
+          case 2 => while (k < blockSize) {
+            out(k) += 2 * out(k - 1) - out(k - 2); k += 1 }
+          case 3 => while (k < blockSize) {
+            out(k) += 3 * out(k - 1) - 3 * out(k - 2) + out(k - 3); k += 1 }
+          case _ => while (k < blockSize) {
+            out(k) += 4 * out(k - 1) - 6 * out(k - 2) + 4 * out(k - 3) -
+              out(k - 4); k += 1 }
+        }
+      case t if t >= 32 => // LPC, order 1..32
+        val order = t - 31
+        if (order > blockSize) throw Bad
+        var i = 0
+        while (i < order) { out(i) = r.sbits(eff); i += 1 }
+        val prec = r.bits(4).toInt + 1
+        if (prec == 16) throw Bad // 0b1111 is invalid
+        val shift = r.sbits(5)
+        if (shift < 0) throw Bad
+        val coef = new Array[Int](order)
+        i = 0
+        while (i < order) { coef(i) = r.sbits(prec); i += 1 }
+        residual(r, out, order, blockSize)
+        var k = order
+        while (k < blockSize) {
+          var acc = 0L; var j = 0
+          while (j < order) { acc += coef(j).toLong * out(k - 1 - j); j += 1 }
+          out(k) += (acc >> shift).toInt
+          k += 1
+        }
+      case _ => throw Bad // reserved subframe types
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) <<= wasted; i += 1 }
+    }
+  }
+
+  /** [channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped] —
+   * REAL FLAC audio decode, no codec library (the format is public and
+   * lossless, RFC 9639): STREAMINFO + metadata-block walk, frame-header
+   * parse (coded blocksize/rate/channel-assignment/bps + UTF-8-style
+   * frame number), then per channel the full subframe set — CONSTANT,
+   * VERBATIM, FIXED orders 0-4, and LPC to order 32 with quantized
+   * coefficients — with rice/rice2 residual partitions (escape-coded
+   * verbatim partitions included), wasted-bits shift, and left/side,
+   * right/side, mid/side stereo decorrelation. Slot semantics match
+   * [[WavPcmStats]]: `n_frames` = samples per channel, `sum_abs`/`peak`
+   * over all channels, clipped = |s| >= fullScale-1 for the stream's
+   * bit depth. Frame CRC-8/CRC-16 and the STREAMINFO MD5 are not
+   * verified (the PNG/JPEG stance); any structural violation returns
+   * null. Pinned in MediaAudioSpec against an independent test-side
+   * FLAC encoder — lossless round-trip, so stats match bit-exactly. */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 42 || b.length > (Int.MaxValue >> 3))
+      return null
+    if (b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    // metadata walk; STREAMINFO must be first (type 0, 34 bytes)
+    if ((u8(4) & 0x7F) != 0 || ((u8(5) << 16) | (u8(6) << 8) | u8(7)) != 34)
+      return null
+    var last = (u8(4) & 0x80) != 0
+    // STREAMINFO body starts at 8: blocksizes 8-11, framesizes 12-17,
+    // then rate(20)|ch-1(3)|bps-1(5)|total(36) packed from byte 18
+    val rate = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >> 4)
+    val nCh = ((u8(20) >> 1) & 7) + 1
+    val bps = (((u8(20) & 1) << 4) | (u8(21) >> 4)) + 1
+    if (rate <= 0 || nCh > 8 || bps < 4 || bps > 32) return null
+    var off = 8 + 34
+    while (!last) {
+      if (off + 4 > b.length) return null
+      last = (u8(off) & 0x80) != 0
+      val len = (u8(off + 1) << 16) | (u8(off + 2) << 8) | u8(off + 3)
+      off += 4 + len
+      if (off > b.length) return null
+    }
+    try {
+      val r = new Bits(b)
+      r.pos = off * 8
+      var sumAbs = 0L; var peak = 0L; var clipped = 0L
+      var totalPerCh = 0L
+      val clipAt = (1L << (bps - 1)) - 1
+      var chans: Array[Array[Int]] = null
+      while (!r.atEnd) {
+        // ---- frame header
+        if (r.bits(14) != 0x3FFE) throw Bad
+        if (r.bit() != 0) throw Bad
+        r.bit() // blocking strategy
+        val bsCode = r.bits(4).toInt
+        val srCode = r.bits(4).toInt
+        val chCode = r.bits(4).toInt
+        val ssCode = r.bits(3).toInt
+        if (r.bit() != 0) throw Bad
+        // coded number (UTF-8 shape, up to 7 bytes): parse and discard
+        val first = r.bits(8).toInt
+        var cont = 0
+        if ((first & 0x80) != 0) {
+          var m = first
+          while ((m & 0x40) != 0) { cont += 1; m <<= 1 }
+          if (cont == 0 || cont > 6) throw Bad
+          var j = 0
+          while (j < cont) {
+            if ((r.bits(8).toInt & 0xC0) != 0x80) throw Bad
+            j += 1
+          }
+        }
+        val blockSize = bsCode match {
+          case 0 => throw Bad
+          case 1 => 192
+          case c if c >= 2 && c <= 5 => 576 << (c - 2)
+          case 6 => r.bits(8).toInt + 1
+          case 7 => r.bits(16).toInt + 1
+          case c => 256 << (c - 8)
+        }
+        val frameRate = srCode match {
+          case 0 => rate
+          case c if c <= 11 => RateTable(c)
+          case 12 => r.bits(8).toInt * 1000
+          case 13 => r.bits(16).toInt
+          case 14 => r.bits(16).toInt * 10
+          case _ => throw Bad
+        }
+        if (frameRate <= 0) throw Bad
+        val frameBps = if (ssCode == 0) bps else BpsTable(ssCode)
+        if (frameBps <= 0) throw Bad
+        val frameCh = if (chCode <= 7) chCode + 1 else 2
+        if (chCode > 10 || frameCh != nCh) throw Bad
+        r.bits(8) // CRC-8 (unverified)
+        totalPerCh += blockSize
+        if (totalPerCh * nCh > MaxSamples) throw Bad
+        // ---- subframes
+        if (chans == null || chans(0).length < blockSize)
+          chans = Array.fill(nCh)(new Array[Int](blockSize))
+        var c = 0
+        while (c < nCh) {
+          // side channel carries one extra bit of depth
+          val sideBit = chCode match {
+            case 8 => if (c == 1) 1 else 0  // left/side
+            case 9 => if (c == 0) 1 else 0  // side/right
+            case 10 => if (c == 1) 1 else 0 // mid/side
+            case _ => 0
+          }
+          subframe(r, chans(c), blockSize, frameBps + sideBit)
+          c += 1
+        }
+        // ---- stereo decorrelation in place
+        chCode match {
+          case 8 => // left/side: right = left - side
+            var i = 0
+            while (i < blockSize) {
+              chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+          case 9 => // side/right: left = right + side
+            var i = 0
+            while (i < blockSize) {
+              chans(0)(i) = chans(1)(i) + chans(0)(i); i += 1 }
+          case 10 => // mid/side
+            var i = 0
+            while (i < blockSize) {
+              val s = chans(1)(i)
+              val m2 = (chans(0)(i) << 1) | (s & 1)
+              chans(0)(i) = (m2 + s) >> 1
+              chans(1)(i) = (m2 - s) >> 1
+              i += 1
+            }
+          case _ => ()
+        }
+        r.align()
+        r.bits(16) // frame CRC-16 (unverified)
+        // ---- stats
+        var i = 0
+        while (i < blockSize) {
+          var c2 = 0
+          while (c2 < nCh) {
+            val a = math.abs(chans(c2)(i).toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            if (a >= clipAt) clipped += 1
+            c2 += 1
+          }
+          i += 1
+        }
+      }
+      if (totalPerCh == 0) return null
+      Array(nCh.toLong, rate.toLong, totalPerCh, sumAbs, peak, clipped)
+    } catch {
+      case Bad => null
+      case _: ArrayIndexOutOfBoundsException => null
+    }
   }
 }
