@@ -1264,12 +1264,23 @@ object SparkEntry {
       val oggPre = concat(lit("4F676753"), lit("0002"),
         lit("0000000000000000"), le32h(pmod(col("doc_id"), lit(65536))),
         le32h(lit(0)), le32h(lit(0)), lit("01"))
+      // closing EOS page whose granule position encodes the stream
+      // length: Vorbis granules are PCM samples at the stream rate,
+      // Opus granules 48kHz samples offset by the 312-sample pre-skip —
+      // both synthesized so duration_ms = 10 * k exactly (rates are all
+      // divisible by 100, so the closed form survives integer division)
+      val oggK = (pmod(col("doc_id"), lit(1000)) + 1).cast("int")
+      def le64h(c: Column) = concat(le32h(c), lit("00000000"))
+      def eosPage(gp: Column) = concat(lit("4F676753"), lit("0004"),
+        le64h(gp), le32h(pmod(col("doc_id"), lit(65536))),
+        le32h(lit(1)), le32h(lit(0)), lit("01"), lit("01"), lit("00"))
       val opus = concat(oggPre, lit("13"), lit("4F70757348656164"),
         lit("01"), h2(ch), le16h(lit(312)), le32h(rate), lit("0000"),
-        lit("00"))
+        lit("00"), eosPage(oggK * 480 + 312))
       val vorbis = concat(oggPre, lit("1E"), lit("01"),
         lit("766F72626973"), le32h(lit(0)), h2(ch), le32h(rate),
-        le32h(lit(0)), le32h(lit(0)), le32h(lit(0)), lit("00"), lit("01"))
+        le32h(lit(0)), le32h(lit(0)), le32h(lit(0)), lit("00"), lit("01"),
+        eosPage((rate / 100).cast("int") * oggK))
       val payload = unhex(when(m === 0, tiff).when(m === 1, ico)
         .when(m === 2, id3).when(m === 3, opus).otherwise(vorbis))
       // staged like m_pixel_stats: payload synthesis once, each header
@@ -1281,7 +1292,8 @@ object SparkEntry {
           MediaExtra.icoDims(col("__pl")).as("__ic"),
           MediaExtra.id3v2Scan(col("__pl")).as("__i2"),
           MediaExtra.id3v1Tags(col("__pl")).as("__i1"),
-          MediaExtra.oggScan(col("__pl")).as("__og"))
+          MediaExtra.oggScan(col("__pl")).as("__og"),
+          MediaExtra.oggDurationScan(col("__pl")).as("__od"))
         .select(col("doc_id"),
           when(col("__m") === 0, "tiff").when(col("__m") === 1, "ico")
             .when(col("__m") === 2, "id3").otherwise("ogg").as("kind"),
@@ -1297,7 +1309,8 @@ object SparkEntry {
             .when(element_at(col("__og"), 1).isNotNull, "vorbis")
             .as("codec"),
           element_at(col("__og"), 2).cast("int").as("channels"),
-          element_at(col("__og"), 3).cast("int").as("sample_rate"))
+          element_at(col("__og"), 3).cast("int").as("sample_rate"),
+          element_at(col("__od"), 4).as("duration_ms"))
     }),
 
     // ---- complex numbers (validators/complex.rs -> Python complex()
@@ -3247,7 +3260,9 @@ object SparkEntry {
         |    THEN CAST(doc_id % 8 + 1 AS INT) END AS channels,
         |  CASE WHEN doc_id % 5 IN (3, 4) THEN CAST(
         |    CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
-        |         WHEN 2 THEN 44100 ELSE 48000 END AS INT) END AS sample_rate
+        |         WHEN 2 THEN 44100 ELSE 48000 END AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 5 IN (3, 4)
+        |    THEN (doc_id % 1000 + 1) * 10 END AS duration_ms
         |FROM documents""".stripMargin,
 
     "z_dump_nested" ->

@@ -130,6 +130,11 @@ object MediaExtra {
    * see [[bmpScan]]. */
   def oggScan(bin: Column): Column =
     ColumnShim.column(OggInfo(ColumnShim.expression(bin)))
+
+  /** array(codec, sample_rate, last_granulepos, duration_ms) — REAL OGG
+   * page walk to the last granule position; see [[OggDuration.scan]]. */
+  def oggDurationScan(bin: Column): Column =
+    ColumnShim.column(OggDuration(ColumnShim.expression(bin)))
 }
 
 /** Shared shape for the long-array media scan expressions. */
@@ -431,6 +436,62 @@ object OggInfo {
     else if (p + 16 <= b.length && u8(p) == 1 && tag(p + 1, "vorbis"))
       Array(1L, u8(p + 11).toLong, le32(p + 12))
     else null
+  }
+}
+
+/** OGG stream duration from the last page's granule position (see
+ * [[OggDuration.scan]]). */
+case class OggDuration(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "ogg_duration"
+  override protected def staticScan: String =
+    "graft.multimodal.OggDuration.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    OggDuration.scan(b)
+  override protected def withNewChildInternal(newChild: Expression): OggDuration =
+    copy(child = newChild)
+}
+
+object OggDuration {
+  /** [codec, sample_rate, last_granulepos, duration_ms] — REAL OGG page
+   * walk: the identification header gives codec + rate (+ the Opus
+   * pre-skip), and the duration comes from the LAST page's granule
+   * position — Vorbis granules are PCM samples at the stream rate,
+   * Opus granules are 48 kHz samples with pre-skip subtracted
+   * (RFC 7845). Pages advance by the 27 + n_segs + sum(lacing)
+   * arithmetic; page CRCs are unverified (the PNG/JPEG stance). Null
+   * for non-OGG bytes, unknown codecs, a malformed page chain, or a
+   * stream whose every granule position is unset (-1). */
+  def scan(b: Array[Byte]): Array[Long] = {
+    val id = OggInfo.scan(b) // [codec, channels, rate] from the id page
+    if (id == null) return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    @inline def le64(i: Int): Long = {
+      var v = 0L; var k = 7
+      while (k >= 0) { v = (v << 8) | u8(i + k); k -= 1 }
+      v
+    }
+    val codec = id(0)
+    val idPkt = 27 + u8(26)
+    val preSkip = if (codec == 0L) le16(idPkt + 10) else 0
+    var pos = 0
+    var lastGp = -1L
+    while (pos + 27 <= b.length && u8(pos) == 'O' && u8(pos + 1) == 'g' &&
+        u8(pos + 2) == 'g' && u8(pos + 3) == 'S') {
+      val gp = le64(pos + 6)
+      if (gp != -1L) lastGp = gp
+      val nsegs = u8(pos + 26)
+      if (pos + 27 + nsegs > b.length) return null
+      var sz = 0; var k = 0
+      while (k < nsegs) { sz += u8(pos + 27 + k); k += 1 }
+      pos += 27 + nsegs + sz
+      if (pos > b.length) return null
+    }
+    if (pos != b.length || lastGp < 0) return null
+    val samples = if (codec == 0L) math.max(0L, lastGp - preSkip) else lastGp
+    val rate = if (codec == 0L) 48000L else id(2)
+    if (rate <= 0) return null
+    Array(codec, id(2), lastGp, samples * 1000L / rate)
   }
 }
 

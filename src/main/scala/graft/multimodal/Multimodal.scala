@@ -150,6 +150,7 @@ object Multimodal {
             (MediaHeaders.parseWav(r.payload).map(_._3)
               .orElse(Option(FlacInfo.scan(r.payload)).map(_(4)))
               .orElse(Option(Mp3Info.scan(r.payload)).map(_(3)))
+              .orElse(Option(OggDuration.scan(r.payload)).map(_(3)))
               .getOrElse(Codecs.decodeAudio(r.payload)), -1)
           case "video" =>
             // canonical MP4 moov/mvhd + video-trak stts decode for real;

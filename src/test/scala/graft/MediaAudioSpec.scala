@@ -260,4 +260,50 @@ class MediaAudioSpec extends SparkTestBase {
     assert(out(0).getSeq[Long](1) == expect)
     assert(out(1).isNullAt(1))
   }
+
+  // --------------------------------------------------------------- OGG
+
+  private def oggPage(headerType: Int, granule: Long, serial: Int,
+      seq: Int, packet: Array[Byte]): Array[Byte] = {
+    require(packet.length < 255)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('O', 'g', 'g', 'S', 0, headerType.toByte))
+    (0 to 7).foreach(i => out.write(((granule >> (8 * i)) & 0xFF).toInt))
+    (0 to 3).foreach(i => out.write((serial >> (8 * i)) & 0xFF))
+    (0 to 3).foreach(i => out.write((seq >> (8 * i)) & 0xFF))
+    (0 to 3).foreach(_ => out.write(0)) // CRC unverified
+    out.write(1); out.write(packet.length)
+    out.write(packet)
+    out.toByteArray
+  }
+
+  private def opusHead(ch: Int, rate: Int, preSkip: Int): Array[Byte] =
+    "OpusHead".getBytes ++ Array[Byte](1, ch.toByte,
+      (preSkip & 0xFF).toByte, ((preSkip >> 8) & 0xFF).toByte) ++
+      (0 to 3).map(i => ((rate >> (8 * i)) & 0xFF).toByte) ++
+      Array[Byte](0, 0, 0)
+
+  test("OGG duration: last-page granule position, Opus pre-skip applied") {
+    import graft.multimodal.OggDuration
+    // opus: 3 pages; interior page granulepos -1 must be ignored
+    val opus = oggPage(2, 0, 7, 0, opusHead(2, 16000, 312)) ++
+      oggPage(0, -1L, 7, 1, Array[Byte](1, 2, 3)) ++
+      oggPage(4, 312 + 96000, 7, 2, Array[Byte](9))
+    val got = OggDuration.scan(opus)
+    assert(got != null)
+    assert(got.toSeq == Seq(0L, 16000L, 312L + 96000L, 2000L))
+    // vorbis: granules are PCM samples at the stream rate
+    val vorbId = Array[Byte](1) ++ "vorbis".getBytes ++
+      Array.fill[Byte](4)(0) ++ Array[Byte](2) ++
+      (0 to 3).map(i => ((44100 >> (8 * i)) & 0xFF).toByte).toArray ++
+      Array.fill[Byte](13)(0) ++ Array[Byte](1)
+    val vorb = oggPage(2, 0, 9, 0, vorbId) ++
+      oggPage(4, 22050, 9, 1, Array[Byte](5))
+    val gv = graft.multimodal.OggDuration.scan(vorb)
+    assert(gv != null && gv.toSeq == Seq(1L, 44100L, 22050L, 500L))
+    // malformed page chain (trailing garbage) and all-unset granules
+    assert(OggDuration.scan(opus ++ Array[Byte](1, 2)) == null)
+    val unset = oggPage(2, -1L, 7, 0, opusHead(2, 16000, 312))
+    assert(OggDuration.scan(unset) == null)
+  }
 }
