@@ -194,8 +194,11 @@ object BmpPixelStats {
     val h = math.abs(le32(22).toInt) // negative height = top-down rows
     val bpp = le16(28)
     val comp = le32(30)
-    if (w <= 0 || h == 0 || bpp != 24 || comp != 0L) return null
-    val stride = (w * 3 + 3) & ~3
+    // bound dims BEFORE any Int stride arithmetic: a forged 2^30-wide
+    // header would overflow w*3 and slip past a naive length check
+    if (w <= 0 || h == 0 || bpp != 24 || comp != 0L ||
+      w.toLong * h > (1L << 26)) return null
+    val stride = ((w.toLong * 3 + 3) & ~3L).toInt
     if (dataOff < 54 || dataOff + stride.toLong * h > b.length) return null
     var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
     var row = 0
@@ -1087,6 +1090,7 @@ object JpegPixelStats {
               if (u8(i + 3 + 2 * c) != compId(c)) return null
               compTd(c) = u8(i + 4 + 2 * c) >> 4
               compTa(c) = u8(i + 4 + 2 * c) & 15
+              if (compTd(c) > 3 || compTa(c) > 3) return null
               c += 1
             }
             sosAt = i + len
