@@ -1438,8 +1438,17 @@ object SparkEntry {
       val srIdx = pmod(col("doc_id"), lit(3)).cast("long")
       val b3 = lpad(hex(shiftleft(brIdx, 4) + shiftleft(srIdx, 2)), 2, "0")
       val n = (pmod(col("doc_id"), lit(512))).cast("int")
-      val hdr = concat(lit("FFFB"), b3, lit("00"),
+      // even docs: CBR (duration from payload bytes at the header
+      // bitrate); odd docs: a REAL Xing VBR tag — mono MPEG1, so the
+      // tag sits after the 17-byte side info, frames field -> duration
+      // = frames * 1152 / rate, the correction every real player makes
+      val vfr = (pmod(col("doc_id"), lit(5000)) + 1).cast("int")
+      val cbr = concat(lit("FFFB"), b3, lit("00"),
         lit("00" * 512).substr(lit(1), n * 2))
+      val vbr = concat(lit("FFFB"), b3, lit("C0"), lit("00" * 17),
+        lit("58696E67"), lit("00000001"), lpad(hex(vfr), 8, "0"),
+        lit("00" * 512).substr(lit(1), n * 2))
+      val hdr = when(pmod(col("doc_id"), lit(2)) === 0, cbr).otherwise(vbr)
       t(s, dir, "documents")
         .select(col("doc_id"), MediaHeaders.mp3Info(unhex(hdr)).as("m"))
         .select(col("doc_id"), col("m.version_x10"), col("m.bitrate_kbps"),
@@ -3137,11 +3146,13 @@ object SparkEntry {
         |    WHEN 12 THEN 224 WHEN 13 THEN 256 WHEN 14 THEN 320 END AS br,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |    ELSE 32000 END AS sr,
-        |  4 + doc_id % 512 AS nbytes
+        |  4 + doc_id % 512 AS nbytes,
+        |  doc_id % 5000 + 1 AS vfr
         |  FROM documents)
         |SELECT doc_id, CAST(10 AS INT) AS version_x10,
         |  CAST(br AS INT) AS bitrate_kbps, CAST(sr AS INT) AS sample_rate,
-        |  CAST(nbytes * 8 // br AS BIGINT) AS duration_ms
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN nbytes * 8 // br
+        |       ELSE vfr * 1152000 // sr END AS BIGINT) AS duration_ms
         |FROM m""".stripMargin,
 
     "m_wav_info" ->

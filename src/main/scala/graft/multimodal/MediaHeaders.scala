@@ -607,7 +607,36 @@ object Mp3Info {
       case 2 => (20L, brV2(brIdx), srV2(srIdx))
       case _ => (25L, brV2(brIdx), srV25(srIdx))
     }
+    // VBR duration beats the CBR estimate when a frame count is present:
+    // Xing/Info sits after the first frame's side info (MPEG1: 32/17
+    // bytes stereo/mono; MPEG2/2.5: 17/9), VBRI at the fixed offset 36
+    // (Fraunhofer). frames * samples-per-frame / rate is the real
+    // length; the first-frame-bitrate estimate can be off by 2x+ on
+    // VBR files.
+    @inline def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    @inline def tag(i: Int, t: String): Boolean =
+      i + t.length <= b.length &&
+        t.indices.forall(k => u8(i + k) == t.charAt(k))
+    val mono = ((u8(off + 3) >> 6) & 3) == 3
+    val side = verBits match {
+      case 3 => if (mono) 17 else 32
+      case _ => if (mono) 9 else 17
+    }
+    val samplesPerFrame = if (verBits == 3) 1152L else 576L
+    val xo = off + 4 + side
+    var vbrFrames = -1L
+    if ((tag(xo, "Xing") || tag(xo, "Info")) && xo + 8 <= b.length &&
+      (be32(xo + 4) & 1L) != 0 && xo + 12 <= b.length)
+      vbrFrames = be32(xo + 8)
+    val vo = off + 36
+    if (vbrFrames < 0 && tag(vo, "VBRI") && vo + 18 <= b.length)
+      vbrFrames = be32(vo + 14)
     val payloadBytes = (b.length - off).toLong
-    Array(ver, br.toLong, sr.toLong, payloadBytes * 8L / br)
+    val durMs =
+      if (vbrFrames >= 0) vbrFrames * samplesPerFrame * 1000L / sr
+      else payloadBytes * 8L / br
+    Array(ver, br.toLong, sr.toLong, durMs)
   }
 }

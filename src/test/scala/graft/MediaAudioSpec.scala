@@ -306,4 +306,34 @@ class MediaAudioSpec extends SparkTestBase {
     val unset = oggPage(2, -1L, 7, 0, opusHead(2, 16000, 312))
     assert(OggDuration.scan(unset) == null)
   }
+
+  // --------------------------------------------------------------- MP3
+
+  test("MP3 VBR duration: Xing, Info, and VBRI frame counts") {
+    import graft.multimodal.Mp3Info
+    def be32(v: Long) = (3 to 0 by -1).map(i => ((v >> (8 * i)) & 0xFF).toByte)
+    // MPEG1 Layer III 128kbps 44100 mono -> side info 17, tag at 21
+    val hdr = Array(0xFF, 0xFB, 0x90, 0xC0).map(_.toByte)
+    def xing(tag: String, frames: Long) =
+      hdr ++ Array.fill[Byte](17)(0) ++ tag.getBytes ++ be32(1) ++
+        be32(frames) ++ Array.fill[Byte](64)(0)
+    val x = Mp3Info.scan(xing("Xing", 3000))
+    assert(x != null && x(3) == 3000L * 1152 * 1000 / 44100)
+    val i = Mp3Info.scan(xing("Info", 77))
+    assert(i != null && i(3) == 77L * 1152 * 1000 / 44100)
+    // VBRI sits at the fixed offset 36; frames at +14 within the tag
+    val vbri = hdr ++ Array.fill[Byte](32)(0) ++ "VBRI".getBytes ++
+      Array.fill[Byte](10)(0) ++ be32(555) ++ Array.fill[Byte](8)(0)
+    val v = Mp3Info.scan(vbri)
+    assert(v != null && v(3) == 555L * 1152 * 1000 / 44100)
+    // no tag -> CBR estimate from payload bytes at the header bitrate
+    val cbr = hdr ++ Array.fill[Byte](60)(0)
+    val c = Mp3Info.scan(cbr)
+    assert(c != null && c(3) == 64L * 8 / 128)
+    // Xing present but the frames flag bit unset -> CBR fallback
+    val noflag = hdr ++ Array.fill[Byte](17)(0) ++ "Xing".getBytes ++
+      be32(0) ++ be32(999)
+    val nf = Mp3Info.scan(noflag)
+    assert(nf != null && nf(3) == (noflag.length.toLong * 8) / 128)
+  }
 }
