@@ -135,6 +135,34 @@ object MediaExtra {
    * page walk to the last granule position; see [[OggDuration.scan]]. */
   def oggDurationScan(bin: Column): Column =
     ColumnShim.column(OggDuration(ColumnShim.expression(bin)))
+
+  /** Header-only dimension parse for the formats MediaHeaders.parseDims
+   * does not cover (BMP, PPM, TIFF, ICO) — the extractFeatures fallback
+   * chain, so the deterministic stub only fires for genuinely unknown
+   * bytes. Cheap: no pixel walk, just the fixed-offset header reads. */
+  def parseMoreDims(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b == null || b.length < 6) return None
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def le32i(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val w = le32i(18); val h = math.abs(le32i(22))
+      if (w > 0 && h > 0) return Some((w, h))
+    }
+    if (b(0) == 'P' && b(1) == '6') {
+      val ppm = PpmInfo.scan(b) // [width, height, ...] or null
+      if (ppm != null) return Some((ppm(0).toInt, ppm(1).toInt))
+    }
+    val tiff = TiffDims.scan(b)
+    if (tiff != null) return Some((tiff(0).toInt, tiff(1).toInt))
+    if (b.length >= 22 && u8(0) == 0 && u8(1) == 0 && u8(2) == 1 &&
+      u8(3) == 0 && (u8(4) | (u8(5) << 8)) >= 1) {
+      val w = if (u8(6) == 0) 256 else u8(6)
+      val h = if (u8(7) == 0) 256 else u8(7)
+      return Some((w, h))
+    }
+    None
+  }
 }
 
 /** Shared shape for the long-array media scan expressions. */

@@ -135,10 +135,10 @@ object Multimodal {
         // payloads in formats the container cannot parse
         val (w, hgt) = r.kind match {
           case "image" | "video" =>
-            MediaHeaders.parseDims(r.payload) match {
-              case Some((_, pw, ph)) => (pw, ph)
-              case None => Codecs.decodeImage(r.payload)
-            }
+            MediaHeaders.parseDims(r.payload)
+              .map { case (_, pw, ph) => (pw, ph) }
+              .orElse(MediaExtra.parseMoreDims(r.payload))
+              .getOrElse(Codecs.decodeImage(r.payload))
           case _ => (-1, -1)
         }
         // decode once per row — duration and frame count come from the

@@ -326,4 +326,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(one.head == (0, 0L))
     assert(one.forall { case (i, off) => off == i * 1000L })
   }
+
+  test("extractFeatures dims fallback: BMP/PPM/TIFF/ICO headers beat the " +
+      "stub; unknown bytes still reach it") {
+    import graft.multimodal.MediaExtra
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val bmp = Array[Byte]('B', 'M') ++ le32(70) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(2) ++ le32(-3) ++ // top-down: |h| = 3
+      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(16) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0)
+    val ppm = "P6\n4 5\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](4 * 5 * 3)(7)
+    val tiff = Array[Byte]('M', 'M', 0, 42, 0, 0, 0, 8, 0, 2) ++
+      Array[Byte](1, 0, 0, 3, 0, 0, 0, 1, 0, 6, 0, 0) ++  // 256 SHORT 6
+      Array[Byte](1, 1, 0, 3, 0, 0, 0, 1, 0, 9, 0, 0) ++  // 257 SHORT 9
+      Array[Byte](0, 0, 0, 0)
+    val ico = Array[Byte](0, 0, 1, 0, 1, 0, 0, 0) ++ // 0-byte dims = 256
+      Array.fill[Byte](14)(0)
+    assert(MediaExtra.parseMoreDims(bmp).contains((2, 3)))
+    assert(MediaExtra.parseMoreDims(ppm).contains((4, 5)))
+    assert(MediaExtra.parseMoreDims(tiff).contains((6, 9)))
+    assert(MediaExtra.parseMoreDims(ico).contains((256, 256)))
+    assert(MediaExtra.parseMoreDims("garbage".getBytes).isEmpty)
+    assert(MediaExtra.parseMoreDims(Array.emptyByteArray).isEmpty)
+    // truncated PPM raster: header parses but the scan rejects it
+    assert(MediaExtra.parseMoreDims(ppm.dropRight(1)).isEmpty)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", bmp, Map.empty),
+      Multimodal.MediaRow(2L, "image", tiff, Map.empty),
+      Multimodal.MediaRow(3L, "image", ico, Map.empty),
+      Multimodal.MediaRow(4L, "image", "garbage".getBytes, Map.empty)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(rows).collect().sortBy(_.media_id)
+    assert((feats(0).width, feats(0).height) == (2, 3))
+    assert((feats(1).width, feats(1).height) == (6, 9))
+    assert((feats(2).width, feats(2).height) == (256, 256))
+    // the unknown payload is the one place the deterministic stub fires
+    assert((feats(3).width, feats(3).height) ==
+      Multimodal.Codecs.decodeImage("garbage".getBytes))
+  }
 }
