@@ -1064,6 +1064,62 @@ object SparkEntry {
           col("d.width").as("width"), col("d.height").as("height"))
     }),
 
+    // ---- multimodal: dims-fallback formats — BMP/PPM/TIFF/ICO payloads
+    // synthesized from doc_id arithmetic and parsed back through the FULL
+    // extractFeatures chain (MediaHeaders miss -> MediaExtra.parseMoreDims),
+    // so the oracle pins the fallback WIRING end-to-end, not just the
+    // parsers the unit spec covers
+    "m_dims_extra" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def be16(c: Column) = lpad(hex(c), 4, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val m = pmod(col("doc_id"), lit(4)).cast("int")
+      val wB = (pmod(col("doc_id"), lit(1000)) + 1).cast("int") // bmp/tiff
+      val hB = (pmod(col("doc_id"), lit(700)) + 1).cast("int")
+      val wP = (pmod(col("doc_id"), lit(13)) + 1).cast("int")   // ppm
+      val hP = (pmod(col("doc_id"), lit(7)) + 1).cast("int")
+      val wI = (pmod(col("doc_id"), lit(255)) + 1).cast("int")  // ico
+      val hI = (pmod(col("doc_id"), lit(100)) + 1).cast("int")
+      // BMP: the 26 fixed header bytes are exactly what the parser reads
+      val bmpHex = concat(lit("424D"), le32h(lit(26)), lit("00000000"),
+        le32h(lit(26)), le32h(lit(40)), le32h(wB), le32h(hB))
+      // PPM P6 must carry its full raster: PpmInfo.scan validates length
+      val ppmHdr = concat(lit("P6\n"), wP.cast("string"), lit(" "),
+        hP.cast("string"), lit("\n255\n"))
+      val ppmBin = concat(ppmHdr.cast("binary"),
+        unhex(rep(lit("010203"), wP * hP)))
+      // TIFF big-endian: one IFD, ImageWidth/ImageLength SHORT entries
+      val tiffHex = concat(lit("4D4D002A000000080002"),
+        lit("0100000300000001"), be16(wB), lit("0000"),
+        lit("0101000300000001"), be16(hB), lit("0000"),
+        lit("00000000"))
+      // ICO: 6-byte directory + one 16-byte entry; dims are bytes 6/7
+      val icoHex = concat(lit("000001000100"), h2(wI), h2(hI),
+        lit("00" * 14))
+      val payload = when(m === 0, unhex(bmpHex))
+        .when(m === 1, ppmBin)
+        .when(m === 2, unhex(tiffHex))
+        .otherwise(unhex(icoHex))
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          payload.as("payload"),
+          typedLit(Map.empty[String, String]).as("meta"))
+        .as[Multimodal.MediaRow]
+      Multimodal.extractFeatures(rows).toDF()
+        .select(col("media_id").as("doc_id"),
+          element_at(
+            array(lit("bmp"), lit("ppm"), lit("tiff"), lit("ico")),
+            (pmod(col("media_id"), lit(4)) + 1).cast("int")).as("fmt"),
+          col("width"), col("height"))
+    }),
+
     // ---- multimodal: REAL pixel decode — synthesized uncompressed
     // 24-bit BMPs (bottom-up BGR rows, live 4-byte padding the walker
     // must skip), binary PPM P6 rasters (with a header comment), and
@@ -3201,6 +3257,22 @@ object SparkEntry {
         |       ELSE 'gif' END AS fmt,
         |  CAST(doc_id % 1000 + 1 AS INT) AS width,
         |  CAST(doc_id % 700 + 1 AS INT) AS height
+        |FROM documents""".stripMargin,
+
+    // the engine parsed real BMP/PPM/TIFF/ICO header bytes back out of
+    // the payloads; the oracle replays the synthesis arithmetic
+    "m_dims_extra" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+        |       WHEN 2 THEN 'tiff' ELSE 'ico' END AS fmt,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN doc_id % 13 + 1
+        |    WHEN 3 THEN doc_id % 255 + 1
+        |    ELSE doc_id % 1000 + 1 END AS INT) AS width,
+        |  CAST(CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN doc_id % 7 + 1
+        |    WHEN 3 THEN doc_id % 100 + 1
+        |    ELSE doc_id % 700 + 1 END AS INT) AS height
         |FROM documents""".stripMargin,
 
     // the engine decoded REAL pixel bytes; the oracle replays the stats
