@@ -1120,6 +1120,69 @@ object SparkEntry {
           col("width"), col("height"))
     }),
 
+    // ---- multimodal: REAL content embeddings end-to-end — two-tone PPM
+    // rasters (image arm) and stereo square-wave WAVs (audio arm) routed
+    // through the FULL extractFeatures path; the 8-dim color-moment /
+    // waveform-statistics descriptors (ContentEmbed) use only
+    // correctly-rounded IEEE double ops (+,-,*,/,sqrt) with one final
+    // float32 rounding, so DuckDB replays every component BIT-EXACTLY
+    // from the synthesis arithmetic — a float oracle with no tolerance
+    "m_embed" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val even = pmod(col("doc_id"), lit(2)) === 0
+      // image arm: two-tone binary PPM — q pixels of color A, n-q of B
+      val w = (pmod(col("doc_id"), lit(9)) + 2).cast("int")
+      val h = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
+      val n = w * h
+      val q = (pmod(col("doc_id"), (n - 1).cast("long")) + 1).cast("int")
+      val rgbA = concat(h2(pmod(col("doc_id") * 11, lit(256))),
+        h2(pmod(col("doc_id") * 5, lit(256))),
+        h2(pmod(col("doc_id") * 3, lit(256))))
+      val rgbB = concat(h2(pmod(col("doc_id") * 7, lit(256))),
+        h2(pmod(col("doc_id") * 13, lit(256))),
+        h2(pmod(col("doc_id") * 17, lit(256))))
+      val ppmHdr = concat(lit("P6\n"), w.cast("string"), lit(" "),
+        h.cast("string"), lit("\n255\n"))
+      val ppm = concat(encode(ppmHdr, "UTF-8"),
+        unhex(concat(rep(rgbA, q), rep(rgbB, n - q))))
+      // audio arm: the m_audio_pcm square-wave shape, stereo
+      val ch = lit(2)
+      val amp = when(pmod(col("doc_id"), lit(11)) === 0, lit(32767))
+        .otherwise(pmod(col("doc_id") * 37, lit(32767)).cast("int"))
+      val half = (pmod(col("doc_id"), lit(50)) + 1).cast("int")
+      val nFrames = half * 2
+      val ds = nFrames * ch * 2
+      val sr = (lit(8000) + pmod(col("doc_id"), lit(8)).cast("int") * 4000)
+        .cast("int")
+      val neg = pmod(lit(65536) - amp, lit(65536))
+      val pair = concat(rep(le16h(amp), ch), rep(le16h(neg), ch))
+      val wavHex = concat(
+        lit("52494646"), le32h(ds + 36), lit("57415645"),
+        lit("666D7420"), lit("10000000"), lit("0100"), le16h(ch),
+        le32h(sr), le32h(sr * ch * 2), le16h(ch * 2), lit("1000"),
+        lit("64617461"), le32h(ds), rep(pair, half))
+      val payload = when(even, ppm).otherwise(unhex(wavHex))
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          when(even, "image").otherwise("audio").as("kind"),
+          payload.as("payload"),
+          typedLit(Map.empty[String, String]).as("meta"))
+        .as[Multimodal.MediaRow]
+      val emb = (0 until 8).map(i =>
+        element_at(col("embedding"), i + 1).as(s"e$i"))
+      Multimodal.extractFeatures(rows).toDF()
+        .select(col("media_id").as("doc_id") +: col("kind").as("modality")
+          +: emb: _*)
+    }),
+
     // ---- multimodal: REAL pixel decode — synthesized uncompressed
     // 24-bit BMPs (bottom-up BGR rows, live 4-byte padding the walker
     // must skip), binary PPM P6 rasters (with a header comment), and
@@ -1255,7 +1318,10 @@ object SparkEntry {
           px(1).cast("int").as("width"), px(2).cast("int").as("height"),
           px(3).as("sum_r"), px(4).as("sum_g"), px(5).as("sum_b"),
           px(6).as("n_px"), px(7).cast("int").as("min_ch"),
-          px(8).cast("int").as("max_ch"))
+          px(8).cast("int").as("max_ch"),
+          // second-moment slots (exact longs) — the color-moment content
+          // embedding's inputs, pinned across all five real decoders
+          px(9).as("sq_r"), px(10).as("sq_g"), px(11).as("sq_b"))
     }),
 
     // ---- multimodal: container/tag metadata — TIFF IFD dims (both byte
@@ -1582,7 +1648,12 @@ object SparkEntry {
           element_at(col("__pcm"), 3).as("n_frames"),
           element_at(col("__pcm"), 4).as("sum_abs"),
           element_at(col("__pcm"), 5).as("peak"),
-          element_at(col("__pcm"), 6).as("n_clipped"))
+          element_at(col("__pcm"), 6).as("n_clipped"),
+          // waveform-statistics slots (audio content embedding inputs):
+          // exact squared-sample sum and per-channel sign flips
+          element_at(col("__pcm"), 7).as("sum_sq"),
+          element_at(col("__pcm"), 8).as("zero_crossings"),
+          element_at(col("__pcm"), 9).cast("int").as("bps"))
     }),
 
     // ---- multimodal: REAL FLAC audio decode — a complete native frame
@@ -1626,7 +1697,12 @@ object SparkEntry {
           element_at(col("__pcm"), 3).as("n_frames"),
           element_at(col("__pcm"), 4).as("sum_abs"),
           element_at(col("__pcm"), 5).as("peak"),
-          element_at(col("__pcm"), 6).as("n_clipped"))
+          element_at(col("__pcm"), 6).as("n_clipped"),
+          // constant-subframe streams: squared-sum replays in closed
+          // form, zero crossings are structurally zero
+          element_at(col("__pcm"), 7).as("sum_sq"),
+          element_at(col("__pcm"), 8).as("zero_crossings"),
+          element_at(col("__pcm"), 9).cast("int").as("bps"))
     }),
 
     // ---- function/custom validators: AfterValidator transform, named
@@ -3232,7 +3308,12 @@ object SparkEntry {
         |  CAST(a AS BIGINT) AS peak,
         |  CAST(CASE WHEN a = 32767
         |    THEN (doc_id % 50 + 1) * 2 * (doc_id % 2 + 1)
-        |    ELSE 0 END AS BIGINT) AS n_clipped
+        |    ELSE 0 END AS BIGINT) AS n_clipped,
+        |  (doc_id % 50 + 1) * 2 * (doc_id % 2 + 1) * a * a AS sum_sq,
+        |  CAST(CASE WHEN a = 0 THEN 0
+        |    ELSE ((doc_id % 50 + 1) * 2 - 1) * (doc_id % 2 + 1)
+        |    END AS BIGINT) AS zero_crossings,
+        |  CAST(16 AS INT) AS bps
         |FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 32767
         |  ELSE (doc_id * 37) % 32767 END AS a FROM documents)""".stripMargin,
 
@@ -3247,9 +3328,81 @@ object SparkEntry {
         |  CAST(a AS BIGINT) AS peak,
         |  CAST(CASE WHEN a = 32767
         |    THEN (doc_id % 100 + 1) * 16 * (doc_id % 2 + 1)
-        |    ELSE 0 END AS BIGINT) AS n_clipped
+        |    ELSE 0 END AS BIGINT) AS n_clipped,
+        |  (doc_id % 100 + 1) * 16 * (doc_id % 2 + 1) * a * a AS sum_sq,
+        |  CAST(0 AS BIGINT) AS zero_crossings,
+        |  CAST(16 AS INT) AS bps
         |FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 32767
         |  ELSE (doc_id * 37) % 32767 END AS a FROM documents)""".stripMargin,
+
+    // the engine DECODED the synthesized PPM pixels / WAV samples and
+    // computed the 8-dim color-moment / waveform-statistics embedding
+    // from them; the oracle replays the moment arithmetic in closed form
+    // and then the exact IEEE double sequence (every op correctly
+    // rounded: +,-,*,/, sqrt, one final float32 cast) — bit-exact float
+    // comparison, no tolerance
+    "m_embed" ->
+      """WITH im AS (
+        |  SELECT doc_id, doc_id % 9 + 2 AS w, doc_id % 5 + 1 AS h,
+        |    (doc_id * 11) % 256 AS ar, (doc_id * 5) % 256 AS ag,
+        |    (doc_id * 3) % 256 AS ab,
+        |    (doc_id * 7) % 256 AS br, (doc_id * 13) % 256 AS bg,
+        |    (doc_id * 17) % 256 AS bb
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), im2 AS (
+        |  SELECT *, w * h AS n, doc_id % (w * h - 1) + 1 AS q FROM im
+        |), imm AS (
+        |  SELECT doc_id, w, h, n,
+        |    q*ar + (n-q)*br AS sum_r, q*ag + (n-q)*bg AS sum_g,
+        |    q*ab + (n-q)*bb AS sum_b,
+        |    q*ar*ar + (n-q)*br*br AS sq_r, q*ag*ag + (n-q)*bg*bg AS sq_g,
+        |    q*ab*ab + (n-q)*bb*bb AS sq_b,
+        |    LEAST(ar, ag, ab, br, bg, bb) AS mn,
+        |    GREATEST(ar, ag, ab, br, bg, bb) AS mx
+        |  FROM im2
+        |), imv AS (
+        |  SELECT doc_id, w, h, n, mn, mx,
+        |    CAST(sum_r AS DOUBLE)/n AS mu_r, CAST(sum_g AS DOUBLE)/n AS mu_g,
+        |    CAST(sum_b AS DOUBLE)/n AS mu_b,
+        |    CAST(sq_r AS DOUBLE)/n AS m2_r, CAST(sq_g AS DOUBLE)/n AS m2_g,
+        |    CAST(sq_b AS DOUBLE)/n AS m2_b
+        |  FROM imm
+        |), au AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 32767
+        |         ELSE (doc_id * 37) % 32767 END AS amp,
+        |    doc_id % 50 + 1 AS half,
+        |    8000 + (doc_id % 8) * 4000 AS sr
+        |  FROM documents WHERE doc_id % 2 = 1
+        |)
+        |SELECT doc_id, 'image' AS modality,
+        |  CAST(mu_r / 255.0 AS FLOAT) AS e0,
+        |  CAST(mu_g / 255.0 AS FLOAT) AS e1,
+        |  CAST(mu_b / 255.0 AS FLOAT) AS e2,
+        |  CAST(sqrt(CASE WHEN m2_r - mu_r*mu_r > 0
+        |    THEN m2_r - mu_r*mu_r ELSE 0 END) / 127.5 AS FLOAT) AS e3,
+        |  CAST(sqrt(CASE WHEN m2_g - mu_g*mu_g > 0
+        |    THEN m2_g - mu_g*mu_g ELSE 0 END) / 127.5 AS FLOAT) AS e4,
+        |  CAST(sqrt(CASE WHEN m2_b - mu_b*mu_b > 0
+        |    THEN m2_b - mu_b*mu_b ELSE 0 END) / 127.5 AS FLOAT) AS e5,
+        |  CAST(CAST(w AS DOUBLE) / (w + h) AS FLOAT) AS e6,
+        |  CAST(CAST(mx - mn AS DOUBLE) / 255.0 AS FLOAT) AS e7
+        |FROM imv
+        |UNION ALL
+        |SELECT doc_id, 'audio' AS modality,
+        |  CAST(CAST(amp * 4 * half AS DOUBLE) / (4 * half) / 32768.0
+        |    AS FLOAT) AS e0,
+        |  CAST(sqrt(CAST(4 * half * amp * amp AS DOUBLE) / (4 * half))
+        |    / 32768.0 AS FLOAT) AS e1,
+        |  CAST(CAST(amp AS DOUBLE) / 32768.0 AS FLOAT) AS e2,
+        |  CAST(CAST(CASE WHEN amp = 0 THEN 0 ELSE 2 * (2 * half - 1) END
+        |    AS DOUBLE) / (4 * half) AS FLOAT) AS e3,
+        |  CAST(CAST(CASE WHEN amp = 32767 THEN 4 * half ELSE 0 END
+        |    AS DOUBLE) / (4 * half) AS FLOAT) AS e4,
+        |  CAST(CAST(2 * half AS DOUBLE) / sr / 600.0 AS FLOAT) AS e5,
+        |  CAST(0.25 AS FLOAT) AS e6,
+        |  CAST(CAST(sr AS DOUBLE) / 96000.0 AS FLOAT) AS e7
+        |FROM au""".stripMargin,
 
     "m_image_dims" ->
       """SELECT doc_id,
@@ -3315,7 +3468,31 @@ object SparkEntry {
         |         CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
         |              ELSE 64 - doc_id % 64 END
         |       ELSE greatest((doc_id * 13) % 256, (doc_id * 7) % 256,
-        |                      doc_id % 256) END AS INT) AS max_ch
+        |                      doc_id % 256) END AS INT) AS max_ch,
+        |  CASE WHEN doc_id % 5 = 4 THEN 64 * (doc_id % 4 + 1) * (doc_id % 3 + 1) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END)
+        |       ELSE (doc_id % 13 + 1) * (doc_id % 7 + 1) *
+        |         ((doc_id * 13) % 256) * ((doc_id * 13) % 256)
+        |       END AS sq_r,
+        |  CASE WHEN doc_id % 5 = 4 THEN 64 * (doc_id % 4 + 1) * (doc_id % 3 + 1) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END)
+        |       ELSE (doc_id % 13 + 1) * (doc_id % 7 + 1) *
+        |         ((doc_id * 7) % 256) * ((doc_id * 7) % 256)
+        |       END AS sq_g,
+        |  CASE WHEN doc_id % 5 = 4 THEN 64 * (doc_id % 4 + 1) * (doc_id % 3 + 1) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END) *
+        |         (CASE WHEN doc_id % 2 = 0 THEN 192 + doc_id % 64
+        |               ELSE 64 - doc_id % 64 END)
+        |       ELSE (doc_id % 13 + 1) * (doc_id % 7 + 1) *
+        |         (doc_id % 256) * (doc_id % 256)
+        |       END AS sq_b
         |FROM documents""".stripMargin,
 
     "m_container_meta" ->

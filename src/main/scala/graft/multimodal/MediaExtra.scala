@@ -45,9 +45,12 @@ object MediaExtra {
    * packing measured 15s for 500 rows; the staged shape is sub-second.
    *
    * Slots (longs): 1=width, 2=height, 3=sum_r, 4=sum_g, 5=sum_b, 6=n_px,
-   * 7=min_ch, 8=max_ch. BMP: uncompressed 24-bit, BGR rows bottom-up,
-   * 4-byte row padding skipped. PPM: binary P6, maxval <= 255, `#`
-   * header comments. Null for anything else. */
+   * 7=min_ch, 8=max_ch, 9=sumsq_r, 10=sumsq_g, 11=sumsq_b (the
+   * second-moment slots feed the real color-moment content embedding —
+   * Stricker & Orengo 1995 mean/sigma per channel; exact longs, bounded:
+   * 255^2 * 2^26 px < 2^42). BMP: uncompressed 24-bit, BGR rows
+   * bottom-up, 4-byte row padding skipped. PPM: binary P6, maxval <=
+   * 255, `#` header comments. Null for anything else. */
   def bmpScan(bin: Column): Column =
     ColumnShim.column(BmpPixelStats(ColumnShim.expression(bin)))
 
@@ -70,7 +73,8 @@ object MediaExtra {
   def jpegScan(bin: Column): Column =
     ColumnShim.column(JpegPixelStats(ColumnShim.expression(bin)))
 
-  /** array(channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped)
+  /** array(channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped,
+   * sum_sq, zero_crossings, bps)
    * — REAL WAV PCM s16 sample decode; see [[WavPcmStats.scan]]. */
   def wavPcmScan(bin: Column): Column =
     ColumnShim.column(WavPcmStats(ColumnShim.expression(bin)))
@@ -229,6 +233,7 @@ object BmpPixelStats {
     val stride = ((w.toLong * 3 + 3) & ~3L).toInt
     if (dataOff < 54 || dataOff + stride.toLong * h > b.length) return null
     var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
     var row = 0
     while (row < h) {
       var p = dataOff.toInt + row * stride
@@ -236,6 +241,7 @@ object BmpPixelStats {
       while (x < w) {
         val bb = u8(p); val gg = u8(p + 1); val rr = u8(p + 2)
         sb += bb; sg += gg; sr += rr
+        qb += bb.toLong * bb; qg += gg.toLong * gg; qr += rr.toLong * rr
         val lo = math.min(bb, math.min(gg, rr))
         val hi = math.max(bb, math.max(gg, rr))
         if (lo < mn) mn = lo
@@ -244,7 +250,7 @@ object BmpPixelStats {
       }
       row += 1
     }
-    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx)
+    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx, qr, qg, qb)
   }
 }
 
@@ -290,18 +296,20 @@ object PpmInfo {
     val n = w * h
     if (i + n * 3 > b.length) return null
     var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
     var k = 0L
     var p = i
     while (k < n) {
       val rr = u8(p); val gg = u8(p + 1); val bb = u8(p + 2)
       sr += rr; sg += gg; sb += bb
+      qr += rr.toLong * rr; qg += gg.toLong * gg; qb += bb.toLong * bb
       val lo = math.min(rr, math.min(gg, bb))
       val hi = math.max(rr, math.max(gg, bb))
       if (lo < mn) mn = lo
       if (hi > mx) mx = hi
       p += 3; k += 1
     }
-    Array(w, h, sr, sg, sb, n, mn, mx)
+    Array(w, h, sr, sg, sb, n, mn, mx, qr, qg, qb)
   }
 }
 
@@ -643,6 +651,7 @@ object PngPixelStats {
       row += 1
     }
     var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
     var p = 0
     val n = w * h
     var px = 0L
@@ -650,13 +659,14 @@ object PngPixelStats {
       val rr = recon(p) & 0xFF; val gg = recon(p + 1) & 0xFF
       val bb = recon(p + 2) & 0xFF
       sr += rr; sg += gg; sb += bb
+      qr += rr.toLong * rr; qg += gg.toLong * gg; qb += bb.toLong * bb
       val lo = math.min(rr, math.min(gg, bb))
       val hi = math.max(rr, math.max(gg, bb))
       if (lo < mn) mn = lo
       if (hi > mx) mx = hi
       p += bpp; px += 1
     }
-    Array(w, h, sr, sg, sb, n, mn, mx)
+    Array(w, h, sr, sg, sb, n, mn, mx, qr, qg, qb)
   }
 }
 
@@ -672,11 +682,18 @@ case class WavPcmStats(child: Expression) extends MediaScanExpr {
 }
 
 object WavPcmStats {
-  /** [channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped] —
-   * REAL audio content decode of RIFF/WAVE PCM (format 1, 16-bit): the
-   * data chunk is walked as signed little-endian samples. `sum_abs` and
-   * `peak_abs` are over ALL samples (channels interleaved); a sample
-   * counts as clipped when |s| >= 32767 (covering -32768). Chunk walk
+  /** [channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped,
+   * sum_sq, zero_crossings, bps] — REAL audio content decode of
+   * RIFF/WAVE PCM (format 1, 16-bit): the data chunk is walked as signed
+   * little-endian samples. `sum_abs` and `peak_abs` are over ALL samples
+   * (channels interleaved); a sample counts as clipped when
+   * |s| >= 32767 (covering -32768). `sum_sq` is the exact integer sum of
+   * squared samples (bounded: 2^30 per sample) and `zero_crossings`
+   * counts PER-CHANNEL consecutive-sample sign flips (negative vs
+   * non-negative, zero counting as non-negative), summed over channels —
+   * the two waveform-statistics slots the real audio content embedding
+   * reads (RMS + ZCR, cf. Wold et al. 1996). `bps` is the sample depth
+   * (always 16 here; FLAC's scan reports its native depth). Chunk walk
    * honors the RIFF even-byte padding rule. Null for non-WAV, non-PCM,
    * non-16-bit, or truncated payloads. */
   def scan(b: Array[Byte]): Array[Long] = {
@@ -705,17 +722,28 @@ object WavPcmStats {
       dataLen % (2L * ch) != 0) return null
     val nSamp = (dataLen / 2).toInt
     var sumAbs = 0L; var peak = 0L; var clipped = 0L
+    var sumSq = 0L; var zc = 0L
+    // per-channel previous-sample sign for ZCR (interleaved stream);
+    // prevNeg bit i = channel i's last sample was negative
+    val prevNeg = new Array[Boolean](ch)
+    val seen = new Array[Boolean](ch)
     var p = dataOff
     var k = 0
     while (k < nSamp) {
       val s = (u8(p) | (u8(p + 1) << 8)).toShort.toInt
       val a = math.abs(s).toLong
       sumAbs += a
+      sumSq += s.toLong * s
       if (a > peak) peak = a
       if (a >= 32767) clipped += 1
+      val c = k % ch
+      val neg = s < 0
+      if (seen(c) && neg != prevNeg(c)) zc += 1
+      prevNeg(c) = neg; seen(c) = true
       p += 2; k += 1
     }
-    Array(ch.toLong, rate, nSamp / ch, sumAbs, peak, clipped)
+    Array(ch.toLong, rate, nSamp / ch, sumAbs, peak, clipped,
+      sumSq, zc, 16L)
   }
 }
 
@@ -851,19 +879,21 @@ object GifPixelStats {
     }
     if (op != n) return null
     var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
     var k = 0
     while (k < n) {
       val idx = out(k) & 0xFF
       val p = ctOff + idx * 3
       val rr = u8(p); val gg = u8(p + 1); val bb = u8(p + 2)
       sr += rr; sg += gg; sb += bb
+      qr += rr.toLong * rr; qg += gg.toLong * gg; qb += bb.toLong * bb
       val lo = math.min(rr, math.min(gg, bb))
       val hi = math.max(rr, math.max(gg, bb))
       if (lo < mn) mn = lo
       if (hi > mx) mx = hi
       k += 1
     }
-    Array(w.toLong, h.toLong, sr, sg, sb, n.toLong, mn, mx)
+    Array(w.toLong, h.toLong, sr, sg, sb, n.toLong, mn, mx, qr, qg, qb)
   }
 }
 
@@ -1216,6 +1246,7 @@ object JpegPixelStats {
     }
     // color conversion + stats over the visible w x h window
     var sr = 0L; var sg = 0L; var sb = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
     var mn = 255L; var mx2 = 0L
     val y0 = planes(0); val pw0 = planeW(0)
     if (nc == 1) {
@@ -1225,13 +1256,14 @@ object JpegPixelStats {
         while (xx < w) {
           val v = y0(yy * pw0 + xx) & 0xFF
           sr += v
+          qr += v.toLong * v
           if (v < mn) mn = v
           if (v > mx2) mx2 = v
           xx += 1
         }
         yy += 1
       }
-      sg = sr; sb = sr
+      sg = sr; sb = sr; qg = qr; qb = qr
     } else {
       val cbP = planes(1); val crP = planes(2)
       val pw1 = planeW(1); val pw2 = planeW(2)
@@ -1256,6 +1288,7 @@ object JpegPixelStats {
           val gg = cl(yv - 0.344136 * cb - 0.714136 * cr)
           val bb = cl(yv + 1.772 * cb)
           sr += rr; sg += gg; sb += bb
+          qr += rr.toLong * rr; qg += gg.toLong * gg; qb += bb.toLong * bb
           val lo = math.min(rr, math.min(gg, bb))
           val hi = math.max(rr, math.max(gg, bb))
           if (lo < mn) mn = lo
@@ -1265,7 +1298,7 @@ object JpegPixelStats {
         yy += 1
       }
     }
-    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx2)
+    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx2, qr, qg, qb)
   }
 }
 
@@ -1422,7 +1455,8 @@ object FlacPcmStats {
     }
   }
 
-  /** [channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped] —
+  /** [channels, sample_rate, n_frames, sum_abs, peak_abs, n_clipped,
+   * sum_sq, zero_crossings, bps] —
    * REAL FLAC audio decode, no codec library (the format is public and
    * lossless, RFC 9639): STREAMINFO + metadata-block walk, frame-header
    * parse (coded blocksize/rate/channel-assignment/bps + UTF-8-style
@@ -1433,10 +1467,17 @@ object FlacPcmStats {
    * right/side, mid/side stereo decorrelation. Slot semantics match
    * [[WavPcmStats]]: `n_frames` = samples per channel, `sum_abs`/`peak`
    * over all channels, clipped = |s| >= fullScale-1 for the stream's
-   * bit depth. Frame CRC-8/CRC-16 and the STREAMINFO MD5 are not
-   * verified (the PNG/JPEG stance); any structural violation returns
-   * null. Pinned in MediaAudioSpec against an independent test-side
-   * FLAC encoder — lossless round-trip, so stats match bit-exactly. */
+   * bit depth. `sum_sq` is summed over samples arithmetic-shifted to
+   * 16-bit scale (s >> (bps-16), or << for shallower streams; identity
+   * at bps=16) so the exact-long accumulator cannot overflow on deep
+   * 24/32-bit content; `zero_crossings` counts per-channel sign flips
+   * at native depth (shift-invariant), summed over channels; `bps` is
+   * the STREAMINFO depth — together the waveform-statistics slots the
+   * real audio content embedding reads. Frame CRC-8/CRC-16 and the
+   * STREAMINFO MD5 are not verified (the PNG/JPEG stance); any
+   * structural violation returns null. Pinned in MediaAudioSpec against
+   * an independent test-side FLAC encoder — lossless round-trip, so
+   * stats match bit-exactly. */
   def scan(b: Array[Byte]): Array[Long] = {
     if (b == null || b.length < 42 || b.length > (Int.MaxValue >> 3))
       return null
@@ -1464,6 +1505,12 @@ object FlacPcmStats {
       val r = new Bits(b)
       r.pos = off * 8
       var sumAbs = 0L; var peak = 0L; var clipped = 0L
+      var sumSq = 0L; var zc = 0L
+      val prevNeg = new Array[Boolean](nCh)
+      val seen = new Array[Boolean](nCh)
+      // 16-bit normalization shift for the sum_sq accumulator (exact,
+      // overflow-safe at any depth); identity for 16-bit streams
+      val sqShift = bps - 16
       var totalPerCh = 0L
       val clipAt = (1L << (bps - 1)) - 1
       var chans: Array[Array[Int]] = null
@@ -1557,17 +1604,24 @@ object FlacPcmStats {
         while (i < blockSize) {
           var c2 = 0
           while (c2 < nCh) {
-            val a = math.abs(chans(c2)(i).toLong)
+            val s = chans(c2)(i)
+            val a = math.abs(s.toLong)
             sumAbs += a
             if (a > peak) peak = a
             if (a >= clipAt) clipped += 1
+            val s16 = if (sqShift >= 0) s >> sqShift else s << -sqShift
+            sumSq += s16.toLong * s16
+            val neg = s < 0
+            if (seen(c2) && neg != prevNeg(c2)) zc += 1
+            prevNeg(c2) = neg; seen(c2) = true
             c2 += 1
           }
           i += 1
         }
       }
       if (totalPerCh == 0) return null
-      Array(nCh.toLong, rate.toLong, totalPerCh, sumAbs, peak, clipped)
+      Array(nCh.toLong, rate.toLong, totalPerCh, sumAbs, peak, clipped,
+        sumSq, zc, bps.toLong)
     } catch {
       case Bad => null
       case _: ArrayIndexOutOfBoundsException => null

@@ -9,11 +9,18 @@ import org.apache.spark.sql.functions._
  *
  * No reference analog (pydantic validates no media); this is the
  * training-data-pipeline extension from the build brief. The Spark-side
- * plumbing — schema, batch shape, partition processing, metadata extraction
- * — is real and tested; the actual codec calls are STUBBED behind
- * [[Codecs]] with deterministic fakes (no image/audio libraries in this
- * container). On a real cluster, swap the Codecs implementation; nothing
- * else changes.
+ * plumbing — schema, batch shape, partition processing, metadata
+ * extraction — is real and tested. Decode is REAL wherever the format is
+ * parseable without a codec library: dimensions for
+ * PNG/JPEG/GIF/BMP/PPM/TIFF/ICO, durations for WAV/FLAC/MP3/OGG/MP4,
+ * full pixel decode for BMP/PPM/PNG/GIF/baseline-JPEG and full sample
+ * decode for WAV-PCM/FLAC (MediaHeaders/MediaExtra), and the content
+ * embedding ([[ContentEmbed]]) is computed from those REAL decoded
+ * pixels/samples — a classical color-moment / waveform-statistics
+ * descriptor. Only payloads NO native parser can decode (lossy-audio
+ * samples: MP3/Vorbis/Opus; video sample data; unknown byte formats)
+ * fall back to the deterministic fakes in [[Codecs]]. On a real cluster,
+ * swap Codecs for codec-library bindings; nothing else changes.
  *
  * Scale design: decode/feature-extract are per-partition batch loops
  * (`mapPartitions` over a typed Dataset — the Scala analog of Python's
@@ -43,9 +50,92 @@ object Multimodal {
       embedding: Array[Float]) // modality-agnostic feature vector
 
   /**
-   * Codec boundary — the ONLY stubbed layer. Deterministic fakes derive
-   * every "decoded" property from the payload bytes, so tests are stable
-   * and the pipeline shape is exercised end-to-end.
+   * REAL content embeddings from the native decoders — the classical
+   * pre-neural descriptors: color moments for images (mean and sigma per
+   * RGB channel — Stricker & Orengo, "Similarity of Color Images", 1995)
+   * and waveform statistics for audio (mean-abs/RMS/peak/ZCR/clip —
+   * Wold et al., "Content-Based Classification, Search, and Retrieval of
+   * Audio", IEEE MultiMedia 1996). Every component is derived from
+   * ACTUALLY DECODED pixels/samples (the [[MediaExtra]] scans), using
+   * only +,-,*,/ and sqrt on IEEE doubles with one final float32
+   * rounding — all correctly-rounded operations, so an independent
+   * engine (the DuckDB oracle) replays each component bit-exactly from
+   * the integer moment slots.
+   */
+  object ContentEmbed {
+    /** Moment slots for any image format with a native pixel decoder
+     * (BMP/PPM/PNG/GIF/baseline-JPEG), dispatched by magic bytes; null
+     * when no real decode is possible. Slots: see [[BmpPixelStats]]. */
+    def imageMoments(b: Array[Byte]): Array[Long] = {
+      if (b == null || b.length < 2) return null
+      val m0 = b(0) & 0xFF; val m1 = b(1) & 0xFF
+      if (m0 == 'B' && m1 == 'M') BmpPixelStats.scan(b)
+      else if (m0 == 'P' && m1 == '6') PpmInfo.scan(b)
+      else if (m0 == 0x89) PngPixelStats.scan(b)
+      else if (m0 == 'G' && m1 == 'I') GifPixelStats.scan(b)
+      else if (m0 == 0xFF && m1 == 0xD8) JpegPixelStats.scan(b)
+      else null
+    }
+
+    /** Sample-statistic slots for any audio format with a native sample
+     * decoder (WAV-PCM s16, FLAC); null otherwise (lossy codecs need a
+     * real codec library). Slots: see [[WavPcmStats]]. */
+    def audioMoments(b: Array[Byte]): Array[Long] = {
+      if (b == null || b.length < 4) return null
+      val m0 = b(0) & 0xFF
+      if (m0 == 'R') WavPcmStats.scan(b)
+      else if (m0 == 'f') FlacPcmStats.scan(b)
+      else null
+    }
+
+    /** 8-dim image descriptor from the 11 moment slots:
+     * [meanR, meanG, meanB]/255, [sigmaR, sigmaG, sigmaB]/127.5,
+     * w/(w+h) (aspect), (max-min)/255 (contrast). */
+    def imageEmbed(m: Array[Long]): Array[Float] = {
+      val n = m(5).toDouble
+      val w = m(0).toDouble; val h = m(1).toDouble
+      @inline def mean(i: Int): Double = m(i).toDouble / n
+      @inline def sigma(sum: Long, sq: Long): Double = {
+        val mu = sum.toDouble / n
+        val v = sq.toDouble / n - mu * mu
+        math.sqrt(if (v > 0) v else 0.0)
+      }
+      Array(
+        (mean(2) / 255.0).toFloat, (mean(3) / 255.0).toFloat,
+        (mean(4) / 255.0).toFloat,
+        (sigma(m(2), m(8)) / 127.5).toFloat,
+        (sigma(m(3), m(9)) / 127.5).toFloat,
+        (sigma(m(4), m(10)) / 127.5).toFloat,
+        (w / (w + h)).toFloat,
+        ((m(7) - m(6)).toDouble / 255.0).toFloat)
+    }
+
+    /** 8-dim audio descriptor from the 9 sample-statistic slots:
+     * meanAbs and peak normalized by the stream's full scale, RMS at the
+     * 16-bit sum_sq scale, zero-crossing rate and clipped fraction per
+     * sample, duration normalized to 10 minutes, channels/8,
+     * rate/96kHz. */
+    def audioEmbed(m: Array[Long]): Array[Float] = {
+      val ch = m(0); val rate = m(1).toDouble; val frames = m(2)
+      val n = (frames * ch).toDouble
+      val full = (1L << (m(8).toInt - 1)).toDouble
+      Array(
+        (m(3).toDouble / n / full).toFloat,
+        (math.sqrt(m(6).toDouble / n) / 32768.0).toFloat,
+        (m(4).toDouble / full).toFloat,
+        (m(7).toDouble / n).toFloat,
+        (m(5).toDouble / n).toFloat,
+        (frames.toDouble / rate / 600.0).toFloat,
+        (ch.toDouble / 8.0).toFloat,
+        (rate / 96000.0).toFloat)
+    }
+  }
+
+  /**
+   * Codec boundary — the residual stubbed layer, now reached ONLY for
+   * payloads no native parser decodes (see the class doc). Deterministic
+   * fakes derive every "decoded" property from the payload bytes, so
+   * tests are stable and the pipeline shape is exercised end-to-end.
    */
   object Codecs {
     private def h(payload: Array[Byte], salt: Int): Long = {
@@ -166,8 +256,19 @@ object Multimodal {
             }
           case _ => (-1L, -1)
         }
+        // REAL content embedding wherever pixels/samples actually decode
+        // (ContentEmbed); the stub embeds only what nothing native can
+        val emb = r.kind match {
+          case "image" =>
+            Option(ContentEmbed.imageMoments(r.payload))
+              .map(ContentEmbed.imageEmbed)
+          case "audio" =>
+            Option(ContentEmbed.audioMoments(r.payload))
+              .map(ContentEmbed.audioEmbed)
+          case _ => None
+        }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest,
-          w, hgt, dur, frames, Codecs.embed(r.payload))
+          w, hgt, dur, frames, emb.getOrElse(Codecs.embed(r.payload)))
       }
     }
   }

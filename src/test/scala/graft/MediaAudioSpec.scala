@@ -156,15 +156,25 @@ class MediaAudioSpec extends SparkTestBase {
   private def statsOf(frames: Seq[Array[Array[Int]]], nCh: Int, rate: Int,
       bps: Int): Seq[Long] = {
     val clipAt = (1L << (bps - 1)) - 1
+    val sqShift = bps - 16
     var sum = 0L; var peak = 0L; var clip = 0L; var n = 0L
+    var sumSq = 0L; var zc = 0L
     frames.foreach { chs =>
       n += chs(0).length
       chs.foreach(_.foreach { v =>
         val a = math.abs(v.toLong)
         sum += a; peak = math.max(peak, a); if (a >= clipAt) clip += 1
+        val s16 = if (sqShift >= 0) v >> sqShift else v << -sqShift
+        sumSq += s16.toLong * s16
       })
     }
-    Seq(nCh.toLong, rate.toLong, n, sum, peak, clip)
+    // per-channel sign flips with prev persisting ACROSS frame boundaries
+    for (c <- 0 until nCh) {
+      val series = frames.flatMap(_(c))
+      zc += series.iterator.sliding(2).withPartial(false)
+        .count(p => (p.head < 0) != (p(1) < 0))
+    }
+    Seq(nCh.toLong, rate.toLong, n, sum, peak, clip, sumSq, zc, bps.toLong)
   }
 
   private def wave(n: Int, seed: Int, amp: Int): Array[Int] =

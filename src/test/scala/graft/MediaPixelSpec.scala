@@ -93,13 +93,15 @@ class MediaPixelSpec extends SparkTestBase {
   private def statsOf(pixels: Array[Array[Int]], w: Int, h: Int,
                       bpp: Int): Array[Long] = {
     var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
     for (row <- pixels; px <- 0 until w) {
       val r = row(px * bpp); val g = row(px * bpp + 1); val b = row(px * bpp + 2)
       sr += r; sg += g; sb += b
+      qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
       mn = math.min(mn, math.min(r, math.min(g, b)))
       mx = math.max(mx, math.max(r, math.max(g, b)))
     }
-    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx)
+    Array(w.toLong, h.toLong, sr, sg, sb, w.toLong * h, mn, mx, qr, qg, qb)
   }
 
   test("PNG: real deflate + every filter type reconstructs exact pixels") {
@@ -241,14 +243,17 @@ class MediaPixelSpec extends SparkTestBase {
     assert(bytes.length < 6 + 7 + 12 + 10 + 2 + w * h + 4,
       "stream should actually be compressed")
     var sr = 0L; var sg = 0L; var sb = 0L; var mn = 255L; var mx = 0L
+    var qr = 0L; var qg = 0L; var qb = 0L
     for (i <- indices) {
       val (r, g, b) = palette(i)
       sr += r; sg += g; sb += b
+      qr += r.toLong * r; qg += g.toLong * g; qb += b.toLong * b
       mn = math.min(mn, math.min(r, math.min(g, b)))
       mx = math.max(mx, math.max(r, math.max(g, b)))
     }
     assert(graft.multimodal.GifPixelStats.scan(bytes).toSeq ==
-      Seq(w.toLong, h.toLong, sr, sg, sb, (w * h).toLong, mn, mx))
+      Seq(w.toLong, h.toLong, sr, sg, sb, (w * h).toLong, mn, mx,
+        qr, qg, qb))
   }
 
   test("GIF: width bumps past 2^w and a dictionary-overflow CLEAR decode") {
@@ -300,14 +305,18 @@ class MediaPixelSpec extends SparkTestBase {
   test("WAV PCM: exact sum/peak/clip over signed samples, -32768 included") {
     val samples = Array(1000, -2000, 32767, -32768, 0, 5)
     val out = WavPcmStats.scan(wav(2, 44100, samples))
+    // interleaved ch0 = [1000, 32767, 0] (no sign flip), ch1 =
+    // [-2000, -32768, 5] (one flip); squares exact longs
     assert(out.toSeq == Seq(2L, 44100L, 3L,
-      1000L + 2000L + 32767L + 32768L + 0L + 5L, 32768L, 2L))
+      1000L + 2000L + 32767L + 32768L + 0L + 5L, 32768L, 2L,
+      1000L * 1000 + 2000L * 2000 + 32767L * 32767 + 32768L * 32768 + 25L,
+      1L, 16L))
   }
 
   test("WAV PCM: odd-sized chunk before data is padded to even") {
     val samples = Array(-1, 1, -1, 1)
     val out = WavPcmStats.scan(wav(1, 8000, samples, extraChunk = true))
-    assert(out.toSeq == Seq(1L, 8000L, 4L, 4L, 1L, 0L))
+    assert(out.toSeq == Seq(1L, 8000L, 4L, 4L, 1L, 0L, 4L, 3L, 16L))
   }
 
   test("WAV PCM rejects: non-PCM format, 8-bit, ragged data length") {
@@ -328,7 +337,8 @@ class MediaPixelSpec extends SparkTestBase {
     val out = df.select(col("id"),
         MediaExtra.wavPcmScan(col("payload")).as("p"))
       .orderBy("id").collect()
-    assert(out(0).getSeq[Long](1) == Seq(1L, 22050L, 3L, 32967L, 32767L, 1L))
+    assert(out(0).getSeq[Long](1) == Seq(1L, 22050L, 3L, 32967L, 32767L, 1L,
+      100L * 100 * 2 + 32767L * 32767, 2L, 16L))
     assert(out(1).isNullAt(1))
   }
 
@@ -376,7 +386,9 @@ class MediaPixelSpec extends SparkTestBase {
       val s = JpegPixelStats.scan(jpegGray(w, h, dc))
       assert(s != null, s"$w x $h dc=$dc")
       assert(s.toSeq == Seq[Long](w, h, g.toLong * w * h, g.toLong * w * h,
-        g.toLong * w * h, w.toLong * h, g, g), s"dc=$dc")
+        g.toLong * w * h, w.toLong * h, g, g,
+        g.toLong * g * w * h, g.toLong * g * w * h, g.toLong * g * w * h),
+        s"dc=$dc")
     }
   }
 
@@ -385,7 +397,8 @@ class MediaPixelSpec extends SparkTestBase {
     val s = JpegPixelStats.scan(jpegGray(48, 16, 90, restartEvery = 3))
     assert(s != null)
     val g = 218L
-    assert(s.toSeq == Seq[Long](48, 16, g * 768, g * 768, g * 768, 768, g, g))
+    assert(s.toSeq == Seq[Long](48, 16, g * 768, g * 768, g * 768, 768, g, g,
+      g * g * 768, g * g * 768, g * g * 768))
     // a missing RST where one is declared must fail loudly, not misparse
     val noDri = jpegGray(48, 16, 90)
     val withDriOnly = {
@@ -548,7 +561,8 @@ class MediaPixelSpec extends SparkTestBase {
         MediaExtra.jpegScan(col("payload")).as("j"))
       .orderBy("id").collect()
     assert(out(0).getSeq[Long](1) ==
-      Seq[Long](16, 8, 200L * 128, 200L * 128, 200L * 128, 128, 200, 200))
+      Seq[Long](16, 8, 200L * 128, 200L * 128, 200L * 128, 128, 200, 200,
+        200L * 200 * 128, 200L * 200 * 128, 200L * 200 * 128))
     assert(out(1).isNullAt(1))
   }
 }

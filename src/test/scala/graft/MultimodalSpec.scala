@@ -239,9 +239,10 @@ class MultimodalSpec extends SparkTestBase {
     val px = Array[Byte](1, 2, 3, 4, 5, 6, 0xEE.toByte, 0xEE.toByte,
       7, 8, 9, 10, 11, 12, 0xEE.toByte, 0xEE.toByte)
     val up = BmpPixelStats.scan(hdr(2) ++ px)
-    // [w, h, sumR, sumG, sumB, nPx, min, max]
+    // [w, h, sumR, sumG, sumB, nPx, min, max, sqR, sqG, sqB]
     assert(up.toSeq == Seq(2L, 2L, 3L + 6 + 9 + 12, 2L + 5 + 8 + 11,
-      1L + 4 + 7 + 10, 4L, 1L, 12L))
+      1L + 4 + 7 + 10, 4L, 1L, 12L,
+      9L + 36 + 81 + 144, 4L + 25 + 64 + 121, 1L + 16 + 49 + 100))
     // negative height (top-down rows) — same stats, order-insensitive
     assert(BmpPixelStats.scan(hdr(-2) ++ px).toSeq == up.toSeq)
     // 32bpp and compressed (BI_RLE8 = 1) are rejected
@@ -259,7 +260,7 @@ class MultimodalSpec extends SparkTestBase {
     val px = Array[Byte](10, 20, 30, 40, 50, 60) // RGB RGB
     val got = PpmInfo.scan(hdr ++ px)
     assert(got.toSeq == Seq(2L, 1L, 10L + 40, 20L + 50, 30L + 60, 2L,
-      10L, 60L))
+      10L, 60L, 100L + 1600, 400L + 2500, 900L + 3600))
     assert(PpmInfo.scan("P6\n2 1\n65535\n".getBytes("US-ASCII") ++ px)
       == null) // 16-bit maxval unsupported
     assert(PpmInfo.scan("P5\n2 1\n255\n".getBytes("US-ASCII") ++ px)
@@ -314,6 +315,53 @@ class MultimodalSpec extends SparkTestBase {
       Array[Byte](2, 10, 9) ++ opusHead
     assert(OggInfo.scan(page).toSeq == Seq(0L, 2L, 48000L))
     assert(OggInfo.scan(page.take(30)) == null)
+  }
+
+  test("real content embeddings: color moments from decoded pixels, " +
+      "waveform stats from decoded samples; stub only when undecodable") {
+    import graft.multimodal.Multimodal.ContentEmbed
+    // image: 2x1 PPM, pixels (10,20,30) and (40,50,60)
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    val im = ContentEmbed.imageMoments(ppm)
+    assert(im.toSeq == Seq(2L, 1L, 50L, 70L, 90L, 2L, 10L, 60L,
+      1700L, 2900L, 4500L))
+    val ie = ContentEmbed.imageEmbed(im)
+    def sig(sum: Long, sq: Long): Double = {
+      val mu = sum / 2.0; math.sqrt(sq / 2.0 - mu * mu)
+    }
+    assert(ie.toSeq == Seq[Float](
+      (25.0 / 255.0).toFloat, (35.0 / 255.0).toFloat, (45.0 / 255.0).toFloat,
+      (sig(50, 1700) / 127.5).toFloat, (sig(70, 2900) / 127.5).toFloat,
+      (sig(90, 4500) / 127.5).toFloat,
+      (2.0 / 3.0).toFloat, (50.0 / 255.0).toFloat))
+    // audio: mono 8kHz WAV, samples [100, -100, 100]
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val wav = "RIFF".getBytes ++ le32(42) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++ "data".getBytes ++ le32(6) ++
+      le16(100) ++ le16(-100 & 0xFFFF) ++ le16(100)
+    val am = ContentEmbed.audioMoments(wav)
+    assert(am.toSeq == Seq(1L, 8000L, 3L, 300L, 100L, 0L, 30000L, 2L, 16L))
+    val ae = ContentEmbed.audioEmbed(am)
+    assert(ae.toSeq == Seq[Float](
+      (300.0 / 3.0 / 32768.0).toFloat,
+      (math.sqrt(30000.0 / 3.0) / 32768.0).toFloat,
+      (100.0 / 32768.0).toFloat, (2.0 / 3.0).toFloat, 0.0f,
+      (3.0 / 8000.0 / 600.0).toFloat, 0.125f, (8000.0 / 96000.0).toFloat))
+    // extractFeatures routes decodable payloads through the REAL embeds;
+    // only the undecodable one reaches the stub
+    val rows = Seq(
+      MediaRow(1L, "image", ppm, Map.empty),
+      MediaRow(2L, "audio", wav, Map.empty),
+      MediaRow(3L, "image", "garbage".getBytes, Map.empty)).toDS()
+    val feats = Multimodal.extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(feats(0).embedding.toSeq == ie.toSeq)
+    assert(feats(1).embedding.toSeq == ae.toSeq)
+    assert(feats(2).embedding.toSeq ==
+      Multimodal.Codecs.embed("garbage".getBytes).toSeq)
   }
 
   test("frame sampling plan: pure-expression sequence+explode") {
