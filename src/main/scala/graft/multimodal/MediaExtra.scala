@@ -718,7 +718,10 @@ object WavPcmStats {
       } else if (tag(i, "data")) { dataOff = i + 8; dataLen = len }
       i += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
     }
-    if (ch <= 0 || ch > 8 || rate <= 0 || dataOff < 0 ||
+    // dataLen == 0 (a structurally-valid empty data chunk) is rejected
+    // like FLAC's zero-sample case: no decodable samples means no stats,
+    // and it keeps the content embedding's n > 0 invariant (no NaN)
+    if (ch <= 0 || ch > 8 || rate <= 0 || dataOff < 0 || dataLen == 0 ||
       dataLen % (2L * ch) != 0) return null
     val nSamp = (dataLen / 2).toInt
     var sumAbs = 0L; var peak = 0L; var clipped = 0L

@@ -328,6 +328,9 @@ class MediaPixelSpec extends SparkTestBase {
     assert(WavPcmStats.scan(eightBit) == null)
     // stereo with an odd sample count: data not a multiple of the frame
     assert(WavPcmStats.scan(wav(2, 16000, Array(1, 2, 3))) == null)
+    // structurally-valid EMPTY data chunk: no samples -> null (keeps the
+    // content embedding's n > 0 invariant, mirrors FLAC's zero-sample case)
+    assert(WavPcmStats.scan(wav(2, 16000, Array.empty[Int])) == null)
   }
 
   test("WAV expression: eval and codegen agree through a DataFrame") {
