@@ -1183,6 +1183,53 @@ object SparkEntry {
           +: emb: _*)
     }),
 
+    // ---- multimodal: content-based near-duplicate detection — the image
+    // dedup a 100-TB multimodal ingest runs. Paired two-tone PPMs (docs
+    // 2p and 2p+1 share geometry and colors except ONE blue-channel unit
+    // in color B) are REALLY decoded, embedded by the color-moment
+    // descriptor (ContentEmbed via the full extractFeatures path), and
+    // fed to the LSH-bucketed embedding near-dup operator: corpus-scaled
+    // portable planes -> same-bucket equi-join (never |corpus|^2), bucket
+    // cap, one in-order dot per surviving candidate. The oracle replays
+    // the whole chain in DuckDB: closed-form moments -> float32 embedding
+    // components -> md5 planes -> buckets -> normalized in-order dots —
+    // bit-exact doubles, so even threshold-straddling pairs agree
+    "m_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val p = expr("doc_id div 2")
+      val o = pmod(col("doc_id"), lit(2))
+      val w = (pmod(p, lit(9)) + 2).cast("int")
+      val h = (pmod(p, lit(5)) + 1).cast("int")
+      val n = w * h
+      val q = (pmod(p, (n - 1).cast("long")) + 1).cast("int")
+      val rgbA = concat(h2(pmod(p * 11, lit(256))),
+        h2(pmod(p * 5, lit(256))), h2(pmod(p * 3, lit(256))))
+      val rgbB = concat(h2(pmod(p * 7, lit(256))),
+        h2(pmod(p * 13, lit(256))), h2(pmod(p * 17 + o, lit(256))))
+      val ppmHdr = concat(lit("P6\n"), w.cast("string"), lit(" "),
+        h.cast("string"), lit("\n255\n"))
+      val ppm = concat(encode(ppmHdr, "UTF-8"),
+        unhex(concat(rep(rgbA, q), rep(rgbB, n - q))))
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          ppm.as("payload"),
+          typedLit(Map.empty[String, String]).as("meta"))
+        .as[Multimodal.MediaRow]
+      val embDf = Multimodal.extractFeatures(rows).toDF()
+        .select(col("media_id").as("vec_id"), col("embedding"))
+      // plane count from the parquet row-count metadata (NOT a second
+      // pass over the decoded embeddings)
+      val planes = Similarity.portablePlanes(
+        Similarity.planesForCount(t(s, dir, "documents").count(),
+          ndTargetLoad), 8)
+      Similarity.nearDupPairs(embDf, "vec_id", "embedding",
+        threshold = 0.995, planes, maxBucket = simMaxBucket)
+    }),
+
     // ---- multimodal: REAL pixel decode — synthesized uncompressed
     // 24-bit BMPs (bottom-up BGR rows, live 4-byte padding the walker
     // must skip), binary PPM P6 rasters (with a header comment), and
@@ -3403,6 +3450,88 @@ object SparkEntry {
         |  CAST(0.25 AS FLOAT) AS e6,
         |  CAST(CAST(sr AS DOUBLE) / 96000.0 AS FLOAT) AS e7
         |FROM au""".stripMargin,
+
+    // full-chain replay of the content near-dup: closed-form pixel
+    // moments -> float32 color-moment embedding -> md5 portable planes
+    // -> LSH buckets -> bucket cap -> normalized in-order dots; DuckDB
+    // brute-forces nothing the engine didn't — identical bucketing means
+    // identical candidate sets, and bit-exact doubles mean identical
+    // threshold decisions
+    "m_near_dup" ->
+      s"""WITH geo AS (
+         |  SELECT doc_id, doc_id // 2 AS p, doc_id % 2 AS o FROM documents
+         |), g1 AS (
+         |  SELECT doc_id, p, p % 9 + 2 AS w, p % 5 + 1 AS h,
+         |    (p * 11) % 256 AS ar, (p * 5) % 256 AS ag, (p * 3) % 256 AS ab,
+         |    (p * 7) % 256 AS br, (p * 13) % 256 AS bg,
+         |    (p * 17 + o) % 256 AS bb
+         |  FROM geo
+         |), g2 AS (
+         |  SELECT *, w * h AS n, p % (w * h - 1) + 1 AS q FROM g1
+         |), mm AS (
+         |  SELECT doc_id, w, h, n,
+         |    q*ar + (n-q)*br AS sum_r, q*ag + (n-q)*bg AS sum_g,
+         |    q*ab + (n-q)*bb AS sum_b,
+         |    q*ar*ar + (n-q)*br*br AS sq_r, q*ag*ag + (n-q)*bg*bg AS sq_g,
+         |    q*ab*ab + (n-q)*bb*bb AS sq_b,
+         |    LEAST(ar, ag, ab, br, bg, bb) AS mn,
+         |    GREATEST(ar, ag, ab, br, bg, bb) AS mx
+         |  FROM g2
+         |), mv AS (
+         |  SELECT doc_id, w, h, n, mn, mx,
+         |    CAST(sum_r AS DOUBLE)/n AS mu_r, CAST(sum_g AS DOUBLE)/n AS mu_g,
+         |    CAST(sum_b AS DOUBLE)/n AS mu_b,
+         |    CAST(sq_r AS DOUBLE)/n AS m2_r, CAST(sq_g AS DOUBLE)/n AS m2_g,
+         |    CAST(sq_b AS DOUBLE)/n AS m2_b
+         |  FROM mm
+         |), emb AS (
+         |  SELECT doc_id AS vec_id, [
+         |    CAST(CAST(mu_r / 255.0 AS FLOAT) AS DOUBLE),
+         |    CAST(CAST(mu_g / 255.0 AS FLOAT) AS DOUBLE),
+         |    CAST(CAST(mu_b / 255.0 AS FLOAT) AS DOUBLE),
+         |    CAST(CAST(sqrt(CASE WHEN m2_r - mu_r*mu_r > 0
+         |      THEN m2_r - mu_r*mu_r ELSE 0 END) / 127.5 AS FLOAT) AS DOUBLE),
+         |    CAST(CAST(sqrt(CASE WHEN m2_g - mu_g*mu_g > 0
+         |      THEN m2_g - mu_g*mu_g ELSE 0 END) / 127.5 AS FLOAT) AS DOUBLE),
+         |    CAST(CAST(sqrt(CASE WHEN m2_b - mu_b*mu_b > 0
+         |      THEN m2_b - mu_b*mu_b ELSE 0 END) / 127.5 AS FLOAT) AS DOUBLE),
+         |    CAST(CAST(CAST(w AS DOUBLE) / (w + h) AS FLOAT) AS DOUBLE),
+         |    CAST(CAST(CAST(mx - mn AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE)
+         |  ] AS e FROM mv
+         |), np AS (
+         |  SELECT CAST(greatest(4, least(30,
+         |    ceil(log2((count(*) + 0.5) / $ndTargetLoad)))) AS INT) AS n
+         |  FROM documents
+         |), pl AS (
+         |  SELECT pn, list_transform(generate_series(1, 8),
+         |    d -> CAST(concat('0x', substr(md5(CAST(pn AS VARCHAR) || '_' ||
+         |      CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000) AS pv
+         |  FROM (SELECT unnest(generate_series(0, (SELECT n FROM np) - 1)) AS pn)
+         |), bk AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN
+         |      list_reduce(list_transform(generate_series(1,8),
+         |        i -> e[i] * CAST(pv[i] AS DOUBLE)), (u,v) -> u + v) > 0
+         |    THEN (CAST(1 AS BIGINT) << pn) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb CROSS JOIN pl GROUP BY vec_id
+         |), nrm AS (
+         |  SELECT vec_id, sqrt(list_reduce(list_transform(generate_series(1,8),
+         |    i -> e[i] * e[i]), (u,v) -> u + v)) AS nm FROM emb
+         |), nv AS (
+         |  SELECT e2.vec_id, list_transform(generate_series(1,8),
+         |    i -> e2.e[i] / r.nm) AS v
+         |  FROM emb e2 JOIN nrm r USING (vec_id)
+         |), eb AS (
+         |  SELECT n2.vec_id, n2.v, bk.bucket FROM nv n2 JOIN bk USING (vec_id)
+         |), gd AS (
+         |  SELECT * FROM eb
+         |  QUALIFY count(*) OVER (PARTITION BY bucket) <= $simMaxBucket
+         |)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  list_reduce(list_transform(generate_series(1,8),
+         |    i -> x.v[i] * y.v[i]), (u,v) -> u + v) AS cos
+         |FROM gd x JOIN gd y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE list_reduce(list_transform(generate_series(1,8),
+         |    i -> x.v[i] * y.v[i]), (u,v) -> u + v) >= 0.995""".stripMargin,
 
     "m_image_dims" ->
       """SELECT doc_id,

@@ -364,6 +364,31 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.Codecs.embed("garbage".getBytes).toSeq)
   }
 
+  test("content near-dup wiring: near-identical decoded images share an " +
+      "LSH bucket and clear the cosine threshold; distinct ones do not") {
+    import graft.multimodal.Multimodal
+    import graft.similarity.Similarity
+    def ppm(colors: Seq[(Int, Int, Int)]): Array[Byte] =
+      s"P6\n${colors.size} 1\n255\n".getBytes("US-ASCII") ++
+        colors.flatMap { case (r, g, b) =>
+          Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    val base = Seq((200, 30, 90), (200, 30, 90), (10, 220, 40))
+    val tweak = Seq((200, 30, 90), (200, 30, 90), (10, 220, 41)) // +1 blue
+    val far = Seq((5, 5, 5), (250, 250, 250), (128, 0, 255))
+    val rows = Seq(
+      Multimodal.MediaRow(0L, "image", ppm(base), Map.empty),
+      Multimodal.MediaRow(1L, "image", ppm(tweak), Map.empty),
+      Multimodal.MediaRow(2L, "image", ppm(far), Map.empty)).toDS()
+    val emb = Multimodal.extractFeatures(rows).toDF()
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val planes = Similarity.portablePlanes(6, 8)
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.995, planes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("frame sampling plan: pure-expression sequence+explode") {
     val feats = Multimodal.extractFeatures(media.filter(col("kind") === "video"))
     val plan = Multimodal.frameSamplePlan(feats, everyMs = 1000L, maxFrames = 5)
