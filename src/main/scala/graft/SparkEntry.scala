@@ -1752,6 +1752,109 @@ object SparkEntry {
           element_at(col("__pcm"), 9).cast("int").as("bps"))
     }),
 
+    // ---- multimodal: REAL LOSSY audio decode #1 — G.711 mu-law/A-law
+    // (ITU-T logarithmic companding, WAVE formats 7/6). Every companded
+    // byte expands to its linear 16-bit value by the published Sun/CCITT
+    // recurrence (MediaLossy.G711); the synthesized square wave
+    // alternates a byte and its sign-flipped pair, so the oracle replays
+    // the expansion formula itself in SQL (stateless per byte) and the
+    // stats in closed form — REAL decode of a REAL lossy telephony codec
+    // on both sides.
+    "m_audio_g711" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val ulaw = pmod(col("doc_id"), lit(2)) === 0
+      val fmtTag = when(ulaw, lit(7)).otherwise(lit(6)).cast("int")
+      val ch = (pmod(expr("doc_id div 2"), lit(2)) + 1).cast("int")
+      val sr = (lit(8000) * (pmod(expr("doc_id div 3"), lit(2)) + 1))
+        .cast("int")
+      val v = pmod(col("doc_id"), lit(128)).cast("int")
+      val half = (pmod(col("doc_id"), lit(40)) + 1).cast("int")
+      val dataLen = half * 2 * ch
+      val pair = concat(rep(h2(v), ch), rep(h2(v + 128), ch))
+      val wav = concat(
+        lit("52494646"), le32h(dataLen + 38), lit("57415645"),
+        lit("666D7420"), lit("12000000"), le16h(fmtTag), le16h(ch),
+        le32h(sr), le32h(sr * ch), le16h(ch), lit("0800"), lit("0000"),
+        lit("64617461"), le32h(dataLen), rep(pair, half))
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(wav).as("__wav"))
+        .select(col("doc_id"),
+          when(ulaw, "ulaw").otherwise("alaw").as("law"),
+          MediaExtra.g711Scan(col("__wav")).as("__pcm"))
+        .select(col("doc_id"), col("law"),
+          element_at(col("__pcm"), 1).cast("int").as("channels"),
+          element_at(col("__pcm"), 2).cast("int").as("sample_rate"),
+          element_at(col("__pcm"), 3).as("n_frames"),
+          element_at(col("__pcm"), 4).as("sum_abs"),
+          element_at(col("__pcm"), 5).as("peak"),
+          element_at(col("__pcm"), 6).as("n_clipped"),
+          element_at(col("__pcm"), 7).as("sum_sq"),
+          element_at(col("__pcm"), 8).as("zero_crossings"),
+          element_at(col("__pcm"), 9).cast("int").as("bps"))
+    }),
+
+    // ---- multimodal: REAL LOSSY audio decode #2 — IMA/DVI ADPCM (WAVE
+    // format 0x11, 4-bit adaptive deltas). The native decoder runs the
+    // published IMA recurrence (step table walk, vpdiff accumulate, s16
+    // clamp, index clamp) over genuinely varying nibbles; the DuckDB
+    // oracle REPLAYS THE SAME RECURRENCE with a recursive CTE over the
+    // 89-entry step table — a fully independent stateful re-decode, not
+    // a closed-form shortcut.
+    "m_audio_adpcm" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      val sr = (lit(8000) + pmod(col("doc_id"), lit(8)).cast("int") * 4000)
+        .cast("int")
+      val pred0 = pmod(col("doc_id") * 97, lit(4096)).cast("int") - 2048
+      val idx0 = pmod(col("doc_id"), lit(89)).cast("int")
+      val nb = (pmod(col("doc_id"), lit(16)) + 4).cast("int")
+      val blockAlign = nb + 4
+      // data bytes: nibble k = (doc*7 + 3k) mod 16, LOW nibble first ->
+      // byte j = nib(2j) | nib(2j+1)<<4
+      val bytesHex = expr(
+        """array_join(transform(sequence(0, int(doc_id % 16) + 3), j ->
+          |  lpad(hex(pmod(doc_id * 7 + 6*j, 16)
+          |    + 16 * pmod(doc_id * 7 + 6*j + 3, 16)), 2, '0')), '')"""
+          .stripMargin)
+      val wav = concat(
+        lit("52494646"), le32h(blockAlign + pmod(blockAlign, lit(2)) + 40),
+        lit("57415645"),
+        lit("666D7420"), lit("14000000"), lit("1100"), lit("0100"),
+        le32h(sr), le32h(sr), le16h(blockAlign), lit("0400"),
+        lit("0200"), le16h(nb * 2 + 1),
+        lit("64617461"), le32h(blockAlign),
+        le16h(pmod(pred0 + 65536, lit(65536))), h2(idx0), lit("00"),
+        bytesHex,
+        // RIFF even-byte pad after an odd-sized data chunk
+        call_function("repeat", lit("00"),
+          pmod(blockAlign, lit(2)).cast("int")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(wav).as("__wav"))
+        .select(col("doc_id"),
+          MediaExtra.adpcmScan(col("__wav")).as("__pcm"))
+        .select(col("doc_id"),
+          element_at(col("__pcm"), 1).cast("int").as("channels"),
+          element_at(col("__pcm"), 2).cast("int").as("sample_rate"),
+          element_at(col("__pcm"), 3).as("n_frames"),
+          element_at(col("__pcm"), 4).as("sum_abs"),
+          element_at(col("__pcm"), 5).as("peak"),
+          element_at(col("__pcm"), 6).as("n_clipped"),
+          element_at(col("__pcm"), 7).as("sum_sq"),
+          element_at(col("__pcm"), 8).as("zero_crossings"),
+          element_at(col("__pcm"), 9).cast("int").as("bps"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -3381,6 +3484,124 @@ object SparkEntry {
         |  CAST(16 AS INT) AS bps
         |FROM (SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN 32767
         |  ELSE (doc_id * 37) % 32767 END AS a FROM documents)""".stripMargin,
+
+    // G.711 expansion is stateless per byte, so the oracle replays the
+    // published mu-law/A-law decode FORMULAS themselves (complement /
+    // XOR-0x55, mantissa-exponent expand, re-bias) and the square-wave
+    // stats in closed form — an independent re-decode of the lossy codec
+    "m_audio_g711" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 128 AS v,
+        |    (doc_id // 2) % 2 + 1 AS ch,
+        |    8000 * ((doc_id // 3) % 2 + 1) AS sr,
+        |    doc_id % 40 + 1 AS half,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
+        |  FROM documents
+        |), b AS (
+        |  SELECT p.*, bno, CASE bno WHEN 1 THEN v ELSE v + 128 END AS byte
+        |  FROM p, (VALUES (1), (2)) t(bno)
+        |), e AS (
+        |  SELECT doc_id, bno, law, 255 - byte AS ub, xor(byte, 85) AS ab
+        |  FROM b
+        |), sdec AS (
+        |  SELECT doc_id, bno,
+        |    CASE WHEN law = 'ulaw' THEN
+        |      CASE WHEN ub >= 128
+        |        THEN 132 - ((ub % 16) * 8 + 132) * (1 << ((ub // 16) % 8))
+        |        ELSE ((ub % 16) * 8 + 132) * (1 << ((ub // 16) % 8)) - 132
+        |      END
+        |    ELSE
+        |      (CASE WHEN ab >= 128 THEN 1 ELSE -1 END) *
+        |      (CASE WHEN (ab // 16) % 8 = 0 THEN (ab % 16) * 16 + 8
+        |            WHEN (ab // 16) % 8 = 1 THEN (ab % 16) * 16 + 264
+        |            ELSE ((ab % 16) * 16 + 264) * (1 << ((ab // 16) % 8 - 1))
+        |       END)
+        |    END AS s
+        |  FROM e
+        |), sv AS (
+        |  SELECT doc_id,
+        |    MAX(CASE WHEN bno = 1 THEN s END) AS s1,
+        |    MAX(CASE WHEN bno = 2 THEN s END) AS s2
+        |  FROM sdec GROUP BY doc_id
+        |)
+        |SELECT p.doc_id, law,
+        |  CAST(ch AS INT) AS channels,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(2 * half AS BIGINT) AS n_frames,
+        |  CAST(half * ch * (abs(s1) + abs(s2)) AS BIGINT) AS sum_abs,
+        |  CAST(greatest(abs(s1), abs(s2)) AS BIGINT) AS peak,
+        |  CAST(half * ch * (CASE WHEN abs(s1) >= 32767 THEN 1 ELSE 0 END
+        |    + CASE WHEN abs(s2) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(half * ch * (s1 * s1 + s2 * s2) AS BIGINT) AS sum_sq,
+        |  CAST(CASE WHEN (s1 < 0) <> (s2 < 0) THEN (2 * half - 1) * ch
+        |    ELSE 0 END AS BIGINT) AS zero_crossings,
+        |  CAST(16 AS INT) AS bps
+        |FROM p JOIN sv USING (doc_id)""".stripMargin,
+
+    // IMA ADPCM is STATEFUL (adaptive step-size walk), so the oracle is
+    // a recursive CTE replaying the published IMA recurrence — step
+    // table lookup, vpdiff accumulate, s16 predictor clamp, 0..88 index
+    // clamp — nibble by nibble, then aggregates the decoded samples.
+    // A genuinely independent re-decode, not a closed-form shortcut.
+    "m_audio_adpcm" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id,
+        |    (doc_id * 97) % 4096 - 2048 AS pred0,
+        |    doc_id % 89 AS idx0,
+        |    (doc_id % 16 + 4) * 2 AS nsteps,
+        |    8000 + (doc_id % 8) * 4000 AS sr
+        |  FROM documents
+        |), dec(doc_id, k, pred, idx) AS (
+        |  SELECT doc_id, 0, pred0, idx0 FROM p
+        |  UNION ALL
+        |  SELECT doc_id, k + 1,
+        |    LEAST(32767, GREATEST(-32768,
+        |      CASE WHEN nib >= 8 THEN pred - vp ELSE pred + vp END)),
+        |    LEAST(88, GREATEST(0, idx +
+        |      CASE WHEN nib % 8 = 4 THEN 2 WHEN nib % 8 = 5 THEN 4
+        |           WHEN nib % 8 = 6 THEN 6 WHEN nib % 8 = 7 THEN 8
+        |           ELSE -1 END))
+        |  FROM (
+        |    SELECT x.*, st // 8 + (nib // 4 % 2) * st
+        |      + (nib // 2 % 2) * (st // 2) + (nib % 2) * (st // 4) AS vp
+        |    FROM (
+        |      SELECT d.doc_id, d.k, d.pred, d.idx,
+        |        (d.doc_id * 7 + d.k * 3) % 16 AS nib,
+        |        ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,
+        |          45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,
+        |          209,230,253,279,307,337,371,408,449,494,544,598,658,724,
+        |          796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,
+        |          2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,
+        |          7132,7845,8630,9493,10442,11487,12635,13899,15289,16818,
+        |          18500,20350,22385,24623,27086,29794,32767])[d.idx + 1]
+        |          AS st
+        |      FROM dec d JOIN p p2 USING (doc_id)
+        |      WHERE d.k < p2.nsteps
+        |    ) x
+        |  ) y
+        |), zcs AS (
+        |  SELECT doc_id, k, pred AS s,
+        |    CASE WHEN lag(pred) OVER (PARTITION BY doc_id ORDER BY k)
+        |        IS NOT NULL
+        |      AND (pred < 0) <>
+        |        (lag(pred) OVER (PARTITION BY doc_id ORDER BY k) < 0)
+        |      THEN 1 ELSE 0 END AS zc
+        |  FROM dec
+        |)
+        |SELECT z.doc_id,
+        |  CAST(1 AS INT) AS channels,
+        |  CAST(sr AS INT) AS sample_rate,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        |  CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+        |  CAST(SUM(CASE WHEN ABS(s) >= 32767 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(zc) AS BIGINT) AS zero_crossings,
+        |  CAST(16 AS INT) AS bps
+        |FROM zcs z JOIN p USING (doc_id)
+        |GROUP BY z.doc_id, sr""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding

@@ -85,6 +85,16 @@ object MediaExtra {
   def flacPcmScan(bin: Column): Column =
     ColumnShim.column(FlacPcmStats(ColumnShim.expression(bin)))
 
+  /** Same slots — REAL G.711 mu-law/A-law LOSSY decode (WAVE formats
+   * 6/7, ITU-T logarithmic companding); see [[G711Stats.scan]]. */
+  def g711Scan(bin: Column): Column =
+    ColumnShim.column(G711Stats(ColumnShim.expression(bin)))
+
+  /** Same slots — REAL IMA ADPCM LOSSY decode (WAVE format 0x11,
+   * 4-bit adaptive deltas); see [[AdpcmStats.scan]]. */
+  def adpcmScan(bin: Column): Column =
+    ColumnShim.column(AdpcmStats(ColumnShim.expression(bin)))
+
   // ---------------------------------------------------------- TIFF / ICO
 
   /** array(width, height) from TIFF IFD0 tags 256/257 (both byte orders,

@@ -78,12 +78,21 @@ object Multimodal {
     }
 
     /** Sample-statistic slots for any audio format with a native sample
-     * decoder (WAV-PCM s16, FLAC); null otherwise (lossy codecs need a
-     * real codec library). Slots: see [[WavPcmStats]]. */
+     * decoder (WAV-PCM s16, FLAC, and the REAL lossy decodes: G.711
+     * mu-law/A-law and IMA ADPCM); null otherwise (the transform codecs
+     * MP3/Vorbis/Opus need a real codec library). Slots: see
+     * [[WavPcmStats]]. */
     def audioMoments(b: Array[Byte]): Array[Long] = {
       if (b == null || b.length < 4) return null
       val m0 = b(0) & 0xFF
-      if (m0 == 'R') WavPcmStats.scan(b)
+      if (m0 == 'R') {
+        val pcm = WavPcmStats.scan(b)
+        if (pcm != null) pcm
+        else {
+          val g = G711Stats.scan(b)
+          if (g != null) g else AdpcmStats.scan(b)
+        }
+      }
       else if (m0 == 'f') FlacPcmStats.scan(b)
       else null
     }

@@ -21,7 +21,8 @@ class MediaFuzzSpec extends SparkTestBase {
     "jpeg" -> JpegPixelStats.scan, "wav" -> WavPcmStats.scan,
     "flac" -> FlacPcmStats.scan, "oggdur" -> OggDuration.scan,
     "ogg" -> OggInfo.scan, "tiff" -> TiffDims.scan,
-    "id3v2" -> (b => Option(Id3v2Tags.scan(b)).map(_ => Array(0L)).orNull))
+    "id3v2" -> (b => Option(Id3v2Tags.scan(b)).map(_ => Array(0L)).orNull),
+    "g711" -> G711Stats.scan, "adpcm" -> AdpcmStats.scan)
 
   private val magics: Map[String, Array[Byte]] = Map(
     "bmp" -> Array[Byte]('B', 'M'),
@@ -35,7 +36,9 @@ class MediaFuzzSpec extends SparkTestBase {
     "oggdur" -> "OggS".getBytes,
     "ogg" -> "OggS".getBytes,
     "tiff" -> Array[Byte]('I', 'I', 0x2A, 0),
-    "id3v2" -> "ID3".getBytes)
+    "id3v2" -> "ID3".getBytes,
+    "g711" -> "RIFF0000WAVE".getBytes,
+    "adpcm" -> "RIFF0000WAVE".getBytes)
 
   private def rnd(seed: Long, n: Int): Array[Byte] = {
     val r = new java.util.Random(seed)
@@ -96,8 +99,23 @@ class MediaFuzzSpec extends SparkTestBase {
       "fuzz base JPEG must be valid")
     assert(PngPixelStats.scan(enc("png")) != null,
       "fuzz base PNG must be valid")
+    // G.711 mu-law and one-block IMA ADPCM WAVs (the MediaLossy scans)
+    val g711 = "RIFF".getBytes ++ Array[Byte](44, 0, 0, 0) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++
+      Array[Byte](18, 0, 0, 0, 7, 0, 1, 0) ++ le16(8000) ++ le16(0) ++
+      le16(8000) ++ le16(0) ++ Array[Byte](1, 0, 8, 0, 0, 0) ++
+      "data".getBytes ++ Array[Byte](6, 0, 0, 0, 0, 40, -128, 30, 99, 7)
+    assert(G711Stats.scan(g711) != null, "fuzz base G.711 must be valid")
+    val adpcm = "RIFF".getBytes ++ Array[Byte](48, 0, 0, 0) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++
+      Array[Byte](20, 0, 0, 0, 0x11, 0, 1, 0) ++ le16(8000) ++ le16(0) ++
+      le16(8000) ++ le16(0) ++ Array[Byte](8, 0, 4, 0, 2, 0, 9, 0) ++
+      "data".getBytes ++ Array[Byte](8, 0, 0, 0) ++
+      Array[Byte](100, 0, 30, 0, 0x17, 0x7F, -1, 0x28)
+    assert(AdpcmStats.scan(adpcm) != null, "fuzz base ADPCM must be valid")
     val valids = Seq("bmp" -> bmp, "ppm" -> ppm, "wav" -> wav,
-      "jpeg" -> enc("jpg"), "png" -> enc("png"), "flac" -> flacC)
+      "jpeg" -> enc("jpg"), "png" -> enc("png"), "flac" -> flacC,
+      "g711" -> g711, "adpcm" -> adpcm)
     val byName = scans.toMap
     for ((name, valid) <- valids; seed <- 0 until 600) {
       val r = new java.util.Random(seed)
