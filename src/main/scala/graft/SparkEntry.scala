@@ -1855,6 +1855,90 @@ object SparkEntry {
           element_at(col("__pcm"), 9).cast("int").as("bps"))
     }),
 
+    // ---- multimodal: REAL video sample-data decode — AVI/MJPEG. Each
+    // doc synthesizes a complete AVI container (RIFF -> LIST hdrl with
+    // avih/strh/strf -> LIST movi) holding 2..5 MJPEG frames, each frame
+    // the byte-aligned solid-gray baseline JPEG the m_pixel_stats oracle
+    // pinned, with a per-frame DC level. The native scan demuxes the
+    // chunk tree and runs the FULL JPEG pipeline (Huffman + dequant +
+    // exact IDCT) on every frame; the oracle replays container geometry,
+    // per-frame gray levels (128 +/- dc by T.81 arithmetic), and the
+    // cross-frame moment aggregation in closed form.
+    "m_video_avi" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def jbe16(c: Column) = lpad(hex(c), 4, "0")
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val jw = (pmod(col("doc_id"), lit(4)) + 1).cast("int") * 8
+      val jh = (pmod(col("doc_id"), lit(3)) + 1).cast("int") * 8
+      val nMCU = (jw / 8) * (jh / 8)
+      val fCnt = (pmod(col("doc_id"), lit(4)) + 2).cast("int")
+      val upf = ((pmod(col("doc_id"), lit(3)) + 1) * 20000).cast("int")
+      val jpegLen = nMCU + 142
+      val pad = pmod(nMCU, lit(2)) // jpegLen odd iff nMCU odd
+      // per-frame solid-gray baseline JPEG (the m_pixel_stats shape)
+      def frameJpegHex(f: Int): Column = {
+        val jd = pmod(col("doc_id") * 3 + lit(f * 5), lit(64))
+          .cast("int") + 64
+        val pos = pmod(col("doc_id") + lit(f), lit(2)) === 0
+        val vbits = when(pos, jd).otherwise(lit(127) - jd)
+        concat(
+          lit("FFD8"),
+          lit("FFDB004300"), rep(lit("08"), lit(64)),
+          lit("FFC0000B08"), jbe16(jh), jbe16(jw), lit("01011100"),
+          lit("FFC4001500"),
+          lit("00000101000000000000000000000000"), lit("0007"),
+          lit("FFC4001410"),
+          lit("00000000010000000000000000000000"), lit("00"),
+          lit("FFDA0008010100003F00"),
+          h2(lit(32) + (vbits / 8).cast("int")),
+          h2(pmod(vbits, lit(8)) * 32),
+          rep(lit("00"), nMCU - 1),
+          lit("FFD9"))
+      }
+      def frameChunk(f: Int): Column =
+        when(lit(f) < fCnt,
+          concat(lit("30306463"), le32h(jpegLen), frameJpegHex(f),
+            rep(lit("00"), pad))).otherwise(lit(""))
+      val frameBytes = jpegLen + pad + 8
+      val moviSz = fCnt * frameBytes + 4
+      val z32 = lit("00000000")
+      val avih = concat(lit("61766968"), le32h(lit(56)),
+        le32h(upf), z32, z32, z32, le32h(fCnt), z32, le32h(lit(1)), z32,
+        le32h(jw), le32h(jh), z32, z32, z32, z32)
+      val strh = concat(lit("73747268"), le32h(lit(56)),
+        lit("76696473"), lit("4D4A5047"), z32, lit("0000"), lit("0000"),
+        z32, le32h(upf), le32h(lit(1000000)), z32, le32h(fCnt), z32, z32,
+        z32, lit("0000"), lit("0000"), le16h(jw), le16h(jh))
+      val strf = concat(lit("73747266"), le32h(lit(40)),
+        le32h(lit(40)), le32h(jw), le32h(jh), lit("0100"), lit("1800"),
+        lit("4D4A5047"), z32, z32, z32, z32, z32)
+      val strl = concat(lit("4C495354"), le32h(lit(116)),
+        lit("7374726C"), strh, strf)
+      val hdrl = concat(lit("4C495354"), le32h(lit(192)),
+        lit("6864726C"), avih, strl)
+      val aviHex = concat(Seq(
+        lit("52494646"), le32h(moviSz + 212), lit("41564920"),
+        hdrl,
+        lit("4C495354"), le32h(moviSz), lit("6D6F7669")) ++
+        (0 until 5).map(frameChunk): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(aviHex).as("__avi"))
+        .select(col("doc_id"),
+          MediaExtra.aviScan(col("__avi")).as("__v"))
+        .select(col("doc_id") +: Seq(
+          "width", "height", "us_per_frame", "total_frames", "n_frames",
+          "sum_r", "sum_g", "sum_b", "n_px", "min_ch", "max_ch",
+          "sq_r", "sq_g", "sq_b", "duration_ms")
+          .zipWithIndex.map { case (n, i) =>
+            element_at(col("__v"), i + 1).as(n) }: _*)
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -3602,6 +3686,49 @@ object SparkEntry {
         |  CAST(16 AS INT) AS bps
         |FROM zcs z JOIN p USING (doc_id)
         |GROUP BY z.doc_id, sr""".stripMargin,
+
+    // AVI/MJPEG: container geometry is doc arithmetic; each decoded
+    // frame is the solid gray 128 +/- dc (exact by T.81 with Q=8), so
+    // the per-frame unnest + aggregate replays the cross-frame moment
+    // accumulation the native demux performs
+    "m_video_avi" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (doc_id % 4 + 1) * 8 AS jw,
+        |    (doc_id % 3 + 1) * 8 AS jh,
+        |    doc_id % 4 + 2 AS f,
+        |    (doc_id % 3 + 1) * 20000 AS upf
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, unnest(range(0, f)) AS f0 FROM p
+        |), g AS (
+        |  SELECT fr.doc_id,
+        |    CASE WHEN (fr.doc_id + f0) % 2 = 0
+        |      THEN 128 + ((fr.doc_id * 3 + f0 * 5) % 64 + 64)
+        |      ELSE 128 - ((fr.doc_id * 3 + f0 * 5) % 64 + 64) END AS gray
+        |  FROM fr
+        |), a AS (
+        |  SELECT doc_id, SUM(gray) AS sg, SUM(gray * gray) AS sq,
+        |    MIN(gray) AS mn, MAX(gray) AS mx
+        |  FROM g GROUP BY doc_id
+        |)
+        |SELECT p.doc_id,
+        |  CAST(jw AS BIGINT) AS width,
+        |  CAST(jh AS BIGINT) AS height,
+        |  CAST(upf AS BIGINT) AS us_per_frame,
+        |  CAST(f AS BIGINT) AS total_frames,
+        |  CAST(f AS BIGINT) AS n_frames,
+        |  CAST(sg * jw * jh AS BIGINT) AS sum_r,
+        |  CAST(sg * jw * jh AS BIGINT) AS sum_g,
+        |  CAST(sg * jw * jh AS BIGINT) AS sum_b,
+        |  CAST(f * jw * jh AS BIGINT) AS n_px,
+        |  CAST(mn AS BIGINT) AS min_ch,
+        |  CAST(mx AS BIGINT) AS max_ch,
+        |  CAST(sq * jw * jh AS BIGINT) AS sq_r,
+        |  CAST(sq * jw * jh AS BIGINT) AS sq_g,
+        |  CAST(sq * jw * jh AS BIGINT) AS sq_b,
+        |  CAST((f * upf) // 1000 AS BIGINT) AS duration_ms
+        |FROM p JOIN a USING (doc_id)""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding

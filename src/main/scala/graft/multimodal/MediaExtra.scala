@@ -95,6 +95,14 @@ object MediaExtra {
   def adpcmScan(bin: Column): Column =
     ColumnShim.column(AdpcmStats(ColumnShim.expression(bin)))
 
+  /** array(width, height, us_per_frame, total_frames, n_frames_decoded,
+   * sum_r, sum_g, sum_b, n_px, min_ch, max_ch, sq_r, sq_g, sq_b,
+   * duration_ms) — REAL AVI/MJPEG video decode: RIFF demux + the full
+   * native baseline-JPEG pipeline per frame; see
+   * [[AviMjpegStats.scan]]. */
+  def aviScan(bin: Column): Column =
+    ColumnShim.column(AviMjpegStats(ColumnShim.expression(bin)))
+
   // ---------------------------------------------------------- TIFF / ICO
 
   /** array(width, height) from TIFF IFD0 tags 256/257 (both byte orders,

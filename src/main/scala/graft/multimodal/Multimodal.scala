@@ -13,14 +13,18 @@ import org.apache.spark.sql.functions._
  * extraction — is real and tested. Decode is REAL wherever the format is
  * parseable without a codec library: dimensions for
  * PNG/JPEG/GIF/BMP/PPM/TIFF/ICO, durations for WAV/FLAC/MP3/OGG/MP4,
- * full pixel decode for BMP/PPM/PNG/GIF/baseline-JPEG and full sample
- * decode for WAV-PCM/FLAC (MediaHeaders/MediaExtra), and the content
- * embedding ([[ContentEmbed]]) is computed from those REAL decoded
- * pixels/samples — a classical color-moment / waveform-statistics
- * descriptor. Only payloads NO native parser can decode (lossy-audio
- * samples: MP3/Vorbis/Opus; video sample data; unknown byte formats)
- * fall back to the deterministic fakes in [[Codecs]]. On a real cluster,
- * swap Codecs for codec-library bindings; nothing else changes.
+ * full pixel decode for BMP/PPM/PNG/GIF/baseline-JPEG, full sample
+ * decode for WAV-PCM/FLAC plus the LOSSY codecs G.711 mu-law/A-law and
+ * IMA ADPCM (MediaHeaders/MediaExtra/MediaLossy), full video
+ * sample-data decode for AVI/MJPEG (MediaVideo: RIFF demux + per-frame
+ * JPEG pipeline), and the content embedding ([[ContentEmbed]]) is
+ * computed from those REAL decoded pixels/samples/frames — a classical
+ * color-moment / waveform-statistics descriptor. Only payloads NO
+ * native parser can decode (transform-codec audio: MP3/Vorbis/Opus;
+ * transform-codec video: H.26x/VP9/AV1 sample data; unknown byte
+ * formats) fall back to the deterministic fakes in [[Codecs]]. On a
+ * real cluster, swap Codecs for codec-library bindings; nothing else
+ * changes.
  *
  * Scale design: decode/feature-extract are per-partition batch loops
  * (`mapPartitions` over a typed Dataset — the Scala analog of Python's
@@ -119,6 +123,21 @@ object Multimodal {
         ((m(7) - m(6)).toDouble / 255.0).toFloat)
     }
 
+    /** Image-shaped moment slots for a video payload with a native
+     * decoder (AVI/MJPEG): the per-frame pixel moments aggregate across
+     * ALL decoded frames into the same 11-slot layout [[imageMoments]]
+     * produces, so [[imageEmbed]] yields a real color-moment descriptor
+     * of the decoded video content. Null when the container is not AVI
+     * or no frame decodes. */
+    def videoMoments(b: Array[Byte]): Array[Long] = {
+      if (b == null || b.length < 12 || b(0) != 'R' || b(8) != 'A')
+        return null
+      val a = AviMjpegStats.scan(b)
+      if (a == null || a(4) <= 0) return null
+      Array(a(0), a(1), a(5), a(6), a(7), a(8), a(9), a(10),
+        a(11), a(12), a(13))
+    }
+
     /** 8-dim audio descriptor from the 9 sample-statistic slots:
      * meanAbs and peak normalized by the stream's full scale, RMS at the
      * 16-bit sum_sq scale, zero-crossing rate and clipped fraction per
@@ -197,6 +216,10 @@ object Multimodal {
       .when(magic8.startsWith("49492A00") ||
         magic8 === "4D4D002A", "image")               // TIFF II/MM
       .when(magic8 === "00000100", "image")           // ICO
+      // RIFF: AVI containers sniff video, everything else (WAVE and
+      // short/headerless RIFF prefixes) keeps the audio default
+      .when(magic8.startsWith("52494646") &&
+        upper(hex(substring(payload, 9, 4))) === "41564920", "video")
       .when(magic8.startsWith("52494646"), "audio")   // RIFF/WAV
       .when(magic8.startsWith("664C6143"), "audio")   // fLaC
       .when(magic8.startsWith("494433"), "audio")     // ID3v2 (MP3)
@@ -229,10 +252,18 @@ object Multimodal {
       rows.map { r =>
         sha.reset()
         val digest = sha.digest(r.payload).map("%02x".format(_)).mkString
+        // AVI/MJPEG decodes ONCE per row: the same scan supplies dims,
+        // duration, frame count AND the content-moment slots below
+        val avi: Array[Long] =
+          if (r.kind == "video" && r.payload.length >= 12 &&
+            r.payload(0) == 'R' && r.payload(8) == 'A')
+            AviMjpegStats.scan(r.payload)
+          else null
         // REAL header decode first (PNG/JPEG/GIF dimensions need no codec
         // library — MediaHeaders); the deterministic stub only covers
         // payloads in formats the container cannot parse
         val (w, hgt) = r.kind match {
+          case "video" if avi != null => (avi(0).toInt, avi(1).toInt)
           case "image" | "video" =>
             MediaHeaders.parseDims(r.payload)
               .map { case (_, pw, ph) => (pw, ph) }
@@ -251,6 +282,9 @@ object Multimodal {
               .orElse(Option(Mp3Info.scan(r.payload)).map(_(3)))
               .orElse(Option(OggDuration.scan(r.payload)).map(_(3)))
               .getOrElse(Codecs.decodeAudio(r.payload)), -1)
+          case "video" if avi != null =>
+            // REAL AVI demux: header timing plus actually-decoded frames
+            (avi(14), avi(3).toInt)
           case "video" =>
             // canonical MP4 moov/mvhd + video-trak stts decode for real;
             // only when the header scan yields no frame count (no stts in
@@ -274,6 +308,12 @@ object Multimodal {
           case "audio" =>
             Option(ContentEmbed.audioMoments(r.payload))
               .map(ContentEmbed.audioEmbed)
+          case "video" if avi != null && avi(4) > 0 =>
+            // decoded MJPEG frames -> aggregated color moments -> the
+            // same image descriptor (video content, not a stub)
+            Some(ContentEmbed.imageEmbed(Array(avi(0), avi(1), avi(5),
+              avi(6), avi(7), avi(8), avi(9), avi(10), avi(11), avi(12),
+              avi(13))))
           case _ => None
         }
         MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, digest,

@@ -22,7 +22,8 @@ class MediaFuzzSpec extends SparkTestBase {
     "flac" -> FlacPcmStats.scan, "oggdur" -> OggDuration.scan,
     "ogg" -> OggInfo.scan, "tiff" -> TiffDims.scan,
     "id3v2" -> (b => Option(Id3v2Tags.scan(b)).map(_ => Array(0L)).orNull),
-    "g711" -> G711Stats.scan, "adpcm" -> AdpcmStats.scan)
+    "g711" -> G711Stats.scan, "adpcm" -> AdpcmStats.scan,
+    "avi" -> AviMjpegStats.scan)
 
   private val magics: Map[String, Array[Byte]] = Map(
     "bmp" -> Array[Byte]('B', 'M'),
@@ -38,7 +39,8 @@ class MediaFuzzSpec extends SparkTestBase {
     "tiff" -> Array[Byte]('I', 'I', 0x2A, 0),
     "id3v2" -> "ID3".getBytes,
     "g711" -> "RIFF0000WAVE".getBytes,
-    "adpcm" -> "RIFF0000WAVE".getBytes)
+    "adpcm" -> "RIFF0000WAVE".getBytes,
+    "avi" -> "RIFF0000AVI LIST".getBytes)
 
   private def rnd(seed: Long, n: Int): Array[Byte] = {
     val r = new java.util.Random(seed)
@@ -113,9 +115,24 @@ class MediaFuzzSpec extends SparkTestBase {
       "data".getBytes ++ Array[Byte](8, 0, 0, 0) ++
       Array[Byte](100, 0, 30, 0, 0x17, 0x7F, -1, 0x28)
     assert(AdpcmStats.scan(adpcm) != null, "fuzz base ADPCM must be valid")
+    // one-frame AVI/MJPEG around the ImageIO JPEG (MediaVideo scan)
+    def le32b(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def ch4(tag: String, body: Array[Byte]) = tag.getBytes ++
+      le32b(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val jf = enc("jpg")
+    val avih = le32b(40000) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(1) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++ le32b(24) ++
+      le32b(16) ++ Array.fill[Byte](16)(0)
+    val aviBody = "AVI ".getBytes ++
+      ch4("LIST", "hdrl".getBytes ++ ch4("avih", avih)) ++
+      ch4("LIST", "movi".getBytes ++ ch4("00dc", jf))
+    val avi = "RIFF".getBytes ++ le32b(aviBody.length) ++ aviBody
+    assert(AviMjpegStats.scan(avi) != null, "fuzz base AVI must be valid")
     val valids = Seq("bmp" -> bmp, "ppm" -> ppm, "wav" -> wav,
       "jpeg" -> enc("jpg"), "png" -> enc("png"), "flac" -> flacC,
-      "g711" -> g711, "adpcm" -> adpcm)
+      "g711" -> g711, "adpcm" -> adpcm, "avi" -> avi)
     val byName = scans.toMap
     for ((name, valid) <- valids; seed <- 0 until 600) {
       val r = new java.util.Random(seed)
