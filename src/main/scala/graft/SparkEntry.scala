@@ -1939,6 +1939,93 @@ object SparkEntry {
             element_at(col("__v"), i + 1).as(n) }: _*)
     }),
 
+    // ---- multimodal: shot-boundary (scene-cut) detection — the
+    // temporal video operator a 100-TB ingest runs over every clip.
+    // Scene-structured AVIs (runs of identical-DC MJPEG frames, a new
+    // gray level every `runlen` frames) are demuxed by the PER-FRAME
+    // means scan (stream order preserved through nested lists), frames
+    // explode to rows, and the classic luminance-delta detector runs as
+    // a lag window per clip: |sum_rgb(f) - sum_rgb(f-1)| > 12*n_px
+    // (i.e. >4 gray levels), scene_id = running cut count. State is one
+    // row per frame, partitioned by clip — the shape that scales to a
+    // billion clips. The oracle replays frame grays closed-form and the
+    // same window arithmetic in DuckDB.
+    "m_scene_cuts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.multimodal.MediaExtra
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def jbe16(c: Column) = lpad(hex(c), 4, "0")
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val jw = (pmod(col("doc_id"), lit(2)) + 1).cast("int") * 8
+      val jh = lit(8)
+      val nMCU = (jw / 8).cast("int")
+      val fCnt = (pmod(col("doc_id"), lit(4)) + 6).cast("int") // 6..9
+      val runlen = (pmod(col("doc_id"), lit(2)) + 2).cast("int") // 2..3
+      val jpegLen = nMCU + 142
+      val pad = pmod(nMCU, lit(2))
+      def frameJpegHex(f: Int): Column = {
+        // scene s = f div runlen; positive DC only (gray 192..255)
+        val sc = floor(lit(f) / runlen).cast("int")
+        val jd = pmod(col("doc_id") * 3 + sc * 17, lit(64))
+          .cast("int") + 64
+        concat(
+          lit("FFD8"),
+          lit("FFDB004300"), rep(lit("08"), lit(64)),
+          lit("FFC0000B08"), jbe16(jh), jbe16(jw), lit("01011100"),
+          lit("FFC4001500"),
+          lit("00000101000000000000000000000000"), lit("0007"),
+          lit("FFC4001410"),
+          lit("00000000010000000000000000000000"), lit("00"),
+          lit("FFDA0008010100003F00"),
+          h2(lit(32) + (jd / 8).cast("int")),
+          h2(pmod(jd, lit(8)) * 32),
+          rep(lit("00"), nMCU - 1),
+          lit("FFD9"))
+      }
+      def frameChunk(f: Int): Column =
+        when(lit(f) < fCnt,
+          concat(lit("30306463"), le32h(jpegLen), frameJpegHex(f),
+            rep(lit("00"), pad))).otherwise(lit(""))
+      val frameBytes = jpegLen + pad + 8
+      val moviSz = fCnt * frameBytes + 4
+      val z32 = lit("00000000")
+      val avih = concat(lit("61766968"), le32h(lit(56)),
+        le32h(lit(40000)), z32, z32, z32, le32h(fCnt), z32,
+        le32h(lit(1)), z32, le32h(jw), le32h(jh), z32, z32, z32, z32)
+      val hdrlSz = 4 + 64 // avih only — strl is optional for the demux
+      val aviHex = concat(Seq(
+        lit("52494646"), le32h(moviSz + 20 + hdrlSz), lit("41564920"),
+        lit("4C495354"), le32h(lit(hdrlSz)), lit("6864726C"), avih,
+        lit("4C495354"), le32h(moviSz), lit("6D6F7669")) ++
+        (0 until 9).map(frameChunk): _*)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(aviHex).as("__avi"))
+        .select(col("doc_id"),
+          MediaExtra.aviFrameScan(col("__avi")).as("__fm"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(1, int(element_at(__fm, 1))), f ->
+            |  struct(element_at(__fm, 4*f - 2) + element_at(__fm, 4*f - 1)
+            |           + element_at(__fm, 4*f) as sum_rgb,
+            |         element_at(__fm, 4*f + 1) as n_px))"""
+            .stripMargin)).as(Seq("frame_idx", "fr")))
+        .select(col("doc_id"), col("frame_idx"),
+          col("fr.sum_rgb").as("sum_rgb"), col("fr.n_px").as("n_px"))
+        .withColumn("__prev", lag("sum_rgb", 1).over(w))
+        .withColumn("is_cut", when(col("__prev").isNull, 0)
+          .when(abs(col("sum_rgb") - col("__prev")) > col("n_px") * 12, 1)
+          .otherwise(0))
+        .withColumn("scene_id", sum("is_cut").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("doc_id"), col("frame_idx"), col("sum_rgb"),
+          col("n_px"), col("is_cut"), col("scene_id"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -3729,6 +3816,40 @@ object SparkEntry {
         |  CAST(sq * jw * jh AS BIGINT) AS sq_b,
         |  CAST((f * upf) // 1000 AS BIGINT) AS duration_ms
         |FROM p JOIN a USING (doc_id)""".stripMargin,
+
+    // scene cuts: each frame's gray is closed-form (192 + scene hash),
+    // the detector is the same lag-window arithmetic, so cut decisions
+    // and running scene ids replay exactly
+    "m_scene_cuts" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (doc_id % 2 + 1) * 8 AS jw,
+        |    doc_id % 4 + 6 AS f,
+        |    doc_id % 2 + 2 AS rl
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, jw, rl, unnest(range(0, f)) AS f0 FROM p
+        |), g AS (
+        |  SELECT doc_id, f0 AS frame_idx, jw * 8 AS n_px,
+        |    (192 + (doc_id * 3 + (f0 // rl) * 17) % 64) * 3 * jw * 8
+        |      AS sum_rgb
+        |  FROM fr
+        |), d AS (
+        |  SELECT doc_id, frame_idx, sum_rgb, n_px,
+        |    CASE WHEN lag(sum_rgb) OVER w IS NULL THEN 0
+        |         WHEN abs(sum_rgb - lag(sum_rgb) OVER w) > 12 * n_px
+        |           THEN 1
+        |         ELSE 0 END AS is_cut
+        |  FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+        |)
+        |SELECT doc_id,
+        |  CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(sum_rgb AS BIGINT) AS sum_rgb,
+        |  CAST(n_px AS BIGINT) AS n_px,
+        |  CAST(is_cut AS INT) AS is_cut,
+        |  CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+        |    AS BIGINT) AS scene_id
+        |FROM d""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding

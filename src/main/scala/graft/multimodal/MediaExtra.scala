@@ -103,6 +103,13 @@ object MediaExtra {
   def aviScan(bin: Column): Column =
     ColumnShim.column(AviMjpegStats(ColumnShim.expression(bin)))
 
+  /** array(n_frames, then per frame: sum_r, sum_g, sum_b, n_px) —
+   * PER-FRAME channel sums in stream order, for temporal operators
+   * (shot-boundary detection, frame near-dup); see
+   * [[AviFrameMeans.scan]]. */
+  def aviFrameScan(bin: Column): Column =
+    ColumnShim.column(AviFrameMeans(ColumnShim.expression(bin)))
+
   // ---------------------------------------------------------- TIFF / ICO
 
   /** array(width, height) from TIFF IFD0 tags 256/257 (both byte orders,

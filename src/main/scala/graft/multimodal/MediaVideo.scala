@@ -31,6 +31,73 @@ case class AviMjpegStats(child: Expression) extends MediaScanExpr {
       newChild: Expression): AviMjpegStats = copy(child = newChild)
 }
 
+/** Per-frame AVI/MJPEG means (see [[AviFrameMeans.scan]]). */
+case class AviFrameMeans(child: Expression) extends MediaScanExpr {
+  override def prettyName: String = "avi_frame_means"
+  override protected def staticScan: String =
+    "graft.multimodal.AviFrameMeans.scan"
+  override protected def scanImpl(b: Array[Byte]): Array[Long] =
+    AviFrameMeans.scan(b)
+  override protected def withNewChildInternal(
+      newChild: Expression): AviFrameMeans = copy(child = newChild)
+}
+
+object AviFrameMeans {
+  private final val MaxFrames = 4096 // per-payload frame bound
+
+  /** [n_frames, then per decoded frame in stream order:
+   * sum_r, sum_g, sum_b, n_px] — the PER-FRAME channel sums the
+   * temporal operators (shot-boundary detection, frame near-dup)
+   * consume, from the same RIFF demux + native JPEG pipeline as
+   * [[AviMjpegStats.scan]]. Non-JPEG sample chunks are skipped;
+   * payloads with more than 4096 decodable frames, non-AVI bytes, or
+   * truncated chunk structure return null (the bound keeps the array
+   * row-sized — at real scale, longer streams go through the
+   * frame-sample planner first). */
+  def scan(b: Array[Byte]): Array[Long] = {
+    if (b == null || b.length < 64) return null
+    @inline def u8(i: Int): Int = b(i) & 0xFF
+    @inline def tag(i: Int, s: String): Boolean =
+      s.indices.forall(j => u8(i + j) == s.charAt(j))
+    if (!tag(0, "RIFF") || !tag(8, "AVI ")) return null
+    @inline def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var bad = false
+    // ordered recursive descent: per-frame output must preserve STREAM
+    // order even when frames sit inside nested `rec ` grouping lists
+    // (the aggregate scan's LIFO stack walk would reorder them); real
+    // RIFF nests <= 3 deep, the bound guards hostile bytes
+    def walk(s0: Int, e0: Int, depth: Int): Unit = {
+      if (depth > 8) { bad = true; return }
+      var i = s0
+      while (!bad && i + 8 <= e0) {
+        val len = le32(i + 4)
+        if (len < 0 || i + 8 + len > e0) { bad = true; return }
+        val body = i + 8
+        if (tag(i, "LIST")) {
+          if (len >= 4) walk(body + 4, body + len.toInt, depth + 1)
+        } else if (len >= 2 && u8(i) >= '0' && u8(i) <= '9' &&
+          u8(i + 1) >= '0' && u8(i + 1) <= '9' &&
+          (tag(i + 2, "dc") || tag(i + 2, "db"))) {
+          if (u8(body) == 0xFF && u8(body + 1) == 0xD8) {
+            val fb = java.util.Arrays.copyOfRange(b, body, body + len.toInt)
+            val px = JpegPixelStats.scan(fb)
+            if (px != null) {
+              if (acc.length >= 4L * MaxFrames) { bad = true; return }
+              acc += px(2); acc += px(3); acc += px(4); acc += px(5)
+            }
+          }
+        }
+        i = body + len.toInt + (len.toInt & 1)
+      }
+    }
+    walk(12, b.length, 0)
+    if (bad) null else Array(acc.length / 4L) ++ acc
+  }
+}
+
 object AviMjpegStats {
   private final val MaxFrames = 1 << 16 // demux bound per payload
 

@@ -23,7 +23,7 @@ class MediaFuzzSpec extends SparkTestBase {
     "ogg" -> OggInfo.scan, "tiff" -> TiffDims.scan,
     "id3v2" -> (b => Option(Id3v2Tags.scan(b)).map(_ => Array(0L)).orNull),
     "g711" -> G711Stats.scan, "adpcm" -> AdpcmStats.scan,
-    "avi" -> AviMjpegStats.scan)
+    "avi" -> AviMjpegStats.scan, "aviframes" -> AviFrameMeans.scan)
 
   private val magics: Map[String, Array[Byte]] = Map(
     "bmp" -> Array[Byte]('B', 'M'),
@@ -40,7 +40,8 @@ class MediaFuzzSpec extends SparkTestBase {
     "id3v2" -> "ID3".getBytes,
     "g711" -> "RIFF0000WAVE".getBytes,
     "adpcm" -> "RIFF0000WAVE".getBytes,
-    "avi" -> "RIFF0000AVI LIST".getBytes)
+    "avi" -> "RIFF0000AVI LIST".getBytes,
+    "aviframes" -> "RIFF0000AVI LIST".getBytes)
 
   private def rnd(seed: Long, n: Int): Array[Byte] = {
     val r = new java.util.Random(seed)
@@ -132,7 +133,8 @@ class MediaFuzzSpec extends SparkTestBase {
     assert(AviMjpegStats.scan(avi) != null, "fuzz base AVI must be valid")
     val valids = Seq("bmp" -> bmp, "ppm" -> ppm, "wav" -> wav,
       "jpeg" -> enc("jpg"), "png" -> enc("png"), "flac" -> flacC,
-      "g711" -> g711, "adpcm" -> adpcm, "avi" -> avi)
+      "g711" -> g711, "adpcm" -> adpcm, "avi" -> avi,
+      "aviframes" -> avi)
     val byName = scans.toMap
     for ((name, valid) <- valids; seed <- 0 until 600) {
       val r = new java.util.Random(seed)

@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.{AviMjpegStats, JpegPixelStats, MediaExtra,
-  Multimodal}
+import graft.multimodal.{AviFrameMeans, AviMjpegStats, JpegPixelStats,
+  MediaExtra, Multimodal}
 
 /**
  * AVI/MJPEG video decode specs. The oracle query (m_video_avi) only
@@ -114,6 +114,29 @@ class MediaVideoSpec extends SparkTestBase {
     assert(AviMjpegStats.scan(ok) != null)
     assert(AviMjpegStats.scan(ok.dropRight(3)) == null, "truncated chunk")
     assert(AviMjpegStats.scan(java.util.Arrays.copyOf(ok, 40)) == null)
+  }
+
+  test("per-frame means preserve stream order through nested rec lists") {
+    val fs = (0 until 5).map(i => jpegFrame(i * 3 + 1, 16, 8))
+    // frames 1+2 grouped in a nested 'rec ' list between plain chunks —
+    // the per-frame walk must still emit 0,1,2,3,4 in stream order
+    val movi = chunk("00dc", fs(0)) ++
+      list("rec ", chunk("00dc", fs(1)) ++ chunk("00dc", fs(2))) ++
+      chunk("00dc", fs(3)) ++ chunk("00dc", fs(4))
+    val payload = avi(40000, 5, 16, 8, movi)
+    val got = AviFrameMeans.scan(payload)
+    assert(got != null && got(0) == 5)
+    fs.zipWithIndex.foreach { case (f, i) =>
+      val px = JpegPixelStats.scan(f)
+      assert(got(1 + 4 * i) == px(2) && got(2 + 4 * i) == px(3) &&
+        got(3 + 4 * i) == px(4) && got(4 + 4 * i) == px(5),
+        s"frame $i out of order")
+    }
+    // aggregate scan agrees with the per-frame sums
+    val agg = AviMjpegStats.scan(payload)
+    assert(agg(5) == fs.map(f => JpegPixelStats.scan(f)(2)).sum)
+    // truncation still rejects
+    assert(AviFrameMeans.scan(payload.dropRight(2)) == null)
   }
 
   test("aviScan Column, sniffKind and extractFeatures use the real demux") {
