@@ -2026,6 +2026,76 @@ object SparkEntry {
           col("n_px"), col("is_cut"), col("scene_id"))
     }),
 
+    // ---- multimodal: cross-clip duplicate-FRAME detection — the video
+    // analog of exact dedup (repeated intros, thumbnails, test cards).
+    // Engineered collisions (16 possible gray levels across all clips,
+    // fixed 8x8 geometry) make frames bit-identical across docs; the
+    // per-frame demux emits moment fingerprints and a plain hash
+    // aggregate groups them corpus-wide: map-side combinable, one
+    // shuffle of (fingerprint, partial counts) — at 100 TB this is the
+    // same shape as d_dedup_exact, with the fingerprint standing in for
+    // the frame sha. The oracle replays frame grays and the group-by.
+    "m_frame_dedup" -> ((s, dir) => {
+      import graft.multimodal.MediaExtra
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      def rep(unit: Column, times: Column) =
+        call_function("repeat", unit, times.cast("int"))
+      val fCnt = (pmod(col("doc_id"), lit(3)) + 3).cast("int") // 3..5
+      val jpegLen = lit(143) // nMCU = 1 at 8x8
+      def frameJpegHex(f: Int): Column = {
+        val jd = pmod(col("doc_id") + lit(f * 7), lit(16)).cast("int") * 4 +
+          64 // gray = 192 + ((doc+7f) mod 16)*4 — 16 levels, collisions
+        concat(
+          lit("FFD8"),
+          lit("FFDB004300"), rep(lit("08"), lit(64)),
+          lit("FFC0000B08"), lit("0008"), lit("0008"), lit("01011100"),
+          lit("FFC4001500"),
+          lit("00000101000000000000000000000000"), lit("0007"),
+          lit("FFC4001410"),
+          lit("00000000010000000000000000000000"), lit("00"),
+          lit("FFDA0008010100003F00"),
+          h2(lit(32) + (jd / 8).cast("int")),
+          h2(pmod(jd, lit(8)) * 32),
+          lit("FFD9"))
+      }
+      def frameChunk(f: Int): Column =
+        when(lit(f) < fCnt,
+          concat(lit("30306463"), le32h(jpegLen), frameJpegHex(f),
+            lit("00"))).otherwise(lit("")) // 143 is odd -> pad byte
+      val frameBytes = 152 // 8 + 143 + 1
+      val moviSz = fCnt * frameBytes + 4
+      val z32 = lit("00000000")
+      val avih = concat(lit("61766968"), le32h(lit(56)),
+        le32h(lit(40000)), z32, z32, z32, le32h(fCnt), z32,
+        le32h(lit(1)), z32, le32h(lit(8)), le32h(lit(8)),
+        z32, z32, z32, z32)
+      val aviHex = concat(Seq(
+        lit("52494646"), le32h(moviSz + 88), lit("41564920"),
+        lit("4C495354"), le32h(lit(68)), lit("6864726C"), avih,
+        lit("4C495354"), le32h(moviSz), lit("6D6F7669")) ++
+        (0 until 5).map(frameChunk): _*)
+      t(s, dir, "documents")
+        .select(col("doc_id"), unhex(aviHex).as("__avi"))
+        .select(col("doc_id"),
+          MediaExtra.aviFrameScan(col("__avi")).as("__fm"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, int(element_at(__fm, 1))), f ->
+            |  struct(element_at(__fm, 4*f - 2) + element_at(__fm, 4*f - 1)
+            |           + element_at(__fm, 4*f) as sum_rgb,
+            |         element_at(__fm, 4*f + 1) as n_px))"""
+            .stripMargin)).as("fr"))
+        .select(col("doc_id"), col("fr.sum_rgb").as("sum_rgb"),
+          col("fr.n_px").as("n_px"))
+        .groupBy("sum_rgb", "n_px")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("doc_id")).as("n_clips"))
+        .filter(col("n_frames") > 1)
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -3850,6 +3920,25 @@ object SparkEntry {
         |  CAST(SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_idx)
         |    AS BIGINT) AS scene_id
         |FROM d""".stripMargin,
+
+    // frame dedup: 16 possible gray levels over fixed 8x8 geometry, so
+    // identical fingerprints ARE bit-identical frames; the oracle
+    // replays the gray closed-form and the same corpus-wide group-by
+    "m_frame_dedup" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 + 3 AS f FROM documents
+        |), fr AS (
+        |  SELECT doc_id, unnest(range(0, f)) AS f0 FROM p
+        |), g AS (
+        |  SELECT doc_id,
+        |    (192 + ((doc_id + f0 * 7) % 16) * 4) * 3 * 64 AS sum_rgb
+        |  FROM fr
+        |)
+        |SELECT CAST(sum_rgb AS BIGINT) AS sum_rgb,
+        |  CAST(64 AS BIGINT) AS n_px,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips
+        |FROM g GROUP BY sum_rgb HAVING COUNT(*) > 1""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding
