@@ -2096,6 +2096,69 @@ object SparkEntry {
         .filter(col("n_frames") > 1)
     }),
 
+    // ---- source ingest: WARC (ISO 28500) — the format web-scale
+    // corpora arrive in (Common Crawl ships ~100 TB/crawl of .warc.gz).
+    // Each doc synthesizes a shard of three records (warcinfo + two
+    // HTTP responses); odd docs wrap EACH record in its own gzip member
+    // (the Common Crawl layout) with a REAL CRC32 (Spark's crc32 — the
+    // JDK GZIPInputStream verifies it on inflate, so a wrong byte
+    // anywhere fails loudly). Warc.records explodes shards to typed
+    // rows inside mapPartitions — no shuffle, embarrassingly parallel
+    // over shard files. The oracle replays record geometry, HTTP
+    // fields, and the per-record body sha256 closed-form.
+    "w_warc" -> ((s, dir) => {
+      import s.implicits._
+      import graft.data.Warc
+      def h2(c: Column) = lpad(hex(c), 2, "0")
+      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+        h2((c / 256).cast("int")))
+      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+        le16h((c / 65536).cast("int")))
+      val lp = lpad(col("doc_id").cast("string"), 8, "0")
+      val k = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
+      val infoRec = concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 17\r\n"),
+        lit("\r\nsoftware: graft\r\n"), lit("\r\n\r\n"))
+      def rec(r: Int): Column = {
+        val bl = (k + lit(r)) * 10
+        val statusLine =
+          if (r == 0) "HTTP/1.1 200 OK\r\n" else "HTTP/1.1 404 Not Found\r\n"
+        val body = call_function("repeat",
+          concat(lit("w"), lp, lit(" ")), k + lit(r))
+        val http = concat(lit(statusLine),
+          lit("Content-Type: text/plain\r\n"),
+          lit("Content-Length: "), bl.cast("string"), lit("\r\n\r\n"),
+          body)
+        val hl = lit(statusLine.length + 48) + bl
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: https://ex.org/"),
+          lp, lit(s"/$r\r\nContent-Length: "), hl.cast("string"),
+          lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      }
+      // per-record gzip member: 10-byte header, one stored-deflate
+      // block, real CRC32 + ISIZE trailer
+      def member(rc: Column): Column = {
+        val rb = encode(rc, "UTF-8")
+        val rl = octet_length(rb)
+        concat(unhex(concat(lit("1F8B080000000000000301"),
+          le16h(rl), le16h(lit(65535) - rl))),
+          rb,
+          unhex(concat(le32h(crc32(rb)), le32h(rl))))
+      }
+      val plain = encode(concat(infoRec, rec(0), rec(1)), "UTF-8")
+      val gz = concat(member(infoRec), member(rec(0)), member(rec(1)))
+      val payload = when(pmod(col("doc_id"), lit(2)) === 0, plain)
+        .otherwise(gz)
+      val shards = t(s, dir, "documents")
+        .select(col("doc_id"), payload.as("p"))
+        .as[(Long, Array[Byte])]
+      Warc.records(shards).toDF()
+        .select(col("shard_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("content_length"), col("http_status"),
+          col("content_type"), col("body_len"), col("body_sha256"),
+          col("compressed"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -3939,6 +4002,42 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_clips
         |FROM g GROUP BY sum_rgb HAVING COUNT(*) > 1""".stripMargin,
+
+    // WARC: record geometry (content lengths incl. the HTTP envelope),
+    // status/type dispatch and per-record body sha256 all replay
+    // closed-form; the gzip wrapping is transparent to the fields
+    "w_warc" ->
+      """WITH p AS (
+        |  SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 8, '0') AS lp,
+        |    doc_id % 5 + 1 AS k, doc_id % 2 = 1 AS comp
+        |  FROM documents
+        |), recs AS (
+        |  SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+        |    CAST(NULL AS VARCHAR) AS target_uri,
+        |    CAST(17 AS BIGINT) AS content_length,
+        |    -1 AS http_status, CAST(NULL AS VARCHAR) AS content_type,
+        |    CAST(17 AS BIGINT) AS body_len,
+        |    sha256('software: graft' || chr(13) || chr(10))
+        |      AS body_sha256,
+        |    comp FROM p
+        |  UNION ALL
+        |  SELECT doc_id, r + 1, 'response',
+        |    'https://ex.org/' || lp || '/' || CAST(r AS VARCHAR),
+        |    CAST((CASE WHEN r = 0 THEN 17 ELSE 24 END) + 48
+        |      + 10 * (k + r) AS BIGINT),
+        |    CASE WHEN r = 0 THEN 200 ELSE 404 END,
+        |    'text/plain',
+        |    CAST(10 * (k + r) AS BIGINT),
+        |    sha256(repeat('w' || lp || ' ', CAST(k + r AS INT))),
+        |    comp
+        |  FROM p, (VALUES (0), (1)) t(r)
+        |)
+        |SELECT doc_id AS shard_id,
+        |  CAST(rec_idx AS INT) AS rec_idx, warc_type, target_uri,
+        |  content_length, CAST(http_status AS INT) AS http_status,
+        |  content_type, body_len, body_sha256,
+        |  comp AS compressed
+        |FROM recs""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding
