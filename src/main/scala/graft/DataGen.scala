@@ -123,9 +123,12 @@ object DataGen {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val vspan = span(emb, "vec_id")
     wr((0 until factor).map { k =>
-      val rot = if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), 1, k))
+      // rotate modulo the dimension: factors above dim (100x mirrors of
+      // a 16-dim table) would otherwise drive slice() lengths negative
+      val r = k % dim
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, dim - r),
+          slice(col("embedding"), 1, r))
       emb.withColumn("vec_id", col("vec_id") + lit(k * vspan))
         .withColumn("embedding", rot)
     }.reduce(_ unionAll _), "embeddings")
