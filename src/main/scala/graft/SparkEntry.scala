@@ -43,6 +43,36 @@ object SparkEntry {
     f.delete(); ()
   }
 
+  // --- WARC shard synthesis shared by w_warc / w_pipeline ---------------
+  private def h2(c: Column) = lpad(hex(c), 2, "0")
+  private def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
+    h2((c / 256).cast("int")))
+  private def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
+    le16h((c / 65536).cast("int")))
+
+  /** One per-record gzip member (the Common Crawl layout): 10-byte
+   * header, one stored-deflate block, REAL CRC32 (Spark's crc32 — the
+   * JDK GZIPInputStream verifies it on inflate) + ISIZE trailer. */
+  private def gzMember(rc: Column): Column = {
+    val rb = encode(rc, "UTF-8")
+    val rl = octet_length(rb)
+    concat(unhex(concat(lit("1F8B080000000000000301"),
+      le16h(rl), le16h(lit(65535) - rl))),
+      rb,
+      unhex(concat(le32h(crc32(rb)), le32h(rl))))
+  }
+
+  /** One WARC record with Content-Length computed from the block itself
+   * (bytes, not chars); `uri` null for non-response types. */
+  private def warcRec(typ: String, uri: Column, block: Column): Column = {
+    val uriPart =
+      if (uri == null) lit("")
+      else concat(lit("WARC-Target-URI: "), uri, lit("\r\n"))
+    concat(lit(s"WARC/1.0\r\nWARC-Type: $typ\r\n"), uriPart,
+      lit("Content-Length: "), octet_length(block).cast("string"),
+      lit("\r\n\r\n"), block, lit("\r\n\r\n"))
+  }
+
   /** The documents-table constraint model: every field constrained the way
    * pydantic would (str length/pattern, enum membership, int range) with
    * thresholds chosen so real rows violate them (positive + negative cases). */
@@ -2159,6 +2189,73 @@ object SparkEntry {
           col("compressed"))
     }),
 
+    // ---- HTML main-text extraction (graft.text.HtmlOps) — the step
+    // between WARC response payloads and the text pipeline. Each doc
+    // renders a full page (doctype; title with a decimal entity; style
+    // and script raw blocks carrying decoy markup; a comment hiding
+    // tags; a heading; the doc's text HTML-escaped; inline tags; a tab
+    // and double space for the collapser; two anchors). The native
+    // single-pass extractor recovers title / visible text / links and
+    // the oracle replays the expected extraction closed-form from the
+    // table columns. The struct is staged in its own projection so the
+    // walk runs ONCE per row (CollapseProject refuses to duplicate the
+    // non-cheap expression across the four field reads).
+    "w_html" -> ((s, dir) => {
+      import graft.text.HtmlOps
+      val ids = col("doc_id").cast("string")
+      val lp = lpad(ids, 8, "0")
+      val esc = call_function("replace",
+        call_function("replace",
+          call_function("replace", col("text"), lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")),
+        lit(">"), lit("&gt;"))
+      val page = concat(
+        lit("<!DOCTYPE html>\n<html>\n<head>\n  <title>Doc "), ids,
+        lit(" &#8212; "), col("source"), lit("</title>\n"),
+        lit("  <style>p > b { color: \"red&blue\"; }</style>\n"),
+        lit("  <script>if (1 < 2 && go) { s = \"<b>no</b>\"; }</script>\n"),
+        lit("</head>\n<body>\n  <!-- draft <p>skip me</p> -->\n"),
+        lit("  <h1>Heading &amp; "), ids, lit("</h1>\n  <p>"), esc,
+        lit("</p>\n  <p>Lang:\t<b>"), col("lang"),
+        lit("</b> &#x2014;  chars: "), col("n_chars").cast("string"),
+        lit("</p>\n  <a href=\"https://ex.org/"), lp,
+        lit("/a\">first</a> and\n  <a href='/rel/"), ids,
+        lit("'>second</a>\n</body>\n</html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), HtmlOps.htmlExtractCol(page).as("h"))
+        .select(col("doc_id"),
+          col("h.title").as("title"),
+          col("h.text").as("text"),
+          concat_ws("|", col("h.links")).as("links"),
+          size(col("h.links")).as("n_links"),
+          col("h.n_blocks").as("n_blocks"))
+    }),
+
+    // ---- RFC 3986 URL canonicalization (graft.functions.UrlOps) — the
+    // cheapest web-dedup tier: scheme/host case, default ports, percent
+    // normalization, dot segments, empty path, fragment strip; a mailto
+    // row (doc_id%7=0) exercises the null (non-hierarchical) path. The
+    // oracle replays the CANONICAL form closed-form per variant — it
+    // never runs the algorithm, it knows the answers.
+    "w_url" -> ((s, dir) => {
+      import graft.functions.UrlOps
+      val ids = col("doc_id").cast("string")
+      val v = pmod(col("doc_id"), lit(6))
+      val messy = when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("mailto:user@ex.org"))
+        .when(v === 0,
+          concat(lit("HTTP://EX.ORG:80/a/"), ids, lit("/x/../b?q=1&q=2#frag")))
+        .when(v === 1, concat(lit("https://Ex.Org:443/p%61th/"), ids))
+        .when(v === 2, concat(lit("http://ex.org/%2fkeep/"), ids))
+        .when(v === 3, lit("https://user@ex.org?x=%7e"))
+        .when(v === 4, concat(lit("http://ex.org/./"), ids, lit("/./c")))
+        .otherwise(concat(lit("HTTPS://ex.org:8443/"), ids, lit("#x")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), messy.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlOps.urlCanonCol(col("url")).as("canon"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -4038,6 +4135,61 @@ object SparkEntry {
         |  content_type, body_len, body_sha256,
         |  comp AS compressed
         |FROM recs""".stripMargin,
+
+    // HTML extraction: the oracle replays the EXPECTED title / visible
+    // text / links closed-form from the table columns (the synthesized
+    // page is deterministic); the engine's single-pass extractor must
+    // strip doctype/comment/style/script, decode the entities (&amp;
+    // named, &#8212; decimal, &#x2014; hex), cut blocks at block tags,
+    // collapse whitespace, and collect both anchor hrefs in order
+    "w_html" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || chr(8212) || ' '
+        |    || source AS title,
+        |  'Heading & ' || CAST(doc_id AS VARCHAR) || chr(10)
+        |    || text || chr(10)
+        |    || 'Lang: ' || lang || ' ' || chr(8212) || ' chars: '
+        |    || CAST(n_chars AS VARCHAR) || chr(10)
+        |    || 'first and second' AS text,
+        |  'https://ex.org/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+        |    || '/a|/rel/' || CAST(doc_id AS VARCHAR) AS links,
+        |  CAST(2 AS INT) AS n_links,
+        |  CAST(4 AS INT) AS n_blocks
+        |FROM documents""".stripMargin,
+
+    // URL canonicalization: per-variant closed-form answers — scheme and
+    // host lowercase, default-port drop, %61->a (unreserved decode),
+    // %2f->%2F (reserved escape uppercased), dot-segment removal, empty
+    // path -> '/', fragment strip; mailto rows canonicalize to NULL
+    "w_url" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN doc_id % 7 = 0 THEN 'mailto:user@ex.org'
+        |    WHEN doc_id % 6 = 0 THEN 'HTTP://EX.ORG:80/a/'
+        |      || CAST(doc_id AS VARCHAR) || '/x/../b?q=1&q=2#frag'
+        |    WHEN doc_id % 6 = 1 THEN 'https://Ex.Org:443/p%61th/'
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 6 = 2 THEN 'http://ex.org/%2fkeep/'
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 6 = 3 THEN 'https://user@ex.org?x=%7e'
+        |    WHEN doc_id % 6 = 4 THEN 'http://ex.org/./'
+        |      || CAST(doc_id AS VARCHAR) || '/./c'
+        |    ELSE 'HTTPS://ex.org:8443/' || CAST(doc_id AS VARCHAR) || '#x'
+        |  END AS url,
+        |  CASE
+        |    WHEN doc_id % 7 = 0 THEN CAST(NULL AS VARCHAR)
+        |    WHEN doc_id % 6 = 0 THEN 'http://ex.org/a/'
+        |      || CAST(doc_id AS VARCHAR) || '/b?q=1&q=2'
+        |    WHEN doc_id % 6 = 1 THEN 'https://ex.org/path/'
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 6 = 2 THEN 'http://ex.org/%2Fkeep/'
+        |      || CAST(doc_id AS VARCHAR)
+        |    WHEN doc_id % 6 = 3 THEN 'https://user@ex.org/?x=~'
+        |    WHEN doc_id % 6 = 4 THEN 'http://ex.org/'
+        |      || CAST(doc_id AS VARCHAR) || '/c'
+        |    ELSE 'https://ex.org:8443/' || CAST(doc_id AS VARCHAR)
+        |  END AS canon
+        |FROM documents""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding
