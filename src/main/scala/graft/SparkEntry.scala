@@ -2139,11 +2139,6 @@ object SparkEntry {
     "w_warc" -> ((s, dir) => {
       import s.implicits._
       import graft.data.Warc
-      def h2(c: Column) = lpad(hex(c), 2, "0")
-      def le16h(c: Column) = concat(h2(pmod(c, lit(256))),
-        h2((c / 256).cast("int")))
-      def le32h(c: Column) = concat(le16h(pmod(c, lit(65536))),
-        le16h((c / 65536).cast("int")))
       val lp = lpad(col("doc_id").cast("string"), 8, "0")
       val k = (pmod(col("doc_id"), lit(5)) + 1).cast("int")
       val infoRec = concat(
@@ -2165,18 +2160,8 @@ object SparkEntry {
           lp, lit(s"/$r\r\nContent-Length: "), hl.cast("string"),
           lit("\r\n\r\n"), http, lit("\r\n\r\n"))
       }
-      // per-record gzip member: 10-byte header, one stored-deflate
-      // block, real CRC32 + ISIZE trailer
-      def member(rc: Column): Column = {
-        val rb = encode(rc, "UTF-8")
-        val rl = octet_length(rb)
-        concat(unhex(concat(lit("1F8B080000000000000301"),
-          le16h(rl), le16h(lit(65535) - rl))),
-          rb,
-          unhex(concat(le32h(crc32(rb)), le32h(rl))))
-      }
       val plain = encode(concat(infoRec, rec(0), rec(1)), "UTF-8")
-      val gz = concat(member(infoRec), member(rec(0)), member(rec(1)))
+      val gz = concat(gzMember(infoRec), gzMember(rec(0)), gzMember(rec(1)))
       val payload = when(pmod(col("doc_id"), lit(2)) === 0, plain)
         .otherwise(gz)
       val shards = t(s, dir, "documents")
@@ -2254,6 +2239,69 @@ object SparkEntry {
         .select(col("doc_id"), messy.as("url"))
         .select(col("doc_id"), col("url"),
           UrlOps.urlCanonCol(col("url")).as("canon"))
+    }),
+
+    // ---- the Common-Crawl pipeline end-to-end (graft.text.WebClean):
+    // WARC shards -> response pages -> 200+text/html envelope filter ->
+    // URL canonicalization -> HTML text extraction (map-only, BEFORE
+    // any shuffle) -> earliest-crawl URL dedup -> token-count quality
+    // gate -> content-hash exact dedup. Each shard carries six records:
+    // a warcinfo, the group's main page under one of three messy
+    // spellings of the same canonical URL (3 docs/group crawl the same
+    // page -> URL dedup keeps the earliest), a 404, a text/plain 200, a
+    // too-short spam page (gate drop), and a boilerplate legal page
+    // identical across ALL shards (content dedup keeps exactly one).
+    // Odd shards wrap each record in its own CRC32-verified gzip
+    // member. The oracle replays every surviving row — who survives,
+    // its canonical URL, title, token count, and the sha256 of the
+    // extracted text — closed-form from the documents table.
+    "w_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.WebClean
+      val d = col("doc_id")
+      val ids = d.cast("string")
+      val g = expr("doc_id div 3")
+      val gs = g.cast("string")
+      val mainHtml = concat(
+        lit("<html><head><title>Page "), gs,
+        lit("</title></head><body>\n<p>Group "), gs, lit(" says "),
+        call_function("repeat", concat(lit("tok"), gs, lit(" ")),
+          (pmod(g, lit(4)) + 6).cast("int")),
+        lit("end.</p>\n</body></html>"))
+      val mainUri = when(pmod(d, lit(3)) === 0,
+          concat(lit("http://site.org/page/"), gs))
+        .when(pmod(d, lit(3)) === 1,
+          concat(lit("HTTP://SITE.ORG:80/page/"), gs, lit("#top")))
+        .otherwise(concat(lit("http://site.org/x/../page/"), gs))
+      def html200(body: Column) = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), body)
+      val recCols = Seq(
+        warcRec("warcinfo", null, lit("software: graft\r\n")),
+        warcRec("response", mainUri, html200(mainHtml)),
+        warcRec("response", concat(lit("http://site.org/missing/"), ids),
+          concat(lit("HTTP/1.1 404 Not Found\r\nContent-Type: text/html"
+            + "\r\n\r\n"),
+            lit("<html><body><p>not here at all my friend</p></body></html>"))),
+        warcRec("response", concat(lit("http://site.org/robots/"), ids),
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+            + "User-agent: * Disallow: /private")),
+        warcRec("response", concat(lit("http://site.org/spam/"), ids),
+          html200(lit("<html><body><p>buy now cheap</p></body></html>"))),
+        warcRec("response", concat(lit("http://site.org/legal/"), ids),
+          html200(lit("<html><head><title>Legal</title></head><body><p>"
+            + "terms of service apply to all pages equally forever"
+            + "</p></body></html>"))))
+      // even shards plain-concatenated; odd shards in the Common Crawl
+      // per-record-gzip-member layout
+      val payload = when(pmod(d, lit(2)) === 0,
+          encode(concat(recCols: _*), "UTF-8"))
+        .otherwise(concat(recCols.map(gzMember): _*))
+      val shards = t(s, dir, "documents")
+        .select(d, payload.as("p"))
+        .as[(Long, Array[Byte])]
+      WebClean.run(shards, minTokens = 5)
+        .select(col("shard_id"), col("rec_idx"), col("url"), col("title"),
+          col("n_tokens"), col("text_sha256"))
     }),
 
     // ---- function/custom validators: AfterValidator transform, named
@@ -4190,6 +4238,37 @@ object SparkEntry {
         |    ELSE 'https://ex.org:8443/' || CAST(doc_id AS VARCHAR)
         |  END AS canon
         |FROM documents""".stripMargin,
+
+    // the whole WARC -> HTML -> dedup chain replays closed-form: the
+    // oracle KNOWS who survives (earliest crawl per canonical URL =
+    // min doc per group; one legal page corpus-wide = min doc overall),
+    // each survivor's extracted text (and so its sha256 and token
+    // count), and that the 404 / text-plain / spam records died — the
+    // engine's record walk, gunzip, envelope parse, canonicalization,
+    // markup strip, gate and both dedup tiers must all agree to match
+    "w_pipeline" ->
+      """WITH grp AS (
+        |  SELECT doc_id // 3 AS g, min(doc_id) AS keep_doc
+        |  FROM documents GROUP BY 1
+        |), mains AS (
+        |  SELECT keep_doc AS shard_id, CAST(1 AS INT) AS rec_idx,
+        |    'http://site.org/page/' || CAST(g AS VARCHAR) AS url,
+        |    'Page ' || CAST(g AS VARCHAR) AS title,
+        |    CAST(g % 4 + 10 AS INT) AS n_tokens,
+        |    sha256('Group ' || CAST(g AS VARCHAR) || ' says '
+        |      || repeat('tok' || CAST(g AS VARCHAR) || ' ',
+        |           CAST(g % 4 + 6 AS INT))
+        |      || 'end.') AS text_sha256
+        |  FROM grp
+        |), legal AS (
+        |  SELECT min(doc_id) AS shard_id, CAST(5 AS INT) AS rec_idx,
+        |    'http://site.org/legal/' || CAST(min(doc_id) AS VARCHAR) AS url,
+        |    'Legal' AS title, CAST(9 AS INT) AS n_tokens,
+        |    sha256('terms of service apply to all pages equally forever')
+        |      AS text_sha256
+        |  FROM documents
+        |)
+        |SELECT * FROM mains UNION ALL SELECT * FROM legal""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding

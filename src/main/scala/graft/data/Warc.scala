@@ -44,6 +44,17 @@ object Warc {
       body_sha256: String,
       compressed: Boolean)
 
+  /** A response record WITH its decoded (UTF-8) HTTP payload — the
+   * shape the page pipeline consumes (w_pipeline: WARC -> HTML text ->
+   * dedup). Non-response records never carry bodies downstream. */
+  final case class WarcPage(
+      shard_id: Long,
+      rec_idx: Int,
+      target_uri: String,
+      http_status: Int,
+      content_type: String,
+      body: String)
+
   private final val MaxRecords = 1 << 20 // per-shard walk bound
 
   private def gunzip(b: Array[Byte]): Array[Byte] = {
@@ -71,7 +82,23 @@ object Warc {
   }
 
   /** Parse one shard's bytes into records (see class doc). */
-  def parse(shardId: Long, payload: Array[Byte]): Seq[WarcRecord] = {
+  def parse(shardId: Long, payload: Array[Byte]): Seq[WarcRecord] =
+    walk(shardId, payload, null)
+
+  /** Parse one shard's bytes into response pages, HTTP payloads decoded
+   * as UTF-8 (see [[WarcPage]]). */
+  def parsePages(shardId: Long, payload: Array[Byte]): Seq[WarcPage] = {
+    val pages = scala.collection.mutable.ArrayBuffer.empty[WarcPage]
+    walk(shardId, payload, pages)
+    pages.toSeq
+  }
+
+  /** The single record walk backing [[parse]] and [[parsePages]]; when
+   * `pages` is non-null, response records also append there with their
+   * decoded payload. */
+  private def walk(shardId: Long, payload: Array[Byte],
+      pages: scala.collection.mutable.ArrayBuffer[WarcPage])
+  : Seq[WarcRecord] = {
     if (payload == null || payload.length < 4) return Nil
     val compressed = (payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B
     val b = if (compressed) gunzip(payload) else payload
@@ -134,6 +161,10 @@ object Warc {
       val digest = sha.digest().map("%02x".format(_)).mkString
       out += WarcRecord(shardId, idx, warcType, uri, clen, status, ctype,
         (payloadEnd - payloadStart).toLong, digest, compressed)
+      if (pages != null && warcType == "response")
+        pages += WarcPage(shardId, idx, uri, status, ctype,
+          new String(b, payloadStart, payloadEnd - payloadStart,
+            java.nio.charset.StandardCharsets.UTF_8))
       idx += 1
       // records are delimited by two CRLFs after the block
       p = bodyEnd
@@ -149,5 +180,12 @@ object Warc {
   def records(ds: Dataset[(Long, Array[Byte])]): Dataset[WarcRecord] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.flatMap { case (id, bytes) => parse(id, bytes) })
+  }
+
+  /** Distributed shard → response-page explosion with decoded payloads
+   * (the w_pipeline front): same zero-shuffle mapPartitions shape. */
+  def pages(ds: Dataset[(Long, Array[Byte])]): Dataset[WarcPage] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, bytes) => parsePages(id, bytes) })
   }
 }
