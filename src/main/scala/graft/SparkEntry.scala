@@ -2304,6 +2304,93 @@ object SparkEntry {
           col("n_tokens"), col("text_sha256"))
     }),
 
+    // ---- robots.txt crawl-policy verdicts (graft.text.Robots, RFC
+    // 9309) — seven synthetic per-host policies covering the grammar:
+    // exact-agent group shadowing `*` (h0, h6), wildcard + `$`-anchored
+    // patterns (h1, h5), empty Disallow (h2), multi-agent groups with a
+    // malformed line (h3), rules before any group ignored (h4), a host
+    // with no robots.txt at all (h7), comments, CRLF, case-insensitive
+    // field names, crawl-delay attribution only from the SELECTED
+    // group. Six path variants per doc hit every precedence branch:
+    // longest-match wins, allow beats disallow on a tie, no-match =
+    // allowed. The policy dimension is broadcast; URLs are evaluated
+    // map-only inside their own scan (zero URL-side shuffles). The
+    // oracle KNOWS each (host, variant) verdict closed-form — it never
+    // runs the matcher.
+    "w_robots" -> ((s, dir) => {
+      import s.implicits._
+      import graft.text.Robots
+      val robotsTxt: Seq[(Int, String)] = Seq(
+        0 -> ("# graft policy\nUser-agent: GraftBot\nDisallow: /private/\n"
+          + "Allow: /private/ok$\nCrawl-delay: 2\n\n"
+          + "User-agent: *\nDisallow: /\n"),
+        1 -> ("User-agent: *\nDisallow: /*.json$\nAllow: /data/\n"
+          + "Disallow: /data/tmp/\n"),
+        2 -> ("User-agent: Other\nDisallow: /\n\n"
+          + "User-agent: *\nDisallow:\nCrawl-delay: 1.5\n"),
+        3 -> ("User-agent: GraftBot\nUser-agent: OtherBot\n"
+          + "Disallow: /x*y/\nthis line is not a rule\nAllow: /x\n"),
+        4 -> ("Disallow: /ignored-before-any-group\n"
+          + "User-agent: *\nAllow: /a/b\nDisallow: /a/*\n"),
+        5 -> "user-AGENT: *\r\nDisAllow: /end$\r\nallow: /e # comment\r\n",
+        6 -> ("Sitemap: https://h6.example/sitemap.xml\n"
+          + "User-agent: GraftBot\nAllow: /\n\n"
+          + "User-agent: *\nCrawl-delay: 9\nDisallow: /\n"))
+      val rules = s.createDataset(robotsTxt)
+        .flatMap { case (h, txt) => Robots.parse(s"h$h", txt) }
+      val d = col("doc_id")
+      val v = pmod(d, lit(6))
+      val pathq = when(v === 0, lit("/private/ok"))
+        .when(v === 1, lit("/private/secret"))
+        .when(v === 2, lit("/data/tmp/file.json"))
+        .when(v === 3, lit("/a/b"))
+        .when(v === 4, lit("/end"))
+        .otherwise(concat(lit("/x"), d.cast("string"), lit("y/page")))
+      val pages = t(s, dir, "documents").select(d,
+        concat(lit("h"), pmod(d, lit(8)).cast("string")).as("host"),
+        pathq.as("pathq"))
+      Robots.evaluate(pages, rules, "GraftBot")
+        .select(col("doc_id"), col("host"), col("pathq"), col("allowed"),
+          col("rule"), col("rtype"), col("spec"), col("crawl_delay"))
+    }),
+
+    // ---- fixed-point PageRank over a synthetic link graph (graft.web
+    // .LinkGraph) — ring + hub + jump edges derived from doc_id give
+    // every node an out-edge (no dangling mass) and node 0 a heavy
+    // in-degree (the mega-hub the map-side combiner must absorb). Ranks
+    // are BIGINT units of 1e-10 so every sum is exact and associative:
+    // the result is bit-identical at any parallelism and the DuckDB
+    // oracle REPLAYS the same five damped iterations in unrolled SQL —
+    // same integer arithmetic, different engine.
+    "w_pagerank" -> ((s, dir) => {
+      import graft.web.LinkGraph
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      val ring = docs.select(d.as("src"), pmod(d + 1, lit(n)).as("dst"))
+      val hub = docs.filter(pmod(d, lit(3)) === 1)
+        .select(d.as("src"), lit(0L).as("dst"))
+      val jump = docs.filter(pmod(d, lit(5)) === 2)
+        .select(d.as("src"), pmod(d * 7 + 3, lit(n)).as("dst"))
+      val nodes = docs.select(d.as("node"))
+      LinkGraph.pageRank(ring.union(hub).union(jump), nodes, iterations = 5)
+        .select(col("node"), col("rank"))
+    }),
+
+    // ---- host-level link graph (the Common-Crawl "host graph"
+    // artifact): page links collapse to weighted host->host edges in
+    // one map-side-combined groupBy; self-edges dropped here to
+    // exercise the filter. Oracle is the same aggregation in SQL.
+    "w_hostgraph" -> ((s, dir) => {
+      import graft.web.LinkGraph
+      val d = col("doc_id")
+      val links = t(s, dir, "documents").select(
+        concat(lit("h"), pmod(d, lit(5)).cast("string")).as("src_host"),
+        concat(lit("h"), pmod(d * 3 + 1, lit(7)).cast("string")).as("dst_host"))
+      LinkGraph.hostGraph(links, keepSelf = false)
+        .select(col("src_host"), col("dst_host"), col("n_links"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -4269,6 +4356,125 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT * FROM mains UNION ALL SELECT * FROM legal""".stripMargin,
+
+    // robots verdicts: the oracle knows every (host, variant) outcome
+    // closed-form — which rule wins (longest pattern; allow beats
+    // disallow on the h4 tie), the shadowed-group delays (h6's * delay
+    // never applies to GraftBot), and that h7 (no robots.txt) and h2
+    // (empty Disallow) allow everything — it never runs the matcher
+    "w_robots" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 8 AS h, doc_id % 6 AS v FROM documents
+        |)
+        |SELECT doc_id,
+        |  'h' || CAST(h AS VARCHAR) AS host,
+        |  CASE v
+        |    WHEN 0 THEN '/private/ok'
+        |    WHEN 1 THEN '/private/secret'
+        |    WHEN 2 THEN '/data/tmp/file.json'
+        |    WHEN 3 THEN '/a/b'
+        |    WHEN 4 THEN '/end'
+        |    ELSE '/x' || CAST(doc_id AS VARCHAR) || 'y/page'
+        |  END AS pathq,
+        |  NOT ((h = 0 AND v = 1) OR (h = 1 AND v = 2)
+        |    OR (h = 3 AND v = 5) OR (h = 5 AND v = 4)) AS allowed,
+        |  CASE
+        |    WHEN h = 0 AND v = 0 THEN '/private/ok$'
+        |    WHEN h = 0 AND v = 1 THEN '/private/'
+        |    WHEN h = 1 AND v = 2 THEN '/data/tmp/'
+        |    WHEN h = 3 AND v = 5 THEN '/x*y/'
+        |    WHEN h = 4 AND v = 3 THEN '/a/b'
+        |    WHEN h = 5 AND v = 4 THEN '/end$'
+        |    WHEN h = 6 THEN '/'
+        |  END AS rule,
+        |  CASE
+        |    WHEN (h = 0 AND v = 0) OR (h = 4 AND v = 3) OR h = 6
+        |      THEN 'allow'
+        |    WHEN (h = 0 AND v = 1) OR (h = 1 AND v = 2)
+        |      OR (h = 3 AND v = 5) OR (h = 5 AND v = 4) THEN 'disallow'
+        |  END AS rtype,
+        |  CAST(CASE
+        |    WHEN h = 0 AND v = 0 THEN 12
+        |    WHEN h = 0 AND v = 1 THEN 9
+        |    WHEN h = 1 AND v = 2 THEN 10
+        |    WHEN h = 3 AND v = 5 THEN 5
+        |    WHEN h = 4 AND v = 3 THEN 4
+        |    WHEN h = 5 AND v = 4 THEN 5
+        |    WHEN h = 6 THEN 1
+        |  END AS INT) AS spec,
+        |  CAST(CASE WHEN h = 0 THEN 2.0 WHEN h = 2 THEN 1.5 END
+        |    AS DOUBLE) AS crawl_delay
+        |FROM p""".stripMargin,
+
+    // PageRank: the oracle replays the SAME five damped fixed-point
+    // iterations in unrolled SQL over the same derived edge set — every
+    // operation is exact BIGINT arithmetic (// is floor division, all
+    // values non-negative), so two independent engines land on
+    // bit-identical ranks
+    "w_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 1
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+        |    FROM documents WHERE doc_id % 5 = 2
+        |  ) u WHERE src <> dst
+        |),
+        |outd AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+        |ed AS (SELECT e0.src, e0.dst, outd.outdeg
+        |       FROM e0 JOIN outd USING (src)),
+        |r0 AS (SELECT doc_id AS node, CAST(10000000000 AS BIGINT) AS rank
+        |       FROM documents),
+        |s1 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r0.rank // ed.outdeg) AS BIGINT) AS m
+        |       FROM r0 JOIN ed ON r0.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT d.doc_id AS node,
+        |         CAST(1500000000 + (85 * COALESCE(s1.m, 0)) // 100
+        |           AS BIGINT) AS rank
+        |       FROM documents d LEFT JOIN s1 ON d.doc_id = s1.node),
+        |s2 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r1.rank // ed.outdeg) AS BIGINT) AS m
+        |       FROM r1 JOIN ed ON r1.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT d.doc_id AS node,
+        |         CAST(1500000000 + (85 * COALESCE(s2.m, 0)) // 100
+        |           AS BIGINT) AS rank
+        |       FROM documents d LEFT JOIN s2 ON d.doc_id = s2.node),
+        |s3 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r2.rank // ed.outdeg) AS BIGINT) AS m
+        |       FROM r2 JOIN ed ON r2.node = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT d.doc_id AS node,
+        |         CAST(1500000000 + (85 * COALESCE(s3.m, 0)) // 100
+        |           AS BIGINT) AS rank
+        |       FROM documents d LEFT JOIN s3 ON d.doc_id = s3.node),
+        |s4 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r3.rank // ed.outdeg) AS BIGINT) AS m
+        |       FROM r3 JOIN ed ON r3.node = ed.src GROUP BY ed.dst),
+        |r4 AS (SELECT d.doc_id AS node,
+        |         CAST(1500000000 + (85 * COALESCE(s4.m, 0)) // 100
+        |           AS BIGINT) AS rank
+        |       FROM documents d LEFT JOIN s4 ON d.doc_id = s4.node),
+        |s5 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r4.rank // ed.outdeg) AS BIGINT) AS m
+        |       FROM r4 JOIN ed ON r4.node = ed.src GROUP BY ed.dst),
+        |r5 AS (SELECT d.doc_id AS node,
+        |         CAST(1500000000 + (85 * COALESCE(s5.m, 0)) // 100
+        |           AS BIGINT) AS rank
+        |       FROM documents d LEFT JOIN s5 ON d.doc_id = s5.node)
+        |SELECT node, rank FROM r5""".stripMargin,
+
+    // host graph: one aggregation, self-edges dropped
+    "w_hostgraph" ->
+      """SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS src_host,
+        |  'h' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) AS dst_host,
+        |  count(*) AS n_links
+        |FROM documents
+        |WHERE doc_id % 5 <> (doc_id * 3 + 1) % 7
+        |GROUP BY 1, 2""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding
