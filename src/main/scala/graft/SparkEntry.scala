@@ -2391,6 +2391,87 @@ object SparkEntry {
         .select(col("src_host"), col("dst_host"), col("n_links"))
     }),
 
+    // ---- sitemap XML ingest (graft.web.Sitemap, sitemaps.org 0.9) —
+    // the discovery companion of w_robots (Robots.parse already
+    // surfaces the Sitemap: lines). Four synthesized per-doc variants
+    // cover the grammar: a two-url urlset (lastmod + changefreq +
+    // priority; &amp; entity in a loc), a sitemapindex with an XML
+    // comment and a calendar-INVALID lastmod (raw text kept, parsed
+    // day null), a namespace-prefixed urlset with a CDATA loc (no
+    // entity decode inside), an out-of-range priority and an
+    // upper-case changefreq, and a non-sitemap document yielding zero
+    // rows. Host-dimension flatMap — map-only, no shuffle (the
+    // Robots.parse shape). The oracle knows every entry closed-form.
+    "w_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      import graft.web.Sitemap
+      val d = col("doc_id")
+      val hostS = concat(lit("h"), pmod(d, lit(8)).cast("string"),
+        lit(".example"))
+      val ds = d.cast("string")
+      val v = pmod(d, lit(4))
+      val xml = when(v === 0, concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<urlset "
+            + "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"
+            + "<url><loc>https://"), hostS, lit("/p"), ds,
+          lit("a</loc><lastmod>2024-01-15</lastmod>"
+            + "<changefreq>daily</changefreq>"
+            + "<priority>0.5</priority></url>\n<url> <loc>https://"),
+          hostS, lit("/p"), ds,
+          lit("b?x=1&amp;y=2</loc><priority>1.0</priority></url>\n"
+            + "</urlset>")))
+        .when(v === 1, concat(
+          lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/"
+            + "sitemap/0.9\"><!-- nightly index -->\n<sitemap>"
+            + "<loc>https://"), hostS, lit("/sm"), ds,
+          lit(".xml</loc><lastmod>2024-02-30T10:00:00Z</lastmod>"
+            + "</sitemap>\n</sitemapindex>")))
+        .when(v === 2, concat(
+          lit("<sm:urlset xmlns:sm=\"http://www.sitemaps.org/schemas/"
+            + "sitemap/0.9\">\n<sm:url><sm:loc><![CDATA[https://"),
+          hostS, lit("/c"), ds,
+          lit("?a=1&b=2]]></sm:loc>"
+            + "<sm:lastmod>2023-12-01T08:30:00+02:00</sm:lastmod>"
+            + "<sm:changefreq>WEEKLY</sm:changefreq>"
+            + "<sm:priority>1.5</sm:priority></sm:url>\n</sm:urlset>")))
+        .otherwise(concat(lit("<html><body>not a sitemap "), ds,
+          lit("</body></html>")))
+      t(s, dir, "documents")
+        .select(hostS.as("host"), xml.as("xml"))
+        .as[(String, String)]
+        .flatMap { case (h, x) => Sitemap.parse(h, x) }
+        .toDF()
+        .select(col("host"), col("kind"), col("loc"), col("lastmod"),
+          col("lastmodDay").as("lastmod_day"), col("changefreq"),
+          col("priorityMilli").as("priority_milli"))
+    }),
+
+    // ---- politeness-aware crawl-frontier scheduling (graft.web
+    // .Frontier): per-host fetch queues capped by the bounded-heap
+    // TopK aggregator (k rows per host per partition cross the ONE
+    // exchange — the budget cap doubling as the mega-host skew valve),
+    // queue ordinals free from the sorted top-k state via posexplode
+    // (no window, no second sort), Crawl-delay as exact DECIMAL→ms
+    // integers, shard = pmod(hash60(host), nShards) keeping every
+    // host's queue on one worker. The oracle replays the schedule with
+    // an independent SQL window + the md5 hash60 shard placement.
+    "w_frontier" -> ((s, dir) => {
+      import graft.web.Frontier
+      val d = col("doc_id")
+      val cands = t(s, dir, "documents").select(
+        concat(lit("h"), pmod(d, lit(40)).cast("string")).as("host"),
+        d.as("page_id"),
+        pmod(d * 31 + 7, lit(1000)).as("weight"))
+      val delays = s.range(40).toDF("k")
+        .filter(pmod(col("k"), lit(3)) === 0)
+        .select(concat(lit("h"), col("k").cast("string")).as("host"),
+          Frontier.delayMs(concat(col("k").cast("string"), lit(".5")))
+            .as("delay_ms"))
+      Frontier.schedule(cands, delays, maxPerHost = 5, nShards = 8)
+        .select(col("host"), col("shard"), col("slot"), col("page_id"),
+          col("weight"), col("delay_ms"), col("fetch_offset_ms"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -4475,6 +4556,67 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 5 <> (doc_id * 3 + 1) % 7
         |GROUP BY 1, 2""".stripMargin,
+
+    // sitemap entries: the oracle KNOWS each variant's parsed rows
+    // closed-form (entity decoded, CDATA raw, invalid priority and
+    // invalid calendar day null, upper-case changefreq lowered, the
+    // malformed v=3 docs contributing nothing) — it never parses XML
+    "w_sitemap" ->
+      """WITH p AS (
+        |  SELECT doc_id AS d,
+        |    'h' || CAST(doc_id % 8 AS VARCHAR) || '.example' AS host,
+        |    doc_id % 4 AS v
+        |  FROM documents
+        |)
+        |SELECT host, 'url' AS kind,
+        |  'https://' || host || '/p' || CAST(d AS VARCHAR) || 'a' AS loc,
+        |  '2024-01-15' AS lastmod, '2024-01-15' AS lastmod_day,
+        |  'daily' AS changefreq, CAST(500 AS INT) AS priority_milli
+        |FROM p WHERE v = 0
+        |UNION ALL
+        |SELECT host, 'url',
+        |  'https://' || host || '/p' || CAST(d AS VARCHAR) || 'b?x=1&y=2',
+        |  NULL, NULL, NULL, CAST(1000 AS INT)
+        |FROM p WHERE v = 0
+        |UNION ALL
+        |SELECT host, 'sitemap',
+        |  'https://' || host || '/sm' || CAST(d AS VARCHAR) || '.xml',
+        |  '2024-02-30T10:00:00Z', NULL, NULL, NULL
+        |FROM p WHERE v = 1
+        |UNION ALL
+        |SELECT host, 'url',
+        |  'https://' || host || '/c' || CAST(d AS VARCHAR) || '?a=1&b=2',
+        |  '2023-12-01T08:30:00+02:00', '2023-12-01', 'weekly', NULL
+        |FROM p WHERE v = 2""".stripMargin,
+
+    // frontier schedule: independent replay — SQL window row_number
+    // instead of the bounded heap, the same md5-60-bit shard hash, the
+    // same exact integer politeness arithmetic
+    "w_frontier" ->
+      """WITH c AS (
+        |  SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+        |    doc_id AS page_id, (doc_id * 31 + 7) % 1000 AS weight
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT host, page_id, weight,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY weight DESC, page_id ASC) - 1 AS slot
+        |  FROM c
+        |),
+        |q AS (SELECT * FROM r WHERE slot < 5),
+        |dl AS (
+        |  SELECT 'h' || CAST(k AS VARCHAR) AS host,
+        |    k * 1000 + 500 AS delay_ms
+        |  FROM range(40) t(k) WHERE k % 3 = 0
+        |)
+        |SELECT q.host,
+        |  CAST(concat('0x', substr(md5(q.host), 1, 15)) AS BIGINT) % 8
+        |    AS shard,
+        |  CAST(q.slot AS INT) AS slot, q.page_id, q.weight,
+        |  COALESCE(dl.delay_ms, 1000) AS delay_ms,
+        |  q.slot * COALESCE(dl.delay_ms, 1000) AS fetch_offset_ms
+        |FROM q LEFT JOIN dl ON q.host = dl.host""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding
