@@ -2472,6 +2472,42 @@ object SparkEntry {
           col("weight"), col("delay_ms"), col("fetch_offset_ms"))
     }),
 
+    // ---- anchor-text aggregation per canonical link target (the
+    // classic link-text relevance signal search corpora index): the
+    // HTML walk yields (links, anchors) ALIGNED arrays in one pass,
+    // arrays_zip + explode pairs them, UrlOps canonicalization merges
+    // the casing/port/escape variants of the same target (two of the
+    // three synthesized anchors point at one canonical URL), then ONE
+    // hash aggregate per target. Inline tags inside the anchor vanish,
+    // entities decode (&amp; in the anchor TEXT).
+    "w_anchors" -> ((s, dir) => {
+      import graft.text.HtmlOps
+      import graft.functions.UrlOps
+      val d = col("doc_id")
+      val ks = pmod(d, lit(50)).cast("string")
+      val ms = pmod(d, lit(7)).cast("string")
+      val ds = d.cast("string")
+      val page = concat(
+        lit("<html><body><p>intro</p>\n<a href=\"https://T"), ks,
+        lit(".EXAMPLE/home\">Home of "), ks,
+        lit("</a>\n<a href='https://t"), ks,
+        lit(".example:443/home'>Site&amp;"), ks,
+        lit("</a>\n<a href=\"https://other"), ms,
+        lit(".example/x%7Ey\">ref <b>"), ds,
+        lit("</b></a>\n</body></html>"))
+      t(s, dir, "documents")
+        .select(HtmlOps.htmlExtractCol(page).as("h"))
+        .select(explode(arrays_zip(
+          col("h.links"), col("h.anchors"))).as("la"))
+        .select(
+          UrlOps.urlCanonCol(col("la.links")).as("target"),
+          col("la.anchors").as("anchor"))
+        .groupBy(col("target"))
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("anchor")).as("n_texts"),
+          min(col("anchor")).as("first_anchor"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -4617,6 +4653,34 @@ object SparkEntry {
         |  COALESCE(dl.delay_ms, 1000) AS delay_ms,
         |  q.slot * COALESCE(dl.delay_ms, 1000) AS fetch_offset_ms
         |FROM q LEFT JOIN dl ON q.host = dl.host""".stripMargin,
+
+    // anchor text per canonical target: the oracle KNOWS the extracted
+    // (target, anchor) pairs closed-form — host lowered, :443 dropped,
+    // %7E -> ~, &amp; decoded in the text, the <b> inline tag gone —
+    // and replays only the aggregation
+    "w_anchors" ->
+      """WITH p AS (
+        |  SELECT doc_id AS d, doc_id % 50 AS k, doc_id % 7 AS m
+        |  FROM documents
+        |),
+        |a AS (
+        |  SELECT 'https://t' || CAST(k AS VARCHAR) || '.example/home'
+        |      AS target,
+        |    'Home of ' || CAST(k AS VARCHAR) AS anchor
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'https://t' || CAST(k AS VARCHAR) || '.example/home',
+        |    'Site&' || CAST(k AS VARCHAR)
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'https://other' || CAST(m AS VARCHAR) || '.example/x~y',
+        |    'ref ' || CAST(d AS VARCHAR)
+        |  FROM p
+        |)
+        |SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
+        |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_texts,
+        |  min(anchor) AS first_anchor
+        |FROM a GROUP BY target""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding

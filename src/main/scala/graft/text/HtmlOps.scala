@@ -43,6 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
  *    U+00A0, which is NOT collapse-whitespace (Java semantics).
  *  - The FIRST `<title>` element's collapsed text is the title field
  *    and never joins the body text.
+ *  - `anchors(i)` is the collapsed visible text of the `<a>` that
+ *    carried `links(i)` — the classic anchor-text relevance signal
+ *    (w_anchors aggregates it per canonical target). Anchors cannot
+ *    nest: a second `<a href>` before `</a>` finalizes the first.
  *
  * Reference anchor: pydantic's str validation treats wire text as an
  * untrusted string to normalize before checks (`_internal/_validators`);
@@ -54,6 +58,8 @@ object HtmlOps {
     StructField("title", StringType, nullable = true),
     StructField("text", StringType, nullable = false),
     StructField("links", ArrayType(StringType, containsNull = false),
+      nullable = false),
+    StructField("anchors", ArrayType(StringType, containsNull = false),
       nullable = false),
     StructField("n_blocks", IntegerType, nullable = false)))
 
@@ -163,7 +169,8 @@ object HtmlOps {
   }
 
   final class Extracted(val title: String, val text: String,
-      val links: Array[String], val nBlocks: Int)
+      val links: Array[String], val anchors: Array[String],
+      val nBlocks: Int)
 
   /** The single-pass walk (see object doc). Total, never throws. */
   def extract(html: String): Extracted = {
@@ -171,6 +178,16 @@ object HtmlOps {
     val cur = new java.lang.StringBuilder(64)
     val blocks = new scala.collection.mutable.ArrayBuffer[String](8)
     val links = new scala.collection.mutable.ArrayBuffer[String](4)
+    // anchors(i) = collapsed visible text of the <a> that carried
+    // links(i); `<a href>` without a matching `</a>` (or interrupted
+    // by the next `<a href>` — HTML anchors cannot nest) finalizes
+    // with whatever text accumulated, keeping the arrays aligned.
+    val anchors = new scala.collection.mutable.ArrayBuffer[String](4)
+    val anc = new java.lang.StringBuilder(32)
+    var ancActive = false
+    def finishAnchor(): Unit = if (ancActive) {
+      anchors += collapse(anc); anc.setLength(0); ancActive = false
+    }
     var title: String = null
     var inTitle = false
     var titleDone = false
@@ -240,7 +257,14 @@ object HtmlOps {
             j += 1
           }
           i = if (j < n) j + 1 else n
-          if (href != null) links += href
+          if (tag == "a") {
+            if (closing) finishAnchor()
+            else if (href != null) {
+              finishAnchor() // implicit close: anchors cannot nest
+              links += href
+              ancActive = true
+            }
+          } else if (href != null) links += href
           if (!closing && (tag == "script" || tag == "style")) {
             val e = findClose(html, i, tag)
             if (e < 0) i = n
@@ -255,21 +279,28 @@ object HtmlOps {
             else if (closing && inTitle) { inTitle = false; titleDone = true }
           } else if (BlockTags.contains(tag)) {
             flush()
+            // a block boundary inside an open anchor separates words
+            if (ancActive) anc.append(' ')
           }
           // inline tags: no boundary
         } else {
           cur.append('<'); i += 1 // literal '<' (e.g. "1 < 2")
+          if (ancActive) anc.append('<')
         }
       } else if (c == '&') {
+        val p = cur.length
         i = entity(html, i, cur)
+        if (ancActive) anc.append(cur, p, cur.length)
       } else {
         cur.append(c); i += 1
+        if (ancActive) anc.append(c)
       }
     }
     // unterminated title never flushes into body text
     if (!inTitle) flush()
+    finishAnchor() // unterminated <a> keeps the arrays aligned
     new Extracted(title,
-      blocks.mkString("\n"), links.toArray, blocks.length)
+      blocks.mkString("\n"), links.toArray, anchors.toArray, blocks.length)
   }
 
   /** eval/codegen funnel (cf. [[graft.functions.BytesDecode]]). */
@@ -279,6 +310,7 @@ object HtmlOps {
       if (e.title == null) null else UTF8String.fromString(e.title),
       UTF8String.fromString(e.text),
       new GenericArrayData(e.links.map(UTF8String.fromString(_))),
+      new GenericArrayData(e.anchors.map(UTF8String.fromString(_))),
       e.nBlocks))
   }
 

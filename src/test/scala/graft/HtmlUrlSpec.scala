@@ -65,6 +65,29 @@ class HtmlUrlSpec extends SparkTestBase {
     assert(x("<p>no title</p>").title == null)
   }
 
+  test("html: anchors align with links — entities, inline tags, " +
+    "implicit close, unterminated, block boundary inside") {
+    val e = x("<a href='/1'>one &amp; <b>two</b></a> mid " +
+      "<a href='/2'>second<a href='/3'>third</a>")
+    assert(e.links.toSeq == Seq("/1", "/2", "/3"))
+    // /2 finalized by the next <a href> (anchors cannot nest);
+    // /3 finalized by </a>; trailing text belongs to no anchor
+    assert(e.anchors.toSeq == Seq("one & two", "second", "third"))
+    // unterminated <a> finalizes at end of input
+    val u = x("<a href='/u'>tail text")
+    assert(u.links.toSeq == Seq("/u") && u.anchors.toSeq == Seq("tail text"))
+    // a block tag inside an anchor separates words
+    val b = x("<a href='/b'>one<br>two</a>")
+    assert(b.anchors.toSeq == Seq("one two"))
+    // href-less <a> collects neither link nor anchor
+    val n = x("<a name='x'>plain</a><a href='/y'>y</a>")
+    assert(n.links.toSeq == Seq("/y") && n.anchors.toSeq == Seq("y"))
+    // empty anchor text stays aligned (may be empty string)
+    val m = x("<a href='/img'><img src='i.png'/></a><a href='/t'>t</a>")
+    assert(m.links.toSeq == Seq("/img", "/t"))
+    assert(m.anchors.toSeq == Seq("", "t"))
+  }
+
   test("html: expression over a DataFrame, null in -> null struct") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
