@@ -2508,6 +2508,98 @@ object SparkEntry {
           min(col("anchor")).as("first_anchor"))
     }),
 
+    // ---- HITS hubs & authorities (graft.web.LinkGraph.hits) over the
+    // SAME synthetic link graph as w_pagerank — Kleinberg's
+    // topic-distillation signal in exact fixed-point form: BIGINT
+    // units of 1e-6, L-infinity renormalization (the round's MAX is
+    // exact where L2's sqrt is not), three I-then-O rounds.
+    // Bit-identical at any parallelism; the oracle replays the same
+    // three rounds as unrolled SQL in HUGEINT arithmetic.
+    "w_hits" -> ((s, dir) => {
+      import graft.web.LinkGraph
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      val ring = docs.select(d.as("src"), pmod(d + 1, lit(n)).as("dst"))
+      val hubE = docs.filter(pmod(d, lit(3)) === 1)
+        .select(d.as("src"), lit(0L).as("dst"))
+      val jump = docs.filter(pmod(d, lit(5)) === 2)
+        .select(d.as("src"), pmod(d * 7 + 3, lit(n)).as("dst"))
+      val nodes = docs.select(d.as("node"))
+      LinkGraph.hits(ring.union(hubE).union(jump), nodes, iterations = 3)
+        .select(col("node"), col("auth"), col("hub"))
+    }),
+
+    // ---- inverted-index construction (the search artifact a crawl
+    // feeds): per-term document frequency, collection frequency, and
+    // the top-3 postings by term frequency via the bounded-heap TopK
+    // aggregator — k rows per term per partition cross the wire,
+    // never a full posting list (the w_frontier/q_topk skew valve).
+    // Two map-side-combined shuffles total: (tok, doc) tf, then the
+    // per-term rollup; tf desc + doc_id asc is the deterministic
+    // posting order.
+    "w_index" -> ((s, dir) => {
+      import graft.functions.TopK
+      val top3 = udaf(new TopK.TopKAgg(3))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("tok")).agg(
+          count(lit(1)).as("df"),
+          sum(col("tf")).as("cf"),
+          top3(col("tf"), col("doc_id")).as("__t"))
+        .select(col("tok"), col("df"), col("cf"),
+          posexplode(col("__t").getField("items")))
+        .select(col("tok"), col("df"), col("cf"),
+          (col("pos") + 1).as("rank"),
+          col("col").getField("id").as("doc_id"),
+          col("col").getField("v").as("tf"))
+    }),
+
+    // ---- BM25 ranked retrieval (Robertson/Sparck Jones, k1=1.2,
+    // b=0.75) for a 3-term query over the same index shape: corpus
+    // stats are ONE 1-row broadcast, the term df dimension broadcasts,
+    // postings score map-only, and the bounded-heap TopK keeps 8 docs
+    // per term. Scores travel as BIGINT 1e-4 units (round-to-nearest)
+    // so heap order and the oracle's window replay agree exactly; ln
+    // enters under the same round()-pinned discipline as the PSI/JS
+    // drift oracles. Operand order in the score expression mirrors
+    // the oracle SQL token-for-token (double addition is
+    // non-associative).
+    "w_bm25" -> ((s, dir) => {
+      import graft.functions.TopK
+      val top8 = udaf(new TopK.TopKAgg(8))
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_dl"))
+      val tf = toks.filter(col("tok").isin("spark", "join", "window"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("avgdl",
+          col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        .withColumn("score_fp", round(
+          col("idf") * (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl").cast("double") / col("avgdl")))
+            * lit(10000), 0).cast("long"))
+        .groupBy("tok")
+        .agg(top8(col("score_fp"), col("doc_id")).as("__t"))
+        .select(col("tok"), posexplode(col("__t").getField("items")))
+        .select(col("tok"), (col("pos") + 1).as("rank"),
+          col("col").getField("id").as("doc_id"),
+          col("col").getField("v").as("score_fp"))
+    }),
+
     // ---- function/custom validators: AfterValidator transform, named
     // predicate (predicate_failed), pipeline in_ check (value_error) —
     // the reference's functional_validators.py surface, columnar
@@ -4681,6 +4773,116 @@ object SparkEntry {
         |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_texts,
         |  min(anchor) AS first_anchor
         |FROM a GROUP BY target""".stripMargin,
+
+    // HITS: the oracle replays the SAME three I-then-O fixed-point
+    // rounds in unrolled SQL over the same derived edge set — sums in
+    // HUGEINT, the L-infinity renormalize is `raw * 1e6 // max(raw)`
+    // (// is floor division, all values non-negative), so two
+    // independent engines land on bit-identical hub/authority scores
+    "w_hits" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 1
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+        |    FROM documents WHERE doc_id % 5 = 2
+        |  ) u WHERE src <> dst
+        |),
+        |h0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS hub
+        |       FROM documents),
+        |ar1 AS MATERIALIZED (SELECT e.dst AS node, SUM(h0.hub) AS m
+        |        FROM h0 JOIN e ON h0.node = e.src GROUP BY e.dst),
+        |a1 AS MATERIALIZED (SELECT d.doc_id AS node, CAST(COALESCE(ar1.m * 1000000
+        |         // NULLIF((SELECT MAX(m) FROM ar1), 0), 0) AS BIGINT)
+        |         AS auth
+        |       FROM documents d LEFT JOIN ar1 ON d.doc_id = ar1.node),
+        |hr1 AS MATERIALIZED (SELECT e.src AS node, SUM(a1.auth) AS m
+        |        FROM a1 JOIN e ON a1.node = e.dst GROUP BY e.src),
+        |h1 AS MATERIALIZED (SELECT d.doc_id AS node, CAST(COALESCE(hr1.m * 1000000
+        |         // NULLIF((SELECT MAX(m) FROM hr1), 0), 0) AS BIGINT)
+        |         AS hub
+        |       FROM documents d LEFT JOIN hr1 ON d.doc_id = hr1.node),
+        |ar2 AS MATERIALIZED (SELECT e.dst AS node, SUM(h1.hub) AS m
+        |        FROM h1 JOIN e ON h1.node = e.src GROUP BY e.dst),
+        |a2 AS MATERIALIZED (SELECT d.doc_id AS node, CAST(COALESCE(ar2.m * 1000000
+        |         // NULLIF((SELECT MAX(m) FROM ar2), 0), 0) AS BIGINT)
+        |         AS auth
+        |       FROM documents d LEFT JOIN ar2 ON d.doc_id = ar2.node),
+        |hr2 AS MATERIALIZED (SELECT e.src AS node, SUM(a2.auth) AS m
+        |        FROM a2 JOIN e ON a2.node = e.dst GROUP BY e.src),
+        |h2 AS MATERIALIZED (SELECT d.doc_id AS node, CAST(COALESCE(hr2.m * 1000000
+        |         // NULLIF((SELECT MAX(m) FROM hr2), 0), 0) AS BIGINT)
+        |         AS hub
+        |       FROM documents d LEFT JOIN hr2 ON d.doc_id = hr2.node),
+        |ar3 AS MATERIALIZED (SELECT e.dst AS node, SUM(h2.hub) AS m
+        |        FROM h2 JOIN e ON h2.node = e.src GROUP BY e.dst),
+        |a3 AS MATERIALIZED (SELECT d.doc_id AS node, CAST(COALESCE(ar3.m * 1000000
+        |         // NULLIF((SELECT MAX(m) FROM ar3), 0), 0) AS BIGINT)
+        |         AS auth
+        |       FROM documents d LEFT JOIN ar3 ON d.doc_id = ar3.node),
+        |hr3 AS MATERIALIZED (SELECT e.src AS node, SUM(a3.auth) AS m
+        |        FROM a3 JOIN e ON a3.node = e.dst GROUP BY e.src),
+        |h3 AS MATERIALIZED (SELECT d.doc_id AS node, CAST(COALESCE(hr3.m * 1000000
+        |         // NULLIF((SELECT MAX(m) FROM hr3), 0), 0) AS BIGINT)
+        |         AS hub
+        |       FROM documents d LEFT JOIN hr3 ON d.doc_id = hr3.node)
+        |SELECT a3.node, a3.auth, h3.hub
+        |FROM a3 JOIN h3 ON a3.node = h3.node""".stripMargin,
+
+    // inverted index: the oracle re-derives the postings with a window
+    // (tf DESC, doc_id ASC — the TopK heap's exact order) and keeps
+    // rank <= 3; df/cf re-aggregated independently
+    "w_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, doc_id, count(*) AS tf FROM tk
+        |       WHERE tok <> '' GROUP BY tok, doc_id),
+        |st AS (SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |       FROM tf GROUP BY tok),
+        |rk AS (SELECT tok, doc_id, tf, row_number() OVER (
+        |         PARTITION BY tok ORDER BY tf DESC, doc_id) AS rank
+        |       FROM tf)
+        |SELECT st.tok, st.df, st.cf, rk.rank, rk.doc_id, rk.tf
+        |FROM st JOIN rk ON st.tok = rk.tok WHERE rk.rank <= 3""".stripMargin,
+
+    // BM25: the oracle recomputes the scores with the IDENTICAL
+    // operand order (double addition/multiplication sequences match
+    // token-for-token; ln under the PSI-oracle discipline), pins them
+    // to BIGINT 1e-4 units with the same round-to-nearest, and replays
+    // the top-8 heap as a window
+    "w_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tk2 AS (SELECT * FROM tk WHERE tok <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk2 GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+        |       FROM dl),
+        |tf AS (SELECT tok, doc_id, count(*) AS tf FROM tk2
+        |       WHERE tok IN ('spark', 'join', 'window')
+        |       GROUP BY tok, doc_id),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT tf.tok, tf.doc_id, CAST(round(
+        |         ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |           * (tf.tf * 2.2)
+        |           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+        |               / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+        |           * 10000, 0) AS BIGINT) AS score_fp
+        |       FROM tf
+        |       JOIN dfq ON tf.tok = dfq.tok
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN st),
+        |rk AS (SELECT tok, doc_id, score_fp, row_number() OVER (
+        |         PARTITION BY tok ORDER BY score_fp DESC, doc_id) AS rank
+        |       FROM sc)
+        |SELECT tok, rank, doc_id, score_fp FROM rk
+        |WHERE rank <= 8""".stripMargin,
 
     // the engine DECODED the synthesized PPM pixels / WAV samples and
     // computed the 8-dim color-moment / waveform-statistics embedding

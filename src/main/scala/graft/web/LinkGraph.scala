@@ -115,4 +115,92 @@ object LinkGraph {
     base.groupBy("src_host", "dst_host")
       .agg(count(lit(1)).as("n_links"))
   }
+
+  /**
+   * HITS (Kleinberg 1999, "Authoritative sources in a hyperlinked
+   * environment") — the hubs-and-authorities companion of [[pageRank]]:
+   * authority(p) = Σ hub(q) over in-links q→p, hub(p) = Σ authority(q)
+   * over out-links p→q, renormalized each round. The classic
+   * topic-distillation quality signal: authorities are the pages worth
+   * keeping, hubs are the link-lists that found them.
+   *
+   * Same exactness discipline as [[pageRank]], one deliberate swap:
+   * Kleinberg's L2 normalization is replaced by L∞ (divide by the
+   * round's max, the standard power-iteration alternative) because a
+   * square root has no exact fixed-point form — with MAX the whole
+   * round is BIGINT compare + floor-div, so scores are bit-identical
+   * at any parallelism and the DuckDB oracle replays the same
+   * iterations as unrolled SQL. Scores land in [0, scale] with the
+   * round's argmax pinned at exactly `scale`.
+   *
+   * Plan per round (the pageRank loop body twice, transposed):
+   * scores ⋈ edges (co-hash-partitioned equi-join) → map-side-combined
+   * SUM by the other endpoint — in-degree skew dies in the combiner —
+   * then a 1-row MAX broadcast for the renormalize (the repo's
+   * 1-row-aggregate crossJoin shape, never a wide shuffle). Authorities
+   * update from the PREVIOUS hubs and hubs from the NEW authorities
+   * (Kleinberg's I-then-O operation order). `localCheckpoint` truncates
+   * lineage per round; pass `checkpointDir` for reliable checkpoints.
+   *
+   * Overflow bound: raw sums ≤ maxDeg·scale and the renormalize
+   * multiplies by scale again, so maxDeg·scale² must stay below 2^63
+   * — the BIGINT-units headroom trade of [[pageRank]] shifted toward
+   * degree instead of node count. Default scale=1e6 allows in/out
+   * degrees to 9.2e6; drop scale for denser hubs.
+   *
+   * @param edges (src: long, dst: long) — deduplicated internally,
+   *              self-loops dropped (a self-link endorsing itself is
+   *              the textbook HITS degenerate case)
+   * @param nodes (node: long) full vertex set; isolated nodes score 0
+   * @return (node: long, auth: long, hub: long) in units of 1/scale
+   */
+  def hits(edges: DataFrame, nodes: DataFrame, iterations: Int,
+      scale: Long = 1000000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && scale >= 1L)
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // two aliased views of the SAME persisted edge table (fresh
+    // attribute ids per direction): within one round `auth` — itself
+    // derived from the edges — joins the edges again, which Spark's
+    // ambiguous-self-join detection rejects on shared attributes
+    val eA = e.select(col("src").as("a_src"), col("dst").as("a_dst"))
+    val eH = e.select(col("src").as("h_src"), col("dst").as("h_dst"))
+    val nd = nodes.select(col("node").cast("long").as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // raw Σ → L∞ renormalize against the 1-row broadcast max; zero
+    // in-degree (resp. out-degree) everywhere → all scores 0, not null
+    def renorm(raw: DataFrame, outName: String): DataFrame = {
+      val mx = raw.agg(max(col("m")).as("mx"))
+      nd.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("node"), coalesce(
+          expr(s"(CAST(m AS DECIMAL(38,0)) * $scale) div nullif(mx, 0)"),
+          lit(0L)).as(outName))
+    }
+
+    var scores = nd.select(col("node"), lit(scale).as("hub"))
+      .withColumn("auth", lit(0L))
+    var i = 0
+    while (i < iterations) {
+      val aRaw = scores.join(eA, scores("node") === col("a_src"))
+        .groupBy(col("a_dst").as("node")).agg(sum("hub").as("m"))
+      val auth = renorm(aRaw, "auth")
+      val hRaw = auth.join(eH, auth("node") === col("h_dst"))
+        .groupBy(col("h_src").as("node")).agg(sum("auth").as("m"))
+      val next = renorm(hRaw, "hub").join(auth, Seq("node"))
+      scores =
+        if (checkpointDir.isDefined) next.checkpoint()
+        else next.localCheckpoint()
+      i += 1
+    }
+    e.unpersist(); nd.unpersist()
+    scores.select(col("node"), col("auth"), col("hub"))
+  }
 }

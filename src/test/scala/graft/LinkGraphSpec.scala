@@ -66,6 +66,72 @@ class LinkGraphSpec extends SparkTestBase {
     assert(r(0L) == T && r(1L) == T) // nothing points at 0 or 1
   }
 
+  private def hits(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("node")
+    LinkGraph.hits(e, n, iterations = iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("hits: one I-then-O round on a 3-node graph, by hand") {
+    // 0->1, 0->2, 1->2, 2->0; hubs start at 1e6, scale 1e6.
+    // a_raw = (1e6, 1e6, 2e6), max 2e6 -> auth (5e5, 5e5, 1e6)
+    // h_raw(0)=a1+a2=1.5e6, h_raw(1)=a2=1e6, h_raw(2)=a0=5e5; max 1.5e6
+    // -> hub (1e6, 666666, 333333) after the floor-div renormalize
+    val r = hits(Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)),
+      Seq(0L, 1L, 2L), iters = 1)
+    assert(r == Map(0L -> (500000L, 1000000L),
+      1L -> (500000L, 666666L), 2L -> (1000000L, 333333L)))
+  }
+
+  test("hits: second round keeps exact integer arithmetic") {
+    // from round 1: a_raw = (333333, 1e6, 1666666), max 1666666 ->
+    // auth (199999, 600000, 1000000) [floor: 333333e6/1666666 = 199999]
+    // h_raw = (1.6e6, 1e6, 199999), max 1.6e6 ->
+    // hub (1000000, 625000, 124999)
+    val r = hits(Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)),
+      Seq(0L, 1L, 2L), iters = 2)
+    assert(r == Map(0L -> (199999L, 1000000L),
+      1L -> (600000L, 625000L), 2L -> (1000000L, 124999L)))
+  }
+
+  test("hits: isolated node scores zero; self-loops and duplicate " +
+    "edges dropped; argmax pinned at exactly scale") {
+    val r = hits(Seq((0L, 0L), (0L, 1L), (0L, 1L), (1L, 0L)),
+      Seq(0L, 1L, 7L), iters = 3)
+    // effective 0<->1: symmetric, both renormalize to exactly scale
+    assert(r(0L) == (1000000L, 1000000L))
+    assert(r(1L) == (1000000L, 1000000L))
+    assert(r(7L) == (0L, 0L))
+  }
+
+  test("hits: edge-free graph yields all-zero scores, not nulls") {
+    val r = hits(Seq((5L, 5L)), Seq(3L, 5L), iters = 1)
+    assert(r == Map(3L -> (0L, 0L), 5L -> (0L, 0L)))
+  }
+
+  test("hits: bit-identical across parallelism (1 vs 32 partitions)") {
+    import spark.implicits._
+    val edges = (0L until 200L).flatMap { i =>
+      Seq((i, (i + 1) % 200L), (i, (i * 13 + 7) % 200L))
+    }
+    val nodes = (0L until 200L)
+    val one = LinkGraph.hits(
+      edges.toDF("src", "dst").repartition(1),
+      nodes.toDF("node").repartition(1), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val many = LinkGraph.hits(
+      edges.toDF("src", "dst").repartition(32),
+      nodes.toDF("node").repartition(32), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(one == many)
+  }
+
   test("hostGraph: weighted collapse, keepSelf toggle") {
     import spark.implicits._
     val links = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "a"))
