@@ -505,6 +505,15 @@ object SparkEntry {
     "t_tok_freq" -> ((s, dir) =>
       TextOps.tokenFreqStats(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- text: bigram-LM perplexity quality filter (the CCNet score,
+    // self-trained add-one bigram model) — per-distinct-bigram ln
+    // rounded ONCE to 1e-4 units, per-doc scores are then integer
+    // sums (associative, bit-identical); keep flag is an integer
+    // average-log-prob floor without division (BIGINT div truncates
+    // in Spark but floors in DuckDB on negatives)
+    "t_ppl" -> ((s, dir) =>
+      TextOps.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -2530,6 +2539,59 @@ object SparkEntry {
         .select(col("node"), col("auth"), col("hub"))
     }),
 
+    // ---- TrustRank (graft.web.LinkGraph.trustRank) over the SAME
+    // synthetic link graph as w_pagerank — the VLDB'04 anti-spam
+    // prior: teleport restricted to a trusted seed set (every 17th
+    // doc), trust flows along links, pages no trusted page reaches
+    // score exactly 0. Four fixed-point rounds in BIGINT units of
+    // 1e-10; the oracle replays them as unrolled SQL.
+    "w_trustrank" -> ((s, dir) => {
+      import graft.web.LinkGraph
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      val ring = docs.select(d.as("src"), pmod(d + 1, lit(n)).as("dst"))
+      val hubE = docs.filter(pmod(d, lit(3)) === 1)
+        .select(d.as("src"), lit(0L).as("dst"))
+      val jump = docs.filter(pmod(d, lit(5)) === 2)
+        .select(d.as("src"), pmod(d * 7 + 3, lit(n)).as("dst"))
+      val nodes = docs.select(d.as("node"))
+      val seeds = docs.filter(pmod(d, lit(17)) === 0).select(d.as("node"))
+      LinkGraph.trustRank(ring.union(hubE).union(jump), nodes, seeds,
+        iterations = 4)
+        .select(col("node"), col("trust"))
+    }),
+
+    // ---- canonical selection inside near-dup clusters — the decision
+    // step every dedup pipeline ends with: simhash near-dup pairs →
+    // connected components (transitive closure) → keep the LONGEST
+    // member per cluster (chars DESC, doc_id ASC tie-break; "keep the
+    // longest version" is the standard web-dedup rule — truncated
+    // mirrors lose to their originals). Singletons are their own
+    // canonical. One min(struct) per cluster — map-side combined,
+    // no window, no sort of the full table; the oracle replays with
+    // a recursive CTE + window.
+    "w_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, chunks = 4)
+      val comp = Dedup.connectedComponents(pairs)
+      val base = docs.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"))
+      val withComp = base.join(comp, base("doc_id") === comp("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"),
+          col("n_chars"))
+      val canon = withComp.groupBy("component")
+        .agg(min(struct((-col("n_chars")).as("neg"),
+          col("doc_id").as("d"))).as("m"))
+        .select(col("component"), col("m.d").as("canonical_id"))
+      withComp.join(canon, "component")
+        .select(col("doc_id"), col("component"), col("n_chars"),
+          col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("keep"))
+    }),
+
     // ---- inverted-index construction (the search artifact a crawl
     // feeds): per-term document frequency, collection frequency, and
     // the top-3 postings by term frequency via the bounded-heap TopK
@@ -3673,6 +3735,36 @@ object SparkEntry {
         |    AS distinct_frac
         |FROM toks JOIN freq USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // bigram-LM scoring: the oracle re-derives bigrams positionally
+    // (1-based list slicing), recomputes the smoothed model with the
+    // IDENTICAL operand order ((c2 + 1.0) / (c1 + CAST(v AS DOUBLE))),
+    // pins each distinct bigram's ln to 1e-4 units with the same
+    // round-half-away, and replays the integer per-doc sums
+    "t_ppl" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        |  FROM documents),
+        |bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+        |       FROM d, UNNEST(generate_series(1, len(arr) - 1)) AS t(i)
+        |       WHERE len(arr) >= 2),
+        |bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bgc
+        |        GROUP BY w1),
+        |vt AS (SELECT count(DISTINCT tok) AS v FROM (
+        |         SELECT unnest(string_split(text, ' ')) AS tok
+        |         FROM documents) WHERE tok <> ''),
+        |lp AS (SELECT b.w1, b.w2, CAST(round(
+        |         ln((b.c2 + 1.0) / (c.c1 + CAST(v.v AS DOUBLE)))
+        |           * 10000, 0) AS BIGINT) AS lp_fp
+        |       FROM bgc b JOIN c1t c ON b.w1 = c.w1 CROSS JOIN vt v),
+        |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(lp.lp_fp) AS BIGINT) AS sum_lp_fp
+        |       FROM bg JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2
+        |       GROUP BY bg.doc_id)
+        |SELECT doc_id, n_bigrams, sum_lp_fp,
+        |  sum_lp_fp >= -90000 * n_bigrams AS keep
+        |FROM sc""".stripMargin,
 
     "t_pii" -> {
       s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)
@@ -4833,6 +4925,95 @@ object SparkEntry {
         |       FROM documents d LEFT JOIN hr3 ON d.doc_id = hr3.node)
         |SELECT a3.node, a3.auth, h3.hub
         |FROM a3 JOIN h3 ON a3.node = h3.node""".stripMargin,
+
+    // TrustRank: the oracle replays the same four seeded fixed-point
+    // rounds as unrolled SQL — seed teleport 15% of 1e10, damped sum
+    // in exact integer floor arithmetic, identical to the w_pagerank
+    // discipline with the teleport vector restricted to the seeds
+    "w_trustrank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 1
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+        |    FROM documents WHERE doc_id % 5 = 2
+        |  ) u WHERE src <> dst
+        |),
+        |outd AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+        |ed AS MATERIALIZED (SELECT e0.src, e0.dst, outd.outdeg
+        |       FROM e0 JOIN outd USING (src)),
+        |n0 AS MATERIALIZED (SELECT d.doc_id AS node,
+        |         CASE WHEN d.doc_id % 17 = 0
+        |           THEN CAST(1500000000 AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END AS tele
+        |       FROM documents d),
+        |r0 AS (SELECT node, CASE WHEN tele > 0
+        |         THEN CAST(10000000000 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS trust FROM n0),
+        |s1 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r0.trust // ed.outdeg) AS BIGINT) AS m
+        |       FROM r0 JOIN ed ON r0.node = ed.src GROUP BY ed.dst),
+        |r1 AS (SELECT n0.node,
+        |         CAST(n0.tele + (85 * COALESCE(s1.m, 0)) // 100
+        |           AS BIGINT) AS trust
+        |       FROM n0 LEFT JOIN s1 ON n0.node = s1.node),
+        |s2 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r1.trust // ed.outdeg) AS BIGINT) AS m
+        |       FROM r1 JOIN ed ON r1.node = ed.src GROUP BY ed.dst),
+        |r2 AS (SELECT n0.node,
+        |         CAST(n0.tele + (85 * COALESCE(s2.m, 0)) // 100
+        |           AS BIGINT) AS trust
+        |       FROM n0 LEFT JOIN s2 ON n0.node = s2.node),
+        |s3 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r2.trust // ed.outdeg) AS BIGINT) AS m
+        |       FROM r2 JOIN ed ON r2.node = ed.src GROUP BY ed.dst),
+        |r3 AS (SELECT n0.node,
+        |         CAST(n0.tele + (85 * COALESCE(s3.m, 0)) // 100
+        |           AS BIGINT) AS trust
+        |       FROM n0 LEFT JOIN s3 ON n0.node = s3.node),
+        |s4 AS (SELECT ed.dst AS node,
+        |         CAST(SUM(r3.trust // ed.outdeg) AS BIGINT) AS m
+        |       FROM r3 JOIN ed ON r3.node = ed.src GROUP BY ed.dst),
+        |r4 AS (SELECT n0.node,
+        |         CAST(n0.tele + (85 * COALESCE(s4.m, 0)) // 100
+        |           AS BIGINT) AS trust
+        |       FROM n0 LEFT JOIN s4 ON n0.node = s4.node)
+        |SELECT node, trust FROM r4""".stripMargin,
+
+    // canonical selection: recursive-CTE components (the d_components
+    // oracle) + an independent window replay of the keep-longest rule
+    "w_canonical" ->
+      s"""WITH RECURSIVE $simhashCteSql,
+         |p AS (SELECT a.doc_id id_a, b.doc_id id_b FROM sig a JOIN sig b
+         |      ON a.doc_id < b.doc_id
+         |      WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |e AS (SELECT id_a a, id_b b FROM p
+         |      UNION SELECT id_b, id_a FROM p),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.b, reach.r FROM e JOIN reach ON e.a = reach.id
+         |),
+         |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS component
+         |         FROM reach GROUP BY id),
+         |wc AS (SELECT d.doc_id,
+         |         COALESCE(c.component, d.doc_id) AS component,
+         |         CAST(length(d.text) AS BIGINT) AS n_chars
+         |       FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |cn AS (SELECT component, doc_id AS canonical_id FROM (
+         |         SELECT component, doc_id, row_number() OVER (
+         |           PARTITION BY component
+         |           ORDER BY n_chars DESC, doc_id) AS rn FROM wc)
+         |       WHERE rn = 1)
+         |SELECT wc.doc_id, wc.component, wc.n_chars, cn.canonical_id,
+         |  wc.doc_id = cn.canonical_id AS keep
+         |FROM wc JOIN cn USING (component)""".stripMargin,
 
     // inverted index: the oracle re-derives the postings with a window
     // (tf DESC, doc_id ASC — the TopK heap's exact order) and keeps

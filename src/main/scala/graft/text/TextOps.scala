@@ -372,4 +372,67 @@ object TextOps {
         (col("n_distinct").cast("double") / col("n_tokens").cast("double"))
           .as("distinct_frac"))
   }
+
+  /**
+   * Bigram language-model log-likelihood scoring — the CCNet-style
+   * perplexity quality filter (Wenzek et al. 2020 score Common-Crawl
+   * text with a KenLM model; here the model is trained ON the corpus
+   * itself in the same job, which is the self-perplexity variant used
+   * for in-corpus outlier detection). Add-one-smoothed bigram
+   * probabilities: lp(w1,w2) = ln((c(w1,w2)+1)/(c(w1·)+V)) with
+   * c(w1·) the bigram-prefix count and V the distinct-token count.
+   *
+   * Exactness discipline: each DISTINCT bigram's log-prob is rounded
+   * ONCE to BIGINT units of 1/scaleFp (round-half-away, the BM25/PSI
+   * ln discipline — two engines' libm agree on the double, the
+   * rounding pins the last ulp), and per-document scores are then
+   * INTEGER sums of those units — associative, bit-identical at any
+   * parallelism, independently replayable. No float ever crosses an
+   * aggregation. The keep flag compares integers:
+   * `sum_lp_fp >= thresholdFp · n_bigrams` (an average-log-prob floor
+   * without the division — BIGINT `div` truncates toward zero in
+   * Spark but floors in DuckDB, so the division form would flap on
+   * negative scores).
+   *
+   * Shape at scale: one explode (map-only bigram emit), the count
+   * aggregation (map-side combined; stop-bigram skew dies in the
+   * combiner), the model join back on the bigram key (hash
+   * co-partitioned equi-join — the model table is corpus-sized, NOT
+   * broadcast), V as a 1-row broadcast, and the per-doc rollup.
+   * Documents with fewer than two tokens have no bigrams and are
+   * absent from the result (callers union them back as keep=false if
+   * the gate should drop empties).
+   *
+   * @return (id, n_bigrams, sum_lp_fp, keep)
+   */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, scaleFp: Long = 10000L,
+      thresholdFpPerBigram: Long = -90000L)
+  : org.apache.spark.sql.DataFrame = {
+    val arr = filter(split(col(textCol), " "), x => x =!= "")
+    val toks = df.select(col(idCol), arr.as("__arr"))
+    val bg = toks.filter(size(col("__arr")) >= 2)
+      .withColumn("__a1", slice(col("__arr"), lit(1), size(col("__arr")) - 1))
+      .withColumn("__a2", slice(col("__arr"), lit(2), size(col("__arr")) - 1))
+      .select(col(idCol),
+        explode(arrays_zip(col("__a1"), col("__a2"))).as("__z"))
+      .select(col(idCol), col("__z.__a1").as("__w1"),
+        col("__z.__a2").as("__w2"))
+    val bgc = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val c1t = bgc.groupBy("__w1").agg(sum("__c2").as("__c1"))
+    val vt = df.select(explode(filter(split(col(textCol), " "),
+      x => x =!= "")).as("__tok"))
+      .agg(countDistinct(col("__tok")).as("__v"))
+    val lp = bgc.join(c1t, "__w1").crossJoin(broadcast(vt))
+      .select(col("__w1"), col("__w2"),
+        round(log((col("__c2") + lit(1.0)) /
+          (col("__c1") + col("__v").cast("double"))) * lit(scaleFp), 0)
+          .cast("long").as("__lp_fp"))
+    bg.join(lp, Seq("__w1", "__w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("__lp_fp").as("sum_lp_fp"))
+      .select(col(idCol), col("n_bigrams"), col("sum_lp_fp"),
+        (col("sum_lp_fp") >= lit(thresholdFpPerBigram) * col("n_bigrams"))
+          .as("keep"))
+  }
 }

@@ -203,4 +203,78 @@ object LinkGraph {
     e.unpersist(); nd.unpersist()
     scores.select(col("node"), col("auth"), col("hub"))
   }
+
+  /**
+   * TrustRank (Gyöngyi, Garcia-Molina, Pedersen, "Combating web spam
+   * with TrustRank", VLDB 2004) — biased PageRank whose teleport
+   * vector is restricted to a hand-vetted TRUSTED SEED set, so trust
+   * flows out along links and spam farms (which good pages rarely
+   * link to) starve. The standard anti-spam prior a crawl-scale
+   * corpus applies before rank-weighted sampling; `pagerank - trust`
+   * gaps flag spam mass.
+   *
+   * Identical loop body, partitioning, skew story, and lineage
+   * handling as [[pageRank]] — the ONLY differences are the teleport
+   * term (seeds get `(100-d)%·scale`, everyone else 0) and the
+   * initial vector (seeds at `scale`, everyone else 0, the paper's
+   * normalized seed distribution in per-node units). Scores stay
+   * BIGINT units of 1/scale: exact, associative, bit-identical at any
+   * parallelism, replayable by the oracle's unrolled SQL. The seed
+   * flag is joined ONCE onto the node table before the loop (a
+   * broadcast-sized dimension in practice — seed lists are curated by
+   * humans and small by definition).
+   *
+   * Same overflow bound as [[pageRank]] (n·scale·100 < 2^63); in
+   * practice tighter because total trust mass ≤ |seeds|·scale.
+   *
+   * @param edges (src: long, dst: long) — deduplicated, self-loops
+   *              dropped (a spam page voting for itself)
+   * @param nodes (node: long) full vertex set
+   * @param seeds (node: long) the trusted subset; rows not in `nodes`
+   *              are ignored by construction of the left join
+   * @return (node: long, trust: long) in units of 1/scale; pages
+   *         unreachable from the seed set score exactly 0
+   */
+  def trustRank(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = 10000000000L, dampingPct: Int = 85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    val teleportFp = (100L - dampingPct) * scale / 100L
+
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(out, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node table carries its seed teleport so the loop never re-joins
+    val sd = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("tele", lit(teleportFp))
+    val nd = nodes.select(col("node").cast("long").as("node"))
+      .join(sd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tele"), lit(0L)).as("tele"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nd.select(col("node"),
+      when(col("tele") > 0L, lit(scale)).otherwise(lit(0L)).as("trust"))
+    var i = 0
+    while (i < iterations) {
+      val recv = ranks.join(ed, ranks("node") === ed("src"))
+        .select(ed("dst").as("node"),
+          expr("trust div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("m"))
+      val next = nd.join(recv, Seq("node"), "left")
+        .select(col("node"),
+          (col("tele") +
+            expr(s"($dampingPct * coalesce(m, 0L)) div 100")).as("trust"))
+      ranks =
+        if (checkpointDir.isDefined) next.checkpoint()
+        else next.localCheckpoint()
+      i += 1
+    }
+    ed.unpersist(); nd.unpersist()
+    ranks
+  }
 }

@@ -199,4 +199,36 @@ class ExtrasSpec extends SparkTestBase {
     assert(out(1) == ((2L, 5L, 17.0 / 5, 2.0 / 5, 3.0 / 5)))
     assert(out(2) == ((3L, 1L, 2.0, 0.0, 1.0)))
   }
+
+  test("bigramLogProb: add-one bigram model, fixed-point units, by hand") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "a b a b"), // bigrams (a,b) x2, (b,a) x1
+      (2L, "a b"),     // bigram (a,b)
+      (3L, "c")        // no bigrams: absent from the result
+    ).toDF("doc_id", "text")
+    // corpus model: c2(a,b) = 2+1 = 3, c2(b,a) = 1; prefix counts
+    // c1(a)=3, c1(b)=1; V = |{a,b,c}| = 3.
+    // lp(a,b) = round(ln(4/6)  * 1e4) = round(-4054.65) = -4055
+    // lp(b,a) = round(ln(2/4)  * 1e4) = round(-6931.47) = -6931
+    val out = TextOps.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.length == 2) // doc 3 has no bigrams
+    assert(out(0) == ((1L, 3L, 2L * -4055L + -6931L, true))) // -15041
+    assert(out(1) == ((2L, 1L, -4055L, true)))
+  }
+
+  test("bigramLogProb: integer average-log-prob floor (no division)") {
+    import graft.text.TextOps
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    // threshold -4500/bigram: doc 1 sum -15041 < 3*-4500 = -13500 ->
+    // dropped; doc 2 -4055 >= -4500 -> kept
+    val out = TextOps.bigramLogProb(df, "doc_id", "text",
+      thresholdFpPerBigram = -4500L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(!out(0)._4 && out(1)._4)
+  }
 }

@@ -132,6 +132,63 @@ class LinkGraphSpec extends SparkTestBase {
     assert(one == many)
   }
 
+  private def trust(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      seeds: Seq[Long], iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    LinkGraph.trustRank(edges.toDF("src", "dst"), nodes.toDF("node"),
+      seeds.toDF("node"), iterations = iters, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("trustRank: one round on a 3-node graph, by hand") {
+    // 0->1, 0->2, 1->2, 2->0; seed {0}; scale 1e6, damping 85.
+    // init (1e6, 0, 0); contributions 0: 5e5 to each of 1,2.
+    // next: 0 = 150000 (seed teleport only), 1 = 2 = 85*5e5//100
+    val r = trust(Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)),
+      Seq(0L, 1L, 2L), Seq(0L), iters = 1)
+    assert(r == Map(0L -> 150000L, 1L -> 425000L, 2L -> 425000L))
+  }
+
+  test("trustRank: second round keeps exact integer arithmetic") {
+    // contributions: 0: 75000 each; 1: 425000 -> 2; 2: 425000 -> 0
+    // 0 = 150000 + 85*425000//100 = 511250; 1 = 85*75000//100 = 63750;
+    // 2 = 85*(75000+425000)//100 = 425000
+    val r = trust(Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L)),
+      Seq(0L, 1L, 2L), Seq(0L), iters = 2)
+    assert(r == Map(0L -> 511250L, 1L -> 63750L, 2L -> 425000L))
+  }
+
+  test("trustRank: pages unreachable from the seed set score exactly 0; " +
+    "an isolated seed keeps exactly its teleport") {
+    // component {0,1} seeded, component {2,3} not; 7 isolated seed
+    val r = trust(Seq((0L, 1L), (1L, 0L), (2L, 3L), (3L, 2L)),
+      Seq(0L, 1L, 2L, 3L, 7L), Seq(0L, 7L), iters = 3)
+    assert(r(2L) == 0L && r(3L) == 0L)
+    assert(r(7L) == 150000L) // teleport only, every round
+    assert(r(0L) > 0L && r(1L) > 0L)
+  }
+
+  test("trustRank: seeds not in the node set are ignored") {
+    val r = trust(Seq((0L, 1L)), Seq(0L, 1L), Seq(99L), iters = 2)
+    assert(r == Map(0L -> 0L, 1L -> 0L)) // no effective seed: all zero
+  }
+
+  test("trustRank: bit-identical across parallelism (1 vs 32 partitions)") {
+    import spark.implicits._
+    val edges = (0L until 200L).flatMap { i =>
+      Seq((i, (i + 1) % 200L), (i, (i * 13 + 7) % 200L))
+    }
+    val nodes = (0L until 200L)
+    val seeds = (0L until 200L by 17)
+    def run(p: Int) = LinkGraph.trustRank(
+      edges.toDF("src", "dst").repartition(p),
+      nodes.toDF("node").repartition(p),
+      seeds.toDF("node").repartition(p),
+      iterations = 3, scale = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(32))
+  }
+
   test("hostGraph: weighted collapse, keepSelf toggle") {
     import spark.implicits._
     val links = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "a"))
