@@ -514,6 +514,13 @@ object SparkEntry {
     "t_ppl" -> ((s, dir) =>
       TextOps.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    // ---- text: duplicated-span detection (Lee et al. 2021 substring
+    // dedup, rolling 20-token-window form) — spans repeated across >= 2
+    // distinct docs, one explode + ONE map-side-combined agg on the
+    // 60-bit span hash; representative (doc,pos) via min(struct)
+    "t_dup_spans" -> ((s, dir) =>
+      TextOps.dupSpans(t(s, dir, "documents"), "doc_id", "text", w = 20)),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -3765,6 +3772,33 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, sum_lp_fp,
         |  sum_lp_fp >= -90000 * n_bigrams AS keep
         |FROM sc""".stripMargin,
+
+    // duplicated spans: the oracle re-derives every 20-token window
+    // positionally (1-based list slicing), replays the md5-60bit span
+    // hash verbatim, and picks the representative with a window
+    "t_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        |  FROM documents),
+        |sp AS (SELECT doc_id, i AS p,
+        |         array_to_string(arr[i : i + 19], ' ') AS span
+        |       FROM d, UNNEST(generate_series(1, len(arr) - 19)) AS t(i)
+        |       WHERE len(arr) >= 20),
+        |hh AS (SELECT doc_id, p,
+        |         CAST(concat('0x', substr(md5(span), 1, 15)) AS BIGINT)
+        |           AS h
+        |       FROM sp),
+        |agg AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |          count(*) AS n_occ
+        |        FROM hh GROUP BY h),
+        |rep AS (SELECT h, doc_id AS first_doc, CAST(p AS BIGINT)
+        |          AS first_pos
+        |        FROM (SELECT h, doc_id, p, row_number() OVER (
+        |                PARTITION BY h ORDER BY doc_id, p) AS rn FROM hh)
+        |        WHERE rn = 1)
+        |SELECT agg.h AS span_hash, agg.n_docs, agg.n_occ,
+        |  rep.first_doc, rep.first_pos
+        |FROM agg JOIN rep USING (h) WHERE agg.n_docs >= 2""".stripMargin,
 
     "t_pii" -> {
       s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)

@@ -435,4 +435,52 @@ object TextOps {
         (col("sum_lp_fp") >= lit(thresholdFpPerBigram) * col("n_bigrams"))
           .as("keep"))
   }
+
+  /**
+   * Duplicated-span detection — the span-level companion of document
+   * dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+   * Language Models Better", find EXACT substrings repeated across a
+   * corpus; their suffix-array pass becomes a rolling fixed-width
+   * token-window hash here, the distributed-friendly form). Every
+   * w-token window (stride 1) is hashed; a span that occurs in ≥2
+   * DISTINCT documents is reported with its occurrence counts and
+   * its lexicographically-first (doc, position) representative — the
+   * rows a span-removal pass consumes.
+   *
+   * Shape at scale: one explode (n_tokens rows per doc — the same
+   * amplification the Jaccard shingler already pays), then ONE
+   * map-side-combined aggregation keyed by the 60-bit span hash;
+   * boilerplate mega-spans concentrate on one key the same way
+   * stop-shingles do — the n_docs≥2 output filter runs after the
+   * combiner, so the hot key costs one reducer row, not a blowup.
+   * The window string is materialized per position (w× bytes); a
+   * production pass at 100 TB would swap in the rolling Rabin hash
+   * of [[fingerprint]] — the aggregation shape is identical, the
+   * md5 form is what the oracle can replay verbatim.
+   *
+   * @param w window width in tokens; documents shorter than w emit
+   *          nothing
+   * @return (span_hash, n_docs, n_occ, first_doc, first_pos) —
+   *         first_pos is 1-based
+   */
+  def dupSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 20)
+  : org.apache.spark.sql.DataFrame = {
+    require(w >= 1)
+    val arr = filter(split(col(textCol), " "), x => x =!= "")
+    val spans = df.select(col(idCol), arr.as("__arr"))
+      .filter(size(col("__arr")) >= w)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("__arr")) - (w - 1)),
+        i => array_join(slice(col("__arr"), i, lit(w)), " "))))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("__p"),
+        hash60(col("col")).as("__h"))
+    spans.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(struct(col(idCol).as("d"), col("__p").as("p"))).as("__m"))
+      .filter(col("n_docs") >= 2)
+      .select(col("__h").as("span_hash"), col("n_docs"), col("n_occ"),
+        col("__m.d").as("first_doc"), col("__m.p").as("first_pos"))
+  }
 }

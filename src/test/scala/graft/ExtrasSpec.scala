@@ -231,4 +231,27 @@ class ExtrasSpec extends SparkTestBase {
       .as[(Long, Long, Long, Boolean)].collect()
     assert(!out(0)._4 && out(1)._4)
   }
+
+  test("dupSpans: cross-doc spans only, counts, 1-based representative") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "x q r s y"),   // span (q r s) at pos 2
+      (2L, "q r s q r s"), // (q r s) at 1 and 4; (r s q), (s q r) once
+      (3L, "a b c"),       // unique span
+      (4L, "zz")           // shorter than w: emits nothing
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupSpans(df, "doc_id", "text", w = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // only "q r s" crosses documents: docs {1,2}, 3 occurrences,
+    // representative = (doc 1, pos 2)
+    assert(out.length == 1)
+    assert((out(0)._2, out(0)._3, out(0)._4, out(0)._5) == ((2L, 3L, 1L, 2L)))
+  }
+
+  test("dupSpans: same-doc repetition alone is not a cross-doc dup") {
+    import graft.text.TextOps
+    val df = Seq((1L, "u v u v u v")).toDF("doc_id", "text")
+    // (u v u) and (v u v) each occur twice, but within ONE doc
+    assert(TextOps.dupSpans(df, "doc_id", "text", w = 3).count() == 0L)
+  }
 }
