@@ -2569,6 +2569,27 @@ object SparkEntry {
         .select(col("node"), col("trust"))
     }),
 
+    // ---- label-propagation community detection (LinkGraph.labelProp)
+    // over the SAME synthetic link graph — the deterministic
+    // synchronous LPA variant (neighbor majority, min-label ties),
+    // three rounds, all-integer; communities = shared labels. The
+    // oracle replays the rounds as unrolled SQL windows.
+    "w_labelprop" -> ((s, dir) => {
+      import graft.web.LinkGraph
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      val ring = docs.select(d.as("src"), pmod(d + 1, lit(n)).as("dst"))
+      val hubE = docs.filter(pmod(d, lit(3)) === 1)
+        .select(d.as("src"), lit(0L).as("dst"))
+      val jump = docs.filter(pmod(d, lit(5)) === 2)
+        .select(d.as("src"), pmod(d * 7 + 3, lit(n)).as("dst"))
+      val nodes = docs.select(d.as("node"))
+      LinkGraph.labelProp(ring.union(hubE).union(jump), nodes,
+        iterations = 3)
+        .select(col("node"), col("label"))
+    }),
+
     // ---- canonical selection inside near-dup clusters — the decision
     // step every dedup pipeline ends with: simhash near-dup pairs →
     // connected components (transitive closure) → keep the LONGEST
@@ -5018,6 +5039,58 @@ object SparkEntry {
         |           AS BIGINT) AS trust
         |       FROM n0 LEFT JOIN s4 ON n0.node = s4.node)
         |SELECT node, trust FROM r4""".stripMargin,
+
+    // LPA: the oracle symmetrizes the same edge set and replays the
+    // three synchronous rounds with count/window argmax (c DESC,
+    // label ASC — the engine's min(struct(-c, label)) order)
+    "w_labelprop" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 1
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+        |    FROM documents WHERE doc_id % 5 = 2
+        |  ) u WHERE src <> dst
+        |),
+        |eu AS MATERIALIZED (
+        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+        |c1 AS (SELECT e.dst AS node, l0.label, count(*) AS c
+        |       FROM l0 JOIN eu e ON l0.node = e.src
+        |       GROUP BY e.dst, l0.label),
+        |p1 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |l1 AS (SELECT d.doc_id AS node,
+        |         COALESCE(p1.label, d.doc_id) AS label
+        |       FROM documents d LEFT JOIN p1 ON d.doc_id = p1.node),
+        |c2 AS (SELECT e.dst AS node, l1.label, count(*) AS c
+        |       FROM l1 JOIN eu e ON l1.node = e.src
+        |       GROUP BY e.dst, l1.label),
+        |p2 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |l2 AS (SELECT d.doc_id AS node,
+        |         COALESCE(p2.label, d.doc_id) AS label
+        |       FROM documents d LEFT JOIN p2 ON d.doc_id = p2.node),
+        |c3 AS (SELECT e.dst AS node, l2.label, count(*) AS c
+        |       FROM l2 JOIN eu e ON l2.node = e.src
+        |       GROUP BY e.dst, l2.label),
+        |p3 AS (SELECT node, label FROM (
+        |         SELECT node, label, row_number() OVER (
+        |           PARTITION BY node ORDER BY c DESC, label) AS rn
+        |         FROM c3) WHERE rn = 1),
+        |l3 AS (SELECT d.doc_id AS node,
+        |         COALESCE(p3.label, d.doc_id) AS label
+        |       FROM documents d LEFT JOIN p3 ON d.doc_id = p3.node)
+        |SELECT node, label FROM l3""".stripMargin,
 
     // canonical selection: recursive-CTE components (the d_components
     // oracle) + an independent window replay of the keep-longest rule

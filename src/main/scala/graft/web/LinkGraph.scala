@@ -277,4 +277,72 @@ object LinkGraph {
     ed.unpersist(); nd.unpersist()
     ranks
   }
+
+  /**
+   * Label-propagation community detection (Raghavan/Albert/Kumara
+   * 2007, "Near linear time algorithm to detect community structures
+   * in large-scale networks") — the cheap community signal a host
+   * graph yields (site families, link farms, mirror clusters) where
+   * connected components are too coarse (one giant component) and
+   * modularity methods too expensive at 10^11 edges.
+   *
+   * DETERMINISTIC synchronous variant: the paper breaks ties
+   * uniformly at random and updates asynchronously in random order —
+   * neither is reproducible across partitionings, so here every node
+   * simultaneously adopts the most frequent label among its
+   * NEIGHBORS, ties to the SMALLEST label, isolated nodes keep their
+   * own id. All-integer: bit-identical at any parallelism, oracle
+   * replays rounds as unrolled SQL windows. The classic synchronous
+   * caveat is inherited and documented: 2-colorable subgraphs can
+   * oscillate (a lone edge swaps labels forever), so callers pick a
+   * fixed round count — the same fixed-round discipline as
+   * [[pageRank]] — rather than a convergence test.
+   *
+   * Per round: labels ⋈ undirected edges (co-partitioned equi-join) →
+   * (node, label) count with map-side combine — mega-hub fan-in
+   * collapses in the combiner — → per-node argmax via ONE
+   * min(struct(-count, label)) hash aggregate (no window, no sort of
+   * the neighbor table). Lineage truncated per round.
+   *
+   * @param edges (src, dst) — symmetrized + deduplicated internally,
+   *              self-loops dropped
+   * @param nodes (node) full vertex set
+   * @return (node: long, label: long) — nodes sharing a label after
+   *         `iterations` rounds form one community
+   */
+  def labelProp(edges: DataFrame, nodes: DataFrame, iterations: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iterations >= 1)
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = nodes.select(col("node").cast("long").as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var lab = nd.withColumn("label", col("node"))
+    var i = 0
+    while (i < iterations) {
+      val cnt = lab.join(und, lab("node") === und("src"))
+        .groupBy(und("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = cnt.groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("node"), col("m.l").as("nl"))
+      val next = nd.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("node")).as("label"))
+      lab =
+        if (checkpointDir.isDefined) next.checkpoint()
+        else next.localCheckpoint()
+      i += 1
+    }
+    und.unpersist(); nd.unpersist()
+    lab
+  }
 }

@@ -189,6 +189,53 @@ class LinkGraphSpec extends SparkTestBase {
     assert(run(1) == run(32))
   }
 
+  private def lpa(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    import spark.implicits._
+    LinkGraph.labelProp(edges.toDF("src", "dst"), nodes.toDF("node"),
+      iterations = iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelProp: one round — neighbor majority, min-label ties, " +
+    "isolated keeps own id") {
+    // triangle 1-2-3 plus edge 4-5, isolated 9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+    val r = lpa(e, Seq(1L, 2L, 3L, 4L, 5L, 9L), iters = 1)
+    // 1 sees {2,3} tie -> 2; 2 sees {1,3} -> 1; 3 sees {1,2} -> 1
+    assert(r == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L,
+      9L -> 9L))
+  }
+
+  test("labelProp: round 2 converges the triangle; the lone edge " +
+    "oscillates (documented synchronous caveat)") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+    val r = lpa(e, Seq(1L, 2L, 3L, 4L, 5L, 9L), iters = 2)
+    // 1 sees labels {1,1} -> 1; 2 sees {2,1} -> 1; 3 sees {2,1} -> 1
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      9L -> 9L))
+  }
+
+  test("labelProp: symmetrization — a directed edge propagates both " +
+    "ways; duplicates and self-loops dropped") {
+    val r = lpa(Seq((7L, 3L), (7L, 3L), (7L, 7L)), Seq(3L, 7L), iters = 2)
+    // und edges 7<->3: round1 swap (7->3, 3->7); round2 swap back
+    assert(r == Map(3L -> 3L, 7L -> 7L))
+  }
+
+  test("labelProp: bit-identical across parallelism (1 vs 32 partitions)") {
+    import spark.implicits._
+    val edges = (0L until 200L).flatMap { i =>
+      Seq((i, (i + 1) % 200L), (i, (i * 13 + 7) % 200L))
+    }
+    val nodes = (0L until 200L)
+    def run(p: Int) = LinkGraph.labelProp(
+      edges.toDF("src", "dst").repartition(p),
+      nodes.toDF("node").repartition(p), iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(32))
+  }
+
   test("hostGraph: weighted collapse, keepSelf toggle") {
     import spark.implicits._
     val links = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "a"))
