@@ -2590,6 +2590,27 @@ object SparkEntry {
         .select(col("node"), col("label"))
     }),
 
+    // ---- per-node triangle counts (LinkGraph.triangles) over the
+    // SAME synthetic link graph — degree-ordered node-iterator++
+    // (Suri/Vassilvitskii WWW'11): wedges enumerate only at each
+    // triangle's lowest-(degree,id) corner, so hub out-degree is
+    // O(sqrt(m)) and the count stays exact. The oracle replays the
+    // orientation and both joins in SQL.
+    "w_triangles" -> ((s, dir) => {
+      import graft.web.LinkGraph
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val d = col("doc_id")
+      val ring = docs.select(d.as("src"), pmod(d + 1, lit(n)).as("dst"))
+      val hubE = docs.filter(pmod(d, lit(3)) === 1)
+        .select(d.as("src"), lit(0L).as("dst"))
+      val jump = docs.filter(pmod(d, lit(5)) === 2)
+        .select(d.as("src"), pmod(d * 7 + 3, lit(n)).as("dst"))
+      val nodes = docs.select(d.as("node"))
+      LinkGraph.triangles(ring.union(hubE).union(jump), nodes)
+        .select(col("node"), col("degree"), col("n_tri"))
+    }),
+
     // ---- canonical selection inside near-dup clusters — the decision
     // step every dedup pipeline ends with: simhash near-dup pairs →
     // connected components (transitive closure) → keep the LONGEST
@@ -5091,6 +5112,58 @@ object SparkEntry {
         |         COALESCE(p3.label, d.doc_id) AS label
         |       FROM documents d LEFT JOIN p3 ON d.doc_id = p3.node)
         |SELECT node, label FROM l3""".stripMargin,
+
+    // triangles: the oracle canonicalizes, orients by (degree, id),
+    // and replays wedge + closure joins; per-node counts by exploding
+    // each triangle to its three corners
+    "w_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT src, dst FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+        |    WHERE doc_id % 3 = 1
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+        |    FROM documents WHERE doc_id % 5 = 2
+        |  ) u WHERE src <> dst
+        |),
+        |ec AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM raw),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT a AS node FROM ec UNION ALL SELECT b FROM ec)
+        |  GROUP BY node),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN da.degree < db.degree
+        |           OR (da.degree = db.degree AND ec.a < ec.b)
+        |         THEN ec.a ELSE ec.b END AS u,
+        |         CASE WHEN da.degree < db.degree
+        |           OR (da.degree = db.degree AND ec.a < ec.b)
+        |         THEN ec.b ELSE ec.a END AS v,
+        |         CASE WHEN da.degree < db.degree
+        |           OR (da.degree = db.degree AND ec.a < ec.b)
+        |         THEN db.degree ELSE da.degree END AS dv
+        |  FROM ec
+        |  JOIN deg da ON ec.a = da.node
+        |  JOIN deg db ON ec.b = db.node),
+        |tri AS (SELECT o1.u, o1.v AS v1, o2.v AS v2
+        |        FROM o o1 JOIN o o2 ON o1.u = o2.u
+        |          AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        |        JOIN o oe ON oe.u = o1.v AND oe.v = o2.v),
+        |pn AS (SELECT node, count(*) AS n_tri FROM (
+        |         SELECT u AS node FROM tri
+        |         UNION ALL SELECT v1 FROM tri
+        |         UNION ALL SELECT v2 FROM tri) GROUP BY node)
+        |SELECT d.doc_id AS node,
+        |  CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree,
+        |  CAST(COALESCE(pn.n_tri, 0) AS BIGINT) AS n_tri
+        |FROM documents d
+        |LEFT JOIN deg ON d.doc_id = deg.node
+        |LEFT JOIN pn ON d.doc_id = pn.node""".stripMargin,
 
     // canonical selection: recursive-CTE components (the d_components
     // oracle) + an independent window replay of the keep-longest rule

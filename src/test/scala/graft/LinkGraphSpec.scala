@@ -236,6 +236,56 @@ class LinkGraphSpec extends SparkTestBase {
     assert(run(1) == run(32))
   }
 
+  private def tri(edges: Seq[(Long, Long)], nodes: Seq[Long])
+  : Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    LinkGraph.triangles(edges.toDF("src", "dst"), nodes.toDF("node"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("triangles: K4 — every node has degree 3 and sits in 3 of the " +
+    "4 triangles") {
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val r = tri(k4, Seq(0L, 1L, 2L, 3L))
+    assert(r == Map(0L -> (3L, 3L), 1L -> (3L, 3L), 2L -> (3L, 3L),
+      3L -> (3L, 3L)))
+    assert(r.values.map(_._2).sum / 3 == 4) // global count
+  }
+
+  test("triangles: pendant and isolated nodes score 0; " +
+    "direction/duplicates/self-loops ignored") {
+    // triangle 0-1-2 (one edge given BOTH ways + duplicated), pendant
+    // 3 on 0, self-loop on 2, isolated 9
+    val e = Seq((0L, 1L), (1L, 0L), (1L, 0L), (1L, 2L), (2L, 0L),
+      (0L, 3L), (2L, 2L))
+    val r = tri(e, Seq(0L, 1L, 2L, 3L, 9L))
+    assert(r == Map(0L -> (3L, 1L), 1L -> (2L, 1L), 2L -> (2L, 1L),
+      3L -> (1L, 0L), 9L -> (0L, 0L)))
+  }
+
+  test("triangles: a 5-ring has none") {
+    val e = (0L until 5L).map(i => (i, (i + 1) % 5))
+    val r = tri(e, (0L until 5L))
+    assert(r.values.forall(_ == ((2L, 0L))))
+  }
+
+  test("triangles: bit-identical across parallelism (1 vs 32 partitions)") {
+    import spark.implicits._
+    val edges = (0L until 120L).flatMap { i =>
+      Seq((i, (i + 1) % 120L), (i, (i * 13 + 7) % 120L),
+        (i, (i + 2) % 120L))
+    }
+    val nodes = (0L until 120L)
+    def run(p: Int) = LinkGraph.triangles(
+      edges.toDF("src", "dst").repartition(p),
+      nodes.toDF("node").repartition(p))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val a = run(1); val b = run(32)
+    assert(a == b && a.map(_._3).sum > 0) // ring+chords DO close triangles
+  }
+
   test("hostGraph: weighted collapse, keepSelf toggle") {
     import spark.implicits._
     val links = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "a"))
