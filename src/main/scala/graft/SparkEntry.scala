@@ -2611,6 +2611,34 @@ object SparkEntry {
         .select(col("node"), col("degree"), col("n_tri"))
     }),
 
+    // ---- 3-core membership (LinkGraph.kCore) over the SAME synthetic
+    // link graph — iterative degree-< k peeling to the UNIQUE fixpoint
+    // (order-independent, so no tie-break machinery); the ring
+    // scaffolding peels away in cascades while the hub-dense center
+    // survives. Engine iterates to convergence with a per-round probe;
+    // the oracle unrolls 12 peeling rounds (equality requires the
+    // fixpoint within 12 — the three-scale compare enforces it).
+    "w_kcore" -> ((s, dir) => {
+      import graft.web.LinkGraph
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val m = n / 5 // dense block: the first 20% interlinked at radius 3
+      val d = col("doc_id")
+      val ring = docs.select(d.as("src"), pmod(d + 1, lit(n)).as("dst"))
+      val hubE = docs.filter(pmod(d, lit(3)) === 1)
+        .select(d.as("src"), lit(0L).as("dst"))
+      val jump = docs.filter(pmod(d, lit(5)) === 2)
+        .select(d.as("src"), pmod(d * 7 + 3, lit(n)).as("dst"))
+      val block = (1 to 3).map { r =>
+        docs.filter(d < m)
+          .select(d.as("src"), pmod(d + r, lit(m)).as("dst"))
+      }.reduce(_ union _)
+      val nodes = docs.select(d.as("node"))
+      LinkGraph.kCore(
+        ring.union(hubE).union(jump).union(block), nodes, k = 3)
+        .select(col("node"), col("in_kcore"))
+    }),
+
     // ---- canonical selection inside near-dup clusters — the decision
     // step every dedup pipeline ends with: simhash near-dup pairs →
     // connected components (transitive closure) → keep the LONGEST
@@ -5164,6 +5192,57 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN deg ON d.doc_id = deg.node
         |LEFT JOIN pn ON d.doc_id = pn.node""".stripMargin,
+
+    // 3-core: the oracle unrolls 12 peeling rounds (generated — each
+    // round recomputes surviving degrees and semi-joins the edge set
+    // down); the k-core is a unique fixpoint, so engine-to-convergence
+    // equals oracle-at-12 iff peeling finishes within 12 rounds, which
+    // the three-scale compare enforces
+    "w_kcore" -> {
+      val rounds = (1 to 12).map { i =>
+        val prev = if (i == 1) "ec0" else s"ec${i - 1}"
+        s"""d$i AS (SELECT node, count(*) AS dg FROM (
+           |    SELECT a AS node FROM $prev UNION ALL
+           |    SELECT b FROM $prev) GROUP BY node),
+           |al$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= 3),
+           |ec$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM $prev e
+           |  JOIN al$i x ON e.a = x.node
+           |  JOIN al$i y ON e.b = y.node),""".stripMargin
+      }.mkString("\n")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |mm AS (SELECT (SELECT n FROM nn) // 5 AS m),
+         |raw AS (
+         |  SELECT src, dst FROM (
+         |    SELECT doc_id AS src,
+         |      (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+         |    UNION ALL
+         |    SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+         |    WHERE doc_id % 3 = 1
+         |    UNION ALL
+         |    SELECT doc_id, (doc_id * 7 + 3) % (SELECT n FROM nn)
+         |    FROM documents WHERE doc_id % 5 = 2
+         |    UNION ALL
+         |    SELECT doc_id, (doc_id + 1) % (SELECT m FROM mm)
+         |    FROM documents WHERE doc_id < (SELECT m FROM mm)
+         |    UNION ALL
+         |    SELECT doc_id, (doc_id + 2) % (SELECT m FROM mm)
+         |    FROM documents WHERE doc_id < (SELECT m FROM mm)
+         |    UNION ALL
+         |    SELECT doc_id, (doc_id + 3) % (SELECT m FROM mm)
+         |    FROM documents WHERE doc_id < (SELECT m FROM mm)
+         |  ) u WHERE src <> dst
+         |),
+         |ec0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM raw),
+         |$rounds
+         |core AS (SELECT DISTINCT node FROM (
+         |  SELECT a AS node FROM ec12 UNION ALL SELECT b FROM ec12))
+         |SELECT d.doc_id AS node, (c.node IS NOT NULL) AS in_kcore
+         |FROM documents d LEFT JOIN core c ON d.doc_id = c.node"""
+        .stripMargin
+    },
 
     // canonical selection: recursive-CTE components (the d_components
     // oracle) + an independent window replay of the keep-longest rule

@@ -432,4 +432,73 @@ object LinkGraph {
     // clearCache and app teardown reclaim them
     out
   }
+
+  /**
+   * k-core membership by iterative peeling (Seidman 1983; the
+   * distributed form is the degree-threshold fixpoint of
+   * Montresor/De Pellegrini/Miorandi 2013) — repeatedly delete nodes
+   * of degree < k in the surviving subgraph until none remain. The
+   * k-core is the classic link-farm indicator (spam clusters are
+   * dense and survive high k; editorial link neighborhoods peel
+   * away) and the preprocessing step community algorithms run first.
+   *
+   * The k-core is a UNIQUE fixpoint — peeling order never changes
+   * the answer — so iterating to convergence is bit-deterministic at
+   * any parallelism with no tie-break machinery at all (the contrast
+   * with [[labelProp]]). Per round: degrees over surviving edges
+   * (map-side combined), threshold filter, semi-join the edge set
+   * down (both sides broadcast-free hash joins). Convergence is
+   * probed with a 1-row count aggregate per round (the
+   * connected-components probe discipline); throws after `maxRounds`
+   * rather than looping silently — peeling depth is bounded by the
+   * degeneracy ordering length, in practice a handful of rounds on
+   * power-law graphs.
+   *
+   * @param edges (src, dst) any direction; symmetrized, deduplicated,
+   *              self-loops dropped
+   * @param nodes (node) full vertex set
+   * @param k     minimum surviving degree (k >= 1)
+   * @return (node: long, in_kcore: boolean)
+   */
+  def kCore(edges: DataFrame, nodes: DataFrame, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1 && maxRounds >= 1)
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val ec0 = e0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val nd = nodes.select(col("node").cast("long").as("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var ec = ec0.localCheckpoint()
+    var nEdges = ec.count()
+    var rounds = 0
+    var converged = nEdges == 0L
+    while (!converged) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"kCore: no fixpoint after $maxRounds peeling rounds")
+      val deg = ec.select(col("a").as("node"))
+        .union(ec.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("__deg"))
+      val alive = deg.filter(col("__deg") >= k).select(col("node"))
+      val next = ec
+        .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == nEdges
+      ec = next; nEdges = nNext; rounds += 1
+    }
+    val core = ec.select(col("a").as("node"))
+      .union(ec.select(col("b").as("node"))).distinct()
+      .withColumn("__in", lit(true))
+    val out = nd.join(core, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__in"), lit(false)).as("in_kcore"))
+    nd.unpersist()
+    out
+  }
 }

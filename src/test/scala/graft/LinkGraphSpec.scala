@@ -286,6 +286,46 @@ class LinkGraphSpec extends SparkTestBase {
     assert(a == b && a.map(_._3).sum > 0) // ring+chords DO close triangles
   }
 
+  private def core(edges: Seq[(Long, Long)], nodes: Seq[Long], k: Int,
+      maxRounds: Int = 50): Map[Long, Boolean] = {
+    import spark.implicits._
+    LinkGraph.kCore(edges.toDF("src", "dst"), nodes.toDF("node"), k,
+      maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+  }
+
+  test("kCore: K4 with a pendant — the clique survives k=3, the " +
+    "pendant peels") {
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+    val r = core(k4 :+ ((0L, 9L)), Seq(0L, 1L, 2L, 3L, 9L), k = 3)
+    assert(r == Map(0L -> true, 1L -> true, 2L -> true, 3L -> true,
+      9L -> false))
+  }
+
+  test("kCore: a cycle IS a 2-core and has no 3-core") {
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6))
+    assert(core(ring, (0L until 6L), k = 2).values.forall(identity))
+    assert(core(ring, (0L until 6L), k = 3).values.forall(!_))
+  }
+
+  test("kCore: a chain peels from both ends over multiple rounds") {
+    val chain = (0L until 6L).map(i => (i, i + 1)) // 0-1-...-6
+    val r = core(chain, (0L to 6L), k = 2)
+    assert(r.values.forall(!_)) // a tree has no 2-core
+  }
+
+  test("kCore: attached chain peels while the clique stays — and " +
+    "maxRounds=1 throws on the multi-round peel") {
+    val k4 = (for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+    val e = k4 ++ Seq((3L, 10L), (10L, 11L), (11L, 12L))
+    val r = core(e, Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L), k = 2)
+    assert(r == Map(0L -> true, 1L -> true, 2L -> true, 3L -> true,
+      10L -> false, 11L -> false, 12L -> false))
+    intercept[IllegalStateException] {
+      core(e, Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L), k = 2, maxRounds = 1)
+    }
+  }
+
   test("hostGraph: weighted collapse, keepSelf toggle") {
     import spark.implicits._
     val links = Seq(("a", "b"), ("a", "b"), ("a", "a"), ("b", "a"))
