@@ -18,7 +18,8 @@ object Explain {
         "d_minhash_lsh", "v_drift_psi", "d_jaccard_ngram", "s_ann_multi",
         "s_near_dup", "v_json_partial", "s_ann_ivf", "q_named_tuple",
         "e_asof", "e_sessions", "e_range", "q_topk", "v_quantiles",
-        "p_code_clean")
+        "p_code_clean", "w_index", "w_bm25", "w_triangles", "t_ppl",
+        "t_dup_spans")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
