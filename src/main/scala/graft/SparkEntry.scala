@@ -115,6 +115,30 @@ object SparkEntry {
           col("type").as("vtype"))
     }),
 
+    // ---- model-level (cross-field) validators: the columnar
+    // @model_validator(mode='after') — three ModelChecks over the
+    // COERCED doc struct (one never fires: n_chars==len(text) holds by
+    // construction, pinning the no-false-positive side), errors land
+    // at the model root (loc=(), n_loc=0) as value_error with
+    // ctx.error, and the reference's gating is visible in the rows:
+    // docs with FIELD violations never get model rows
+    "v_cross" -> ((s, dir) => {
+      val m = docModel.copy(modelChecks = Seq(
+        ModelCheck("len_match",
+          st => st.getField("n_chars") === length(st.getField("text")),
+          "n_chars must equal len(text)"),
+        ModelCheck("even_chars",
+          st => st.getField("n_chars") % 2 === 0,
+          "n_chars must be even"),
+        ModelCheck("en_min_len",
+          st => st.getField("lang") =!= "en" ||
+            st.getField("n_chars") >= 250L,
+          "english docs need >= 250 chars")))
+      ModelValidator.violations(t(s, dir, "documents"), m, Seq("doc_id"))
+        .select(col("doc_id"), size(col("loc")).cast("long").as("n_loc"),
+          col("type").as("vtype"), col("ctx").getItem("error").as("err"))
+    }),
+
     // ---- violation regression diff (CI-for-data): current violations vs
     // a deterministic "previous snapshot" (a doc_id%7 slice didn't exist
     // yet -> its violations are `new`; a doc_id%5 slice had NULL lang,
@@ -5780,6 +5804,30 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "v_violations" -> docViolationsSql("documents"),
+
+    // cross-field validators: field rows replayed closed-form (n_loc=1,
+    // no ctx.error), model rows ONLY for field-clean docs failing a
+    // check (n_loc=0, value_error, ctx.error) — the gating is part of
+    // the compare
+    "v_cross" ->
+      s"""WITH fv AS (${docViolationsSql("documents")}),
+         |clean AS (SELECT * FROM documents WHERE
+         |  doc_id IS NOT NULL AND doc_id >= 0 AND
+         |  text IS NOT NULL AND length(text) BETWEEN 100 AND 500 AND
+         |  lang IN ('en','de','fr') AND
+         |  source IS NOT NULL AND regexp_matches(source, '^src[0-9]+$$') AND
+         |  n_chars IS NOT NULL AND n_chars BETWEEN 1 AND 1000)
+         |SELECT doc_id, CAST(1 AS BIGINT) AS n_loc, vtype,
+         |  CAST(NULL AS VARCHAR) AS err FROM fv
+         |UNION ALL
+         |SELECT doc_id, 0, 'value_error', 'n_chars must equal len(text)'
+         |FROM clean WHERE n_chars != length(text)
+         |UNION ALL
+         |SELECT doc_id, 0, 'value_error', 'n_chars must be even'
+         |FROM clean WHERE n_chars % 2 != 0
+         |UNION ALL
+         |SELECT doc_id, 0, 'value_error', 'english docs need >= 250 chars'
+         |FROM clean WHERE NOT (lang != 'en' OR n_chars >= 250)""".stripMargin,
 
     // replay of the regression diff: the doc-model violation SQL templated
     // over both snapshots, then a null-safe FULL JOIN classifies each key

@@ -1537,9 +1537,26 @@ object Compiler {
           }
         case Extra.Ignore => Nil
       }
-      val allViols = merge(fieldResults.map(_._3) :+ collect(extraChecks))
+      val fieldViols = merge(fieldResults.map(_._3) :+ collect(extraChecks))
       val value = struct(fieldResults.map { case (n, v, _, _) => v.as(n) }: _*)
-      Compiled(value, allViols,
+      // model-level (cross-field) checks — @model_validator(mode='after')
+      // (functional_validators.py:651-679): the predicate sees the COERCED
+      // struct; errors land at the MODEL loc (pydantic reports loc=() for
+      // a root model) as value_error with the raw input as JSON. Gated on
+      // clean field validation, like the reference: after-model validators
+      // are not called when field errors exist.
+      val modelViols =
+        if (m.modelChecks.isEmpty) fieldViols
+        else {
+          val checks = m.modelChecks.map { ck =>
+            when(size(fieldViols) === 0 &&
+                !coalesce(ck.pred(value), lit(false)),
+              oneS(loc, T.valueError, s"Value error, ${ck.msg}",
+                to_json(input), Map("error" -> ck.msg)))
+          }
+          merge(Seq(fieldViols, collect(checks)))
+        }
+      Compiled(value, modelViols,
         StructType(fieldResults.map { case (n, _, _, dt) => StructField(n, dt) }))
     case _ =>
       typeViolation(loc, "model_type", s"Input should be a valid dictionary or instance of ${m.name}",

@@ -68,7 +68,26 @@ object ModelValidator {
         }
       case Extra.Ignore => Nil
     }
-    val bundle = merge(results.map(_._3) :+ collect(extraChecks))
+    val fieldBundle = merge(results.map(_._3) :+ collect(extraChecks))
+    // model-level (cross-field) checks — @model_validator(mode='after'):
+    // predicates see the COERCED field struct, errors land at the model
+    // root (loc = (), the reference's root-model loc) as value_error with
+    // the raw input row as JSON; gated on clean field validation exactly
+    // like pydantic (after-model validators are not called when field
+    // errors exist).
+    val bundle =
+      if (model.modelChecks.isEmpty) fieldBundle
+      else {
+        val coerced = struct(results.map { case (n, v, _) => v.as(n) }: _*)
+        val rawRow = to_json(struct(st.fieldNames.toSeq.map(col): _*))
+        val checks = model.modelChecks.map { ck =>
+          when(size(fieldBundle) === 0 &&
+              !coalesce(ck.pred(coerced), lit(false)),
+            oneS(array().cast("array<string>"), T.valueError,
+              s"Value error, ${ck.msg}", rawRow, Map("error" -> ck.msg)))
+        }
+        merge(Seq(fieldBundle, collect(checks)))
+      }
     // ONE projection: coerced values + bundle all reference the ORIGINAL
     // input columns (a withColumn chain would shadow them) and stay in a
     // single whole-stage-codegen stage.

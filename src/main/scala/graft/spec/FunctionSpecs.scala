@@ -31,6 +31,18 @@ import org.apache.spark.sql.Column
  * functions — the rest of the ADT stays pure data.
  */
 
+/** Model-level (cross-field) check — the columnar
+ * `@model_validator(mode="after")` (`pydantic/functional_validators.py:
+ * 651-679`, executed by `validators/function.rs`): `pred` sees the
+ * COERCED model struct (all fields at once); returning false raises the
+ * reference's ValueError shape — loc `()` (model root), type
+ * `value_error`, msg `"Value error, {msg}"`, ctx.error, input = the raw
+ * input struct rendered as JSON. Faithful gating: pydantic only calls
+ * after-model validators when every FIELD validated cleanly, so a model
+ * check never fires beside field violations. */
+final case class ModelCheck(name: String, pred: Column => Column,
+    msg: String)
+
 /** mode='before' — transform the RAW input, then validate with `inner`
  * (`functional_validators.py:30` BeforeValidator). `outDdl` declares the
  * transform's output type (Spark DDL, e.g. "STRING"); None = unchanged. */

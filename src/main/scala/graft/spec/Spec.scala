@@ -490,7 +490,8 @@ final case class ModelSpec(
     name: String,
     fields: Seq[FieldSpec],
     extra: Extra = Extra.Ignore,
-    mode: Mode = Mode.Lax
+    mode: Mode = Mode.Lax,
+    modelChecks: Seq[ModelCheck] = Nil
 ) extends Spec {
   def field(n: String): FieldSpec = fields.find(_.name == n).get
 }

@@ -326,4 +326,46 @@ class CompilerSpec extends SparkTestBase {
     val mc = Compiler.compile(col("x"), lvl3, array(lit("x")), mut, Mode.Lax)
     assert(df.select(size(mc.violations)).collect()(0).getInt(0) == 0)
   }
+
+  test("model_validator(mode='after'): cross-field check — value_error " +
+    "at the model loc, gated on clean fields (functional_validators" +
+    ".py:651-679)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import graft.compile.Compiler
+    val m = ModelSpec("Range", Seq(
+      FieldSpec("lo", IntSpec()),
+      FieldSpec("hi", IntSpec(ge = Some(0)))),
+      modelChecks = Seq(
+        ModelCheck("ordered", s => s.getField("lo") <= s.getField("hi"),
+          "lo must be <= hi"),
+        ModelCheck("span", s => s.getField("hi") - s.getField("lo") < 100L,
+          "span too wide")))
+    val st = StructType(Seq(StructField("lo", LongType),
+      StructField("hi", LongType)))
+    val schema = StructType(Seq(StructField("x", st)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(Row(1L, 2L)),    // clean
+      Row(Row(5L, 2L)),    // ordered fails
+      Row(Row(1L, 500L)),  // span fails
+      Row(Row(5L, -1L))    // FIELD error (hi ge 0): model checks gated off
+    ), 1), schema)
+    val c = Compiler.compile(col("x"), st, array(), m, Mode.Lax)
+    val rows = df.select(
+      transform(c.violations, v => v.getField("type")).as("t"),
+      transform(c.violations, v => v.getField("msg")).as("m"),
+      transform(c.violations, v => size(v.getField("loc"))).as("locn"),
+      transform(c.violations, v => v.getField("input")).as("i"),
+      transform(c.violations, v => v.getField("ctx")("error")).as("e"))
+      .collect()
+    assert(rows(0).getSeq[String](0) == Seq())
+    assert(rows(1).getSeq[String](0) == Seq("value_error"))
+    assert(rows(1).getSeq[String](1) == Seq("Value error, lo must be <= hi"))
+    assert(rows(1).getSeq[Int](2) == Seq(0)) // loc = () — model root
+    assert(rows(1).getSeq[String](3) == Seq("""{"lo":5,"hi":2}"""))
+    assert(rows(1).getSeq[String](4) == Seq("lo must be <= hi"))
+    assert(rows(2).getSeq[String](1) == Seq("Value error, span too wide"))
+    // field violation present -> after-model validators NOT called
+    assert(rows(3).getSeq[String](0) == Seq("greater_than_equal"))
+  }
 }
