@@ -37,6 +37,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("model-level cross-field checks run on a stream, batch-identical " +
+    "(gating included)") {
+    implicit val sqlCtx = spark.sqlContext
+    val m = model.copy(modelChecks = Seq(
+      ModelCheck("user_score",
+        s => length(s.getField("user")) <= s.getField("score"),
+        "user length must not exceed score")))
+    val mem = MemoryStream[(String, Long)]
+    val stream = mem.toDF().toDF("user", "score")
+    val q = StreamValidator.violations(stream, m, Seq("user"))
+      .writeStream.format("memory").queryName("cross_sink")
+      .outputMode("append").start()
+    try {
+      // alice: clean fields, len 5 > score 3 -> model row (loc = ())
+      // bob: clean everywhere; carol: FIELD error gates the model check
+      // off even though len 5 > score -1
+      mem.addData(("alice", 3L), ("bob", 50L), ("carol", -1L))
+      q.processAllAvailable()
+      val rows = spark.table("cross_sink")
+        .select(col("user"), col("type"), size(col("loc")).as("n"))
+        .as[(String, String, Int)].collect().toSet
+      assert(rows == Set(("alice", "value_error", 0),
+        ("carol", "greater_than_equal", 1)))
+      // batch replay of the same rows matches the stream's output exactly
+      val batch = graft.compile.ModelValidator.violations(
+        Seq(("alice", 3L), ("bob", 50L), ("carol", -1L))
+          .toDF("user", "score"), m, Seq("user"))
+        .select(col("user"), col("type"), size(col("loc")).as("n"))
+        .as[(String, String, Int)].collect().toSet
+      assert(batch == rows)
+    } finally q.stop()
+  }
+
   test("watermarked window aggregation bounds state and counts violations") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long)]
