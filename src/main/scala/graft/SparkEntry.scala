@@ -545,6 +545,13 @@ object SparkEntry {
     "t_dup_spans" -> ((s, dir) =>
       TextOps.dupSpans(t(s, dir, "documents"), "doc_id", "text", w = 20)),
 
+    // ---- text: duplicated-span REMOVAL (the Lee et al. transformation
+    // half): every non-canonical occurrence's 20 tokens deleted,
+    // overlaps unioned, survivors rejoined in order; the cleaned-text
+    // sha256 is the replay invariant
+    "t_span_scrub" -> ((s, dir) =>
+      TextOps.spanScrub(t(s, dir, "documents"), "doc_id", "text", w = 20)),
+
     // ---- text: PII scan + redaction (emails / IPv4 / phone runs) —
     // counts and a redacted-text hash, both replayed verbatim by the
     // oracle (patterns restricted to the Java-regex ∩ RE2 dialect)
@@ -3893,6 +3900,40 @@ object SparkEntry {
         |SELECT agg.h AS span_hash, agg.n_docs, agg.n_occ,
         |  rep.first_doc, rep.first_pos
         |FROM agg JOIN rep USING (h) WHERE agg.n_docs >= 2""".stripMargin,
+
+    // span scrub: the oracle re-derives occurrences, keeps the
+    // lexicographically-first, unions removed positions, rebuilds the
+    // cleaned text with string_agg ORDER BY idx, and matches sha256
+    "t_span_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        |  FROM documents),
+        |sp AS (SELECT doc_id, i AS p,
+        |         CAST(concat('0x', substr(md5(
+        |           array_to_string(arr[i : i + 19], ' ')), 1, 15))
+        |           AS BIGINT) AS h
+        |       FROM d, UNNEST(generate_series(1, len(arr) - 19)) AS t(i)
+        |       WHERE len(arr) >= 20),
+        |dup AS (SELECT h, min({'d': doc_id, 'p': p}) AS rep
+        |        FROM sp GROUP BY h
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |bad AS (SELECT sp.doc_id, sp.p FROM sp JOIN dup ON sp.h = dup.h
+        |        WHERE NOT (sp.doc_id = dup.rep.d AND sp.p = dup.rep.p)),
+        |pos AS (SELECT DISTINCT doc_id, pp
+        |        FROM bad, UNNEST(generate_series(p, p + 19)) AS t(pp)),
+        |tok AS (SELECT doc_id, i AS idx, arr[i] AS tok
+        |        FROM d, UNNEST(generate_series(1, len(arr))) AS t(i)),
+        |kept AS (SELECT tok.doc_id, tok.idx, tok.tok FROM tok
+        |         LEFT JOIN pos ON tok.doc_id = pos.doc_id
+        |           AND tok.idx = pos.pp
+        |         WHERE pos.doc_id IS NULL),
+        |cl AS (SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(tok, ' ' ORDER BY idx) AS txt
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.arr) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.arr) - COALESCE(cl.n_kept, 0) AS BIGINT) AS n_removed,
+        |  sha256(COALESCE(cl.txt, '')) AS cleaned_sha
+        |FROM d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
 
     "t_pii" -> {
       s"""WITH p AS (SELECT doc_id, text || ' ' || CASE CAST(doc_id % 3 AS INT)

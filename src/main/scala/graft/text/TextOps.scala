@@ -463,18 +463,25 @@ object TextOps {
    * @return (span_hash, n_docs, n_occ, first_doc, first_pos) —
    *         first_pos is 1-based
    */
-  def dupSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, w: Int = 20)
-  : org.apache.spark.sql.DataFrame = {
-    require(w >= 1)
+  /** All w-token windows as (id, __p (1-based), __h hash60) rows —
+   * shared by [[dupSpans]] (report) and [[spanScrub]] (remove). */
+  private def spanRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int): org.apache.spark.sql.DataFrame = {
     val arr = filter(split(col(textCol), " "), x => x =!= "")
-    val spans = df.select(col(idCol), arr.as("__arr"))
+    df.select(col(idCol), arr.as("__arr"))
       .filter(size(col("__arr")) >= w)
       .select(col(idCol), posexplode(transform(
         sequence(lit(1), size(col("__arr")) - (w - 1)),
         i => array_join(slice(col("__arr"), i, lit(w)), " "))))
       .select(col(idCol), (col("pos") + 1).cast(LongType).as("__p"),
         hash60(col("col")).as("__h"))
+  }
+
+  def dupSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 20)
+  : org.apache.spark.sql.DataFrame = {
+    require(w >= 1)
+    val spans = spanRows(df, idCol, textCol, w)
     spans.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -482,5 +489,66 @@ object TextOps {
       .filter(col("n_docs") >= 2)
       .select(col("__h").as("span_hash"), col("n_docs"), col("n_occ"),
         col("__m.d").as("first_doc"), col("__m.p").as("first_pos"))
+  }
+
+  /**
+   * Duplicated-span REMOVAL — the transformation half of Lee et al.
+   * 2021 (their pipeline cuts every repeated substring occurrence but
+   * one; removing rather than dropping whole documents is what
+   * preserves the unique remainder of mostly-duplicated pages). For
+   * every cross-document duplicated w-token span, the
+   * lexicographically-first (doc, pos) occurrence is KEPT and every
+   * other occurrence's w token positions are deleted; overlapping
+   * span occurrences union their positions. The cleaned text is the
+   * surviving tokens rejoined in order.
+   *
+   * Shapes: the span index of [[dupSpans]] (one explode + one
+   * map-side-combined agg), the occurrence join back on the span
+   * hash (hash co-partitioned), a position explode over REMOVED
+   * occurrences only (w× rows on the duplicated slice, not the
+   * corpus), one anti-join of token rows against removed positions,
+   * and an order-restoring sort_array(collect_list(struct)) per doc —
+   * the standard Spark idiom for deterministic in-doc order without a
+   * window.
+   *
+   * @return (id, n_tokens, n_removed, cleaned_sha) — cleaned_sha is
+   *         sha256 hex of the space-rejoined surviving tokens (empty
+   *         string when everything was removed), the replay invariant
+   */
+  def spanScrub(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, w: Int = 20)
+  : org.apache.spark.sql.DataFrame = {
+    require(w >= 1)
+    val spans = spanRows(df, idCol, textCol, w)
+    val dup = spans.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"),
+        min(struct(col(idCol).as("d"), col("__p").as("p"))).as("__m"))
+      .filter(col("__nd") >= 2)
+      .select(col("__h"), col("__m.d").as("__kd"), col("__m.p").as("__kp"))
+    val removedPos = spans.join(dup, "__h")
+      .filter(!(col(idCol) === col("__kd") && col("__p") === col("__kp")))
+      .select(col(idCol),
+        explode(sequence(col("__p"), col("__p") + (w - 1))).as("__pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+        posexplode(filter(split(col(textCol), " "), x => x =!= "")))
+      .select(col(idCol), (col("pos") + 1).cast(LongType).as("__idx"),
+        col("col").as("__tok"))
+    val kept = toks.join(removedPos,
+      toks(idCol) === removedPos(idCol) &&
+        toks("__idx") === removedPos("__pos"), "left_anti")
+    val cleaned = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__idx"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("__txt"))
+    df.select(col(idCol),
+        size(filter(split(col(textCol), " "), x => x =!= ""))
+          .cast(LongType).as("n_tokens"))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+          .as("n_removed"),
+        sha2(coalesce(col("__txt"), lit("")), 256).as("cleaned_sha"))
   }
 }

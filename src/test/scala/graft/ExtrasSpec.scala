@@ -254,4 +254,37 @@ class ExtrasSpec extends SparkTestBase {
     // (u v u) and (v u v) each occur twice, but within ONE doc
     assert(TextOps.dupSpans(df, "doc_id", "text", w = 3).count() == 0L)
   }
+
+  private def sha(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("spanScrub: canonical occurrence kept, every other occurrence's " +
+    "tokens removed; unique docs untouched") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "x q r s y"),   // holds the canonical (q r s) at (1,2)
+      (2L, "q r s q r s"), // both occurrences removed -> empty
+      (3L, "a b c")        // unique: untouched
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanScrub(df, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 5L, 0L, sha("x q r s y"))))
+    assert(out(1) == ((2L, 6L, 6L, sha(""))))
+    assert(out(2) == ((3L, 3L, 0L, sha("a b c"))))
+  }
+
+  test("spanScrub: overlapping duplicated spans union their positions") {
+    import graft.text.TextOps
+    val df = Seq(
+      (4L, "m n o p"),    // canonical copy (lower doc id)
+      (5L, "m n o p z")   // loses positions 1-3 u 2-4 -> "z" survives
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanScrub(df, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((4L, 4L, 0L, sha("m n o p"))))
+    assert(out(1) == ((5L, 5L, 4L, sha("z"))))
+  }
 }
