@@ -545,6 +545,14 @@ object SparkEntry {
     "t_dup_spans" -> ((s, dir) =>
       TextOps.dupSpans(t(s, dir, "documents"), "doc_id", "text", w = 20)),
 
+    // ---- text: concat-and-chunk sequence packing (the LLM batching
+    // step) — each doc's token interval and 2048-token block range in
+    // the concatenated corpus stream; the global prefix sum is the
+    // two-level distributed scan, never a whole-corpus window
+    "t_pack" -> ((s, dir) =>
+      TextOps.packOrder(t(s, dir, "documents"), "doc_id", "text",
+        seqLen = 2048L, bucketSize = 64L)),
+
     // ---- text: duplicated-span REMOVAL (the Lee et al. transformation
     // half): every non-canonical occurrence's 20 tokens deleted,
     // overlaps unioned, survivors rejoined in order; the cleaned-text
@@ -3900,6 +3908,25 @@ object SparkEntry {
         |SELECT agg.h AS span_hash, agg.n_docs, agg.n_occ,
         |  rep.first_doc, rep.first_pos
         |FROM agg JOIN rep USING (h) WHERE agg.n_docs >= 2""".stripMargin,
+
+    // packing: the oracle replays the concatenation with ONE global
+    // window cumsum (fine at oracle scale; the engine's two-level
+    // scan must land on identical integers)
+    "t_pack" ->
+      """WITH toks AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS start_tok
+        |      FROM toks)
+        |SELECT doc_id, n_tok, start_tok,
+        |  start_tok // 2048 AS first_block,
+        |  CASE WHEN n_tok = 0 THEN start_tok // 2048
+        |       ELSE (start_tok + n_tok - 1) // 2048 END AS last_block
+        |FROM c""".stripMargin,
 
     // span scrub: the oracle re-derives occurrences, keeps the
     // lexicographically-first, unions removed positions, rebuilds the

@@ -515,6 +515,62 @@ object TextOps {
    *         sha256 hex of the space-rejoined surviving tokens (empty
    *         string when everything was removed), the replay invariant
    */
+  /**
+   * Concat-and-chunk sequence packing — the canonical LLM training
+   * batching step (concatenate the corpus in a fixed document order,
+   * cut into fixed-length token blocks; GPT-style pipelines pack
+   * exactly this way): each document is mapped to its token interval
+   * [start_tok, start_tok + n_tok) in the concatenated stream and to
+   * the block range [first_block, last_block] it lands in for block
+   * size `seqLen`.
+   *
+   * The interesting part at 10^12 docs is the GLOBAL PREFIX SUM — a
+   * naive `Window.orderBy(id)` with no partition key moves the whole
+   * corpus through ONE window partition (Spark even warns). Here it
+   * is the classic two-level distributed scan instead: docs bucket by
+   * `id div bucketSize`; level 1 computes within-bucket running sums
+   * (window PARTITIONED by bucket — parallel, bounded partitions);
+   * level 2 prefix-sums the per-bucket totals, a table of
+   * n/bucketSize rows (pick bucketSize ≈ √n and both levels stay
+   * √n-sized; deeper corpora recurse the same step). The level-2
+   * window runs on that small table only.
+   *
+   * Assumes dense ids (the packing order key); a sparse key would
+   * first rank via the same two-level scan. Deterministic and
+   * bit-identical at any parallelism: integer sums over a fixed
+   * order.
+   *
+   * @return (id, n_tok, start_tok, first_block, last_block)
+   */
+  def packOrder(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, seqLen: Long = 2048L, bucketSize: Long = 1000L)
+  : org.apache.spark.sql.DataFrame = {
+    require(seqLen >= 1 && bucketSize >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      size(filter(split(col(textCol), " "), x => x =!= ""))
+        .cast(LongType).as("n_tok"),
+      expr(s"$idCol div ${bucketSize}L").as("__b"))
+    // level 1: within-bucket running sum, parallel across buckets
+    val w1 = Window.partitionBy("__b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l1 = toks.withColumn("__run", sum("n_tok").over(w1))
+    // level 2: prefix over per-bucket totals — n/bucketSize rows only
+    val w2 = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = toks.groupBy("__b").agg(sum("n_tok").as("__bt"))
+      .select(col("__b"), coalesce(sum("__bt").over(w2), lit(0L))
+        .as("__off"))
+    l1.join(broadcast(offsets), "__b")
+      .select(col(idCol), col("n_tok"),
+        (col("__off") + col("__run") - col("n_tok")).as("start_tok"))
+      .withColumn("first_block",
+        expr(s"start_tok div $seqLen"))
+      .withColumn("last_block", when(col("n_tok") === 0L,
+          expr(s"start_tok div $seqLen"))
+        .otherwise(expr(s"(start_tok + n_tok - 1) div $seqLen")))
+  }
+
   def spanScrub(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, w: Int = 20)
   : org.apache.spark.sql.DataFrame = {

@@ -275,6 +275,43 @@ class ExtrasSpec extends SparkTestBase {
     assert(out(2) == ((3L, 3L, 0L, sha("a b c"))))
   }
 
+  test("packOrder: concat-and-chunk packing, by hand; bucket-size " +
+    "independence") {
+    import graft.text.TextOps
+    val df = Seq(
+      (0L, "a b c"),        // 3 toks: [0,2]   block 0
+      (1L, "d e"),          // 2 toks: [3,4]   blocks 0-1 (straddles)
+      (2L, "f g h i"),      // 4 toks: [5,8]   blocks 1-2
+      (3L, ""),             // 0 toks: start 9, stays block 2
+      (4L, "j")             // 1 tok:  [9,9]   block 2
+    ).toDF("doc_id", "text")
+    val out = TextOps.packOrder(df, "doc_id", "text", seqLen = 4L,
+      bucketSize = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out(0) == ((0L, 3L, 0L, 0L, 0L)))
+    assert(out(1) == ((1L, 2L, 3L, 0L, 1L)))
+    assert(out(2) == ((2L, 4L, 5L, 1L, 2L)))
+    assert(out(3) == ((3L, 0L, 9L, 2L, 2L)))
+    assert(out(4) == ((4L, 1L, 9L, 2L, 2L)))
+    // bucketSize must not change the answer (two-level scan is exact)
+    val alt = TextOps.packOrder(df, "doc_id", "text", seqLen = 4L,
+      bucketSize = 1000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(alt.toSeq == out.toSeq)
+  }
+
+  test("packOrder: bit-identical across parallelism") {
+    import graft.text.TextOps
+    val df = (0L until 500L)
+      .map(i => (i, ("t " * (1 + (i % 7).toInt)).trim))
+      .toDF("doc_id", "text")
+    def run(p: Int) = TextOps.packOrder(df.repartition(p), "doc_id",
+      "text", seqLen = 16L, bucketSize = 23L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(run(1) == run(32))
+  }
+
   test("spanScrub: overlapping duplicated spans union their positions") {
     import graft.text.TextOps
     val df = Seq(
