@@ -291,4 +291,95 @@ class PropertySpec extends SparkTestBase {
       assert(!containsRef(out2))
     }
   }
+
+  test("property: triangles equals brute-force enumeration on random " +
+    "graphs") {
+    import graft.web.LinkGraph
+    for (seed <- Seq(3, 17, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 25
+      val edges = (1 to 70).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val adj = edges.flatMap(e => Seq(e, e.swap)).toSet
+      def conn(a: Long, b: Long) = adj.contains((a, b))
+      val brute = (0L until n).map { v =>
+        val cnt = (for {
+          a <- 0L until n; b <- (a + 1) until n
+          if a != v && b != v && conn(v, a) && conn(v, b) && conn(a, b)
+        } yield 1).size.toLong
+        v -> cnt
+      }.toMap
+      val deg = (0L until n).map(v =>
+        v -> (0L until n).count(u => u != v && conn(v, u)).toLong).toMap
+      val got = LinkGraph.triangles(edges.toDF("src", "dst"),
+        (0L until n).toDF("node"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      (0L until n).foreach { v =>
+        assert(got(v) == ((deg(v), brute(v))), s"seed=$seed node $v") }
+    }
+  }
+
+  test("property: kCore equals brute-force iterated peeling on random " +
+    "graphs, k in 2..4") {
+    import graft.web.LinkGraph
+    for (seed <- Seq(5, 29); k <- 2 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (1 to 90).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val und = edges.map(e =>
+        (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      var alive = (0L until n).toSet
+      var changed = true
+      while (changed) {
+        val deg = alive.map(v => v -> und.count(e =>
+          (e._1 == v && alive(e._2)) || (e._2 == v && alive(e._1))).toLong)
+          .toMap
+        val next = alive.filter(v => deg(v) >= k)
+        changed = next != alive; alive = next
+      }
+      val got = LinkGraph.kCore(edges.toDF("src", "dst"),
+        (0L until n).toDF("node"), k)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      (0L until n).foreach { v =>
+        assert(got(v) == alive(v), s"seed=$seed k=$k node $v") }
+    }
+  }
+
+  test("property: trustRank is bounded by pageRank-style mass and zero " +
+    "off the seed reachability set") {
+    import graft.web.LinkGraph
+    for (seed <- Seq(13, 31)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val seeds = (0L until n by 5)
+      // driver-side reachability from the seed set
+      val out = edges.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2) }
+      var reach = seeds.toSet
+      var grew = true
+      while (grew) {
+        val next = reach ++ reach.flatMap(v => out.getOrElse(v, Nil))
+        grew = next != reach; reach = next
+      }
+      val got = LinkGraph.trustRank(edges.toDF("src", "dst"),
+        (0L until n).toDF("node"), seeds.toDF("node"), iterations = 6,
+        scale = 1000000L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0L until n).foreach { v =>
+        if (!reach(v)) assert(got(v) == 0L, s"seed=$seed node $v")
+        else assert(got(v) >= 0L, s"seed=$seed node $v")
+      }
+      // total trust mass is conserved-with-damping: floor arithmetic only
+      // loses mass, so the sum never exceeds |seeds| * scale
+      assert(got.values.sum <= seeds.size * 1000000L, s"seed=$seed mass")
+      // every seed keeps at least its teleport share
+      seeds.foreach(sd => assert(got(sd) >= 150000L, s"seed node $sd"))
+    }
+  }
 }
