@@ -117,7 +117,12 @@ object Bench {
     val heavyClass = Map("d_jaccard_ngram" -> 8.0, "p_corpus_clean" -> 8.0,
       "d_components" -> 8.0, "d_minhash_lsh" -> 4.0,
       // five-stage staged pipeline (quality/license/redact/strip/dedup)
-      "p_code_clean" -> 12.0, "c_near_dup" -> 6.0)
+      "p_code_clean" -> 12.0, "c_near_dup" -> 6.0,
+      // session-12 heavies: w_canonical pays a full components run
+      // before its aggregate; w_hits runs 3 join+renorm rounds;
+      // t_span_scrub's removal explode scales with the duplicated slice
+      "w_canonical" -> 8.0, "w_hits" -> 6.0, "t_span_scrub" -> 6.0,
+      "w_triangles" -> 4.0, "t_ppl" -> 4.0, "t_decontam" -> 4.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val warmSec = time(force(fn(spark, sfDir))) // warm (codegen + shuffles)
       // queries that persist/stage internal state (d_jaccard_ngram,
