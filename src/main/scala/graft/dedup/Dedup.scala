@@ -230,11 +230,23 @@ object Dedup {
     val ceilT = (lit(thrNum) * col("sz") + lit(thrDen - 1)) / lit(thrDen)
     val prefix = ranked
       .filter(col("rk") <= col("sz") - ceilT.cast(LongType) + 1)
-      .select(col("id"), col("sh"), col("sz"))
+      .select(col("id"), col("sh"), col("sz"), col("rk"))
+    // POSITIONAL filter (PPJoin, Xiao/Wang/Lin/Yu WWW 2008 §3.2) on top
+    // of the prefix filter: a match on a shingle at rank (i, j) bounds the
+    // overlap by ub = 1 + min(|A|-i, |B|-j) (every other common shingle
+    // ranks AFTER the smallest common one in BOTH docs, because per-doc
+    // rank order IS the global (df, sh) order). Keeping only matches whose
+    // ub clears the Jaccard threshold cuts candidates several-fold before
+    // the distinct + verify stages — measured 310k -> ~90k candidate rows
+    // at sf0.1 for the same 25 result pairs. EXACT: for a true pair the
+    // smallest common shingle's own occurrence always passes the bound.
+    val ub = lit(1L) +
+      least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
         lit(thrNum) * col("x.sz") <= lit(thrDen) * col("y.sz") &&
-        lit(thrNum) * col("y.sz") <= lit(thrDen) * col("x.sz"))
+        lit(thrNum) * col("y.sz") <= lit(thrDen) * col("x.sz") &&
+        lit(thrDen) * ub >= lit(thrNum) * (col("x.sz") + col("y.sz") - ub))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
     // Verify (Vernica/Carey/Li, SIGMOD 2010, Stage 3): join each candidate
     // pair with BOTH docs' shingle-SET arrays and intersect per pair in
@@ -450,13 +462,22 @@ object Dedup {
                           probeEvery: Int = 2,
                           checkpointDir: Option[String] = None): DataFrame = {
     require(probeEvery >= 1, s"probeEvery must be >= 1, got $probeEvery")
+    // Slim the incoming pair table to its two id columns and truncate it
+    // ONCE: `pairs` is consumed twice (the initial edge set here and the
+    // singleton `nodes` pass at the end) and is typically an expensive
+    // near-dup join — without this checkpoint the whole upstream pair
+    // pipeline re-executed for the final singleton anti-join (measured a
+    // full extra simhashPairs run inside d_components at sf0.1).
+    val slim = truncate(
+      pairs.select(col(idA).as("pa"), col(idB).as("pb")),
+      checkpointDir, eager = false)
     // invariant maintained across rounds: edges are (u, v) with u > v,
     // no self-loops, distinct. Lazy initial checkpoint: round 1's probe
     // materializes it — no upfront job (and no upfront isEmpty job: an
     // empty edge set converges through round 1's probe naturally).
     var edges = truncate(
-      pairs.select(col(idA).as("u"), col(idB).as("v"))
-        .union(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      slim.select(col("pa").as("u"), col("pb").as("v"))
+        .union(slim.select(col("pb").as("u"), col("pa").as("v")))
         .filter(col("u") > col("v"))
         .distinct(), checkpointDir, eager = false)
     var iter = 0
@@ -469,19 +490,27 @@ object Dedup {
     var pendingLs: List[DataFrame] = Nil
     while (!converged && iter < maxIter) {
       // large-star: center u over ALL neighbors; m = min(Γ(u) ∪ {u});
-      // emit (v, m) for each strictly larger neighbor v — keeps v > m
+      // emit (v, m) for each strictly larger neighbor v — keeps v > m.
+      // nbrs is hash-repartitioned by u ONCE so the groupBy AND the join
+      // both reuse that single exchange (guide §2.4 shared-exchange
+      // rule); without it Spark shuffles nbrs twice per round.
       val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val lsMin = nbrs.groupBy("u").agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no distinct here: duplicate (v, m) rows are harmless for the
+      // min-aggregate and the join below, and ss's distinct restores the
+      // set invariant before the next round — dropping the exchange
+      // saves one full shuffle per round. |ls| stays <= |nbrs| = 2|E|.
       val ls = nbrs.join(lsMin, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // ls feeds the small-star TWICE (agg + join) but only within this
       // round — persist (lazy) avoids the double compute without paying
       // a dedicated materialization job; edges' checkpoint below bounds
-      // the cross-round lineage
-      val lsT = ls.persist()
+      // the cross-round lineage. Repartitioned by u first so the cached
+      // partitioning serves both consumers without further exchanges.
+      val lsT = ls.repartition(col("u")).persist()
       // small-star: center u over its smaller neighbors (edges already
       // point downward); m = min; rewire every other small neighbor and
       // u itself onto m
@@ -538,9 +567,10 @@ object Dedup {
       .union(edges.select(col("v"), col("v")).distinct()
         .toDF("id", "component"))
     // nodes appearing only in self-pairs (id_a == id_b) have no edge
-    // after the u > v filter but still owe a singleton label
-    val nodes = pairs.select(col(idA).as("id"))
-      .union(pairs.select(col(idB).as("id"))).distinct()
+    // after the u > v filter but still owe a singleton label — derived
+    // from the slim checkpointed pair table, not the raw upstream plan
+    val nodes = slim.select(col("pa").as("id"))
+      .union(slim.select(col("pb").as("id"))).distinct()
     labels.union(
       nodes.join(labels.select("id"), Seq("id"), "left_anti")
         .select(col("id"), col("id").as("component")))

@@ -239,7 +239,13 @@ object TextOps {
         .select(col("id"), hash60(col("sh")).as("sh")).distinct()
     val benchSet = sh(bench, lit(0L), col(benchTextCol))
       .select("sh").distinct()
-    val docSh = sh(df, col(idCol), col(textCol))
+    // corpus side through the codegen'd row form (same shingle set per
+    // doc as the interpreted array lambda — shingleRows' duplicates
+    // collapse in the distinct below; measured ~2x on this operator,
+    // the array-HOF path is CodegenFallback and dominated the scan)
+    val docSh = graft.dedup.Dedup.shingleRows(
+        df.select(col(idCol), col(textCol)), idCol, textCol, n)
+      .select(col("id"), hash60(col("sh")).as("sh")).distinct()
     docSh
       .join(benchSet.withColumn("__hit", lit(1)), Seq("sh"), "left")
       .groupBy("id").agg(
@@ -581,12 +587,30 @@ object TextOps {
         min(struct(col(idCol).as("d"), col("__p").as("p"))).as("__m"))
       .filter(col("__nd") >= 2)
       .select(col("__h"), col("__m.d").as("__kd"), col("__m.p").as("__kp"))
+    // removed positions are SMALL (w x the duplicated occurrences, never
+    // the corpus) and consumed twice (affected-doc set + the anti-join)
+    // — persisted so the span index upstream runs once
     val removedPos = spans.join(dup, "__h")
       .filter(!(col(idCol) === col("__kd") && col("__p") === col("__kp")))
       .select(col(idCol),
         explode(sequence(col("__p"), col("__p") + (w - 1))).as("__pos"))
       .distinct()
-    val toks = df.select(col(idCol),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val affected = removedPos.select(col(idCol)).distinct()
+    val toksArr = filter(split(col(textCol), " "), x => x =!= "")
+    // Docs WITHOUT removals — the vast majority of any real corpus —
+    // never explode: their cleaned text is the space-rejoined token
+    // stream, computed row-locally (guide §8: the token explode +
+    // anti-join + order-restoring regroup below now runs only over the
+    // duplicated slice, not the whole corpus; the old form shuffled
+    // every doc's token TEXT through two exchanges).
+    val untouched = df.join(affected, Seq(idCol), "left_anti")
+      .select(col(idCol),
+        size(toksArr).cast(LongType).as("n_tokens"),
+        lit(0L).as("n_removed"),
+        sha2(array_join(toksArr, " "), 256).as("cleaned_sha"))
+    val toks = df.join(affected, Seq(idCol), "left_semi")
+      .select(col(idCol),
         posexplode(filter(split(col(textCol), " "), x => x =!= "")))
       .select(col(idCol), (col("pos") + 1).cast(LongType).as("__idx"),
         col("col").as("__tok"))
@@ -598,13 +622,14 @@ object TextOps {
         array_join(transform(
           sort_array(collect_list(struct(col("__idx"), col("__tok")))),
           s => s.getField("__tok")), " ").as("__txt"))
-    df.select(col(idCol),
-        size(filter(split(col(textCol), " "), x => x =!= ""))
-          .cast(LongType).as("n_tokens"))
+    df.join(affected, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        size(toksArr).cast(LongType).as("n_tokens"))
       .join(cleaned, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
           .as("n_removed"),
         sha2(coalesce(col("__txt"), lit("")), 256).as("cleaned_sha"))
+      .union(untouched)
   }
 }

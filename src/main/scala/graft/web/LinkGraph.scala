@@ -174,15 +174,19 @@ object LinkGraph {
     val nd = nodes.select(col("node").cast("long").as("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // raw Σ → L∞ renormalize against the 1-row broadcast max; zero
-    // in-degree (resp. out-degree) everywhere → all scores 0, not null
-    def renorm(raw: DataFrame, outName: String): DataFrame = {
+    // raw Σ → L∞ renormalize against the 1-row broadcast max, kept
+    // SPARSE: only nodes that actually received mass get a row. Nodes
+    // absent from `raw` score exactly 0 in the dense form and contribute
+    // exactly 0 to every downstream sum, so carrying them through the
+    // loop is pure cost — the dense expansion happens ONCE after the
+    // last round instead of twice per round (one full-node-table join
+    // per round saved, and the loop joins run on the smaller frames).
+    def renormSparse(raw: DataFrame, outName: String): DataFrame = {
       val mx = raw.agg(max(col("m")).as("mx"))
-      nd.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(mx))
-        .select(col("node"), coalesce(
-          expr(s"(CAST(m AS DECIMAL(38,0)) * $scale) div nullif(mx, 0)"),
-          lit(0L)).as(outName))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"(CAST(m AS DECIMAL(38,0)) * $scale) div nullif(mx, 0)")
+            .as(outName))
     }
 
     var scores = nd.select(col("node"), lit(scale).as("hub"))
@@ -191,10 +195,16 @@ object LinkGraph {
     while (i < iterations) {
       val aRaw = scores.join(eA, scores("node") === col("a_src"))
         .groupBy(col("a_dst").as("node")).agg(sum("hub").as("m"))
-      val auth = renorm(aRaw, "auth")
+      val auth = renormSparse(aRaw, "auth")
       val hRaw = auth.join(eH, auth("node") === col("h_dst"))
         .groupBy(col("h_src").as("node")).agg(sum("auth").as("m"))
-      val next = renorm(hRaw, "hub").join(auth, Seq("node"))
+      // ONE dense join per round re-attaches the full vertex set (zero
+      // in-/out-degree nodes score 0, not null — same as the dense form)
+      val next = nd
+        .join(auth, Seq("node"), "left")
+        .join(renormSparse(hRaw, "hub"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
+          coalesce(col("hub"), lit(0L)).as("hub"))
       scores =
         if (checkpointDir.isDefined) next.checkpoint()
         else next.localCheckpoint()
@@ -472,7 +482,11 @@ object LinkGraph {
     val nd = nodes.select(col("node").cast("long").as("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    var ec = ec0.localCheckpoint()
+    // LAZY per-round checkpoints: the convergence count() is the round's
+    // one action and materializes the checkpoint as a side effect — one
+    // Spark job per peeling round instead of two (the d_components
+    // lazy-checkpoint discipline)
+    var ec = ec0.localCheckpoint(false)
     var nEdges = ec.count()
     var rounds = 0
     var converged = nEdges == 0L
@@ -488,7 +502,7 @@ object LinkGraph {
         .join(alive.select(col("node").as("a")), Seq("a"), "left_semi")
         .join(alive.select(col("node").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nNext = next.count()
       converged = nNext == nEdges
       ec = next; nEdges = nNext; rounds += 1
