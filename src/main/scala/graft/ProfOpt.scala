@@ -3,8 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** TEMPORARY profiling scratchpad for the r06 optimization round —
- * per-stage timings of the heaviest queries. Not part of any contract. */
+/** TEMPORARY profiling scratchpad for the r06 optimization round. */
 object ProfOpt {
   def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
   def time[A](tag: String)(f: => A): A = {
@@ -29,79 +28,45 @@ object ProfOpt {
       "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
       org.apache.logging.log4j.Level.OFF)
 
-    import graft.text.CodeOps
-    import graft.dedup.Dedup
-
-    // p_code_clean pieces: quality gate / license / redact / strip /
-    // jaccard-on-norm. codeInput is the fixed 2000-file table.
-    val code = spark.read.parquet(
-      sys.env.getOrElse("GRAFT_CODE_INPUT", "/tmp/graft_code_input_v1"))
-    println(s"code files: ${code.count()}")
-    time("cc_quality_filter") {
-      force(CodeOps.codeFilter(CodeOps.codeQuality(code, "id", "lang", "content")))
-    }
-    time("cc_license") { force(CodeOps.licenseScan(code, "id", "content")) }
-    time("cc_redact") {
-      force(code.select(col("id"), CodeOps.redactSecrets(col("content")).as("c")))
-    }
-    val keep = CodeOps.codeFilter(
-        CodeOps.codeQuality(code, "id", "lang", "content"))
-      .filter(col("keep")).select("id")
-    val gated = code.join(keep, "id")
-    time("cc_strip_boiler") {
-      force(CodeOps.stripBoilerplate(
-        gated.select(col("id"), col("lang"), col("content")), "id", "content", 20L))
-    }
-    val norm = CodeOps.nearDupNorm(gated)
-    time("cc_norm_only") { force(norm) }
-    time("cc_jaccard_norm") {
-      force(Dedup.jaccardNgramPairs(norm, "id", "norm", 3, 1L, 2L,
-        stagingDir = Some("/tmp/graft_prof_stage/cj")))
-    }
-    spark.sharedState.cacheManager.clearCache()
-    time("p_code_clean_full") {
-      force(SparkEntry.queries("p_code_clean")(spark, sfDir))
-    }
-    spark.sharedState.cacheManager.clearCache()
-
-    // corpus clean pieces
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    time("pc_kept1") {
-      force(docs.groupBy(col("text")).agg(min(col("doc_id")).as("id")))
-    }
-    time("pc_langid") {
-      force(graft.text.TextOps.langIdDf(
-        docs.select(col("doc_id").as("id"), col("text").as("__text")),
-        "id", "__text", graft.text.TextOps.defaultProfiles))
-    }
-    time("p_corpus_clean_full") {
-      force(SparkEntry.queries("p_corpus_clean")(spark, sfDir))
-    }
+    val scrub = graft.text.TextOps.spanScrub(docs, "doc_id", "text", 20)
+    val aff = scrub.filter(col("n_removed") > 0).count()
+    println(s"affected: $aff / ${docs.count()}")
     spark.sharedState.cacheManager.clearCache()
 
-    // i_infer pieces
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    println(s"events: ${events.count()} cols=${events.schema.fieldNames.length}")
-    time("i_infer_full") {
-      force(SparkEntry.queries("i_infer")(spark, sfDir))
+    // north-star breakdown
+    val ns = graft.data.NorthStar.generate(spark, 500000L)
+    time("ns_gen_only") { force(ns) }
+    time("ns_gen_scalar_cols") {
+      force(ns.drop("websites"))
     }
-    time("i_infer_again") {
-      force(SparkEntry.queries("i_infer")(spark, sfDir))
+    time("ns_gen_websites_only") {
+      force(ns.select(col("row_id"), col("websites")))
     }
-    spark.sharedState.cacheManager.clearCache()
-    time("t_span_scrub_full") {
-      force(SparkEntry.queries("t_span_scrub")(spark, sfDir))
+    val plan = graft.compile.ModelValidator.planAuto(
+      graft.data.NorthStar.generate(spark, 500000L),
+      graft.data.NorthStar.personSpec, "row_id")
+    time("ns_plan_full") { force(plan) }
+    time("ns_plan_full_again") { force(plan) }
+    def fresh() = graft.compile.ModelValidator.planAuto(
+      graft.data.NorthStar.generate(spark, 500000L),
+      graft.data.NorthStar.personSpec, "row_id")
+    time("ns_fresh_planning_only") {
+      fresh().queryExecution.executedPlan
     }
-    time("t_dup_spans_full") {
-      force(SparkEntry.queries("t_dup_spans")(spark, sfDir))
+    time("ns_fresh_planning_only2") {
+      fresh().queryExecution.executedPlan
     }
-    spark.sharedState.cacheManager.clearCache()
-    time("w_triangles_full") {
-      force(SparkEntry.queries("w_triangles")(spark, sfDir))
-    }
-    time("w_kcore_full") {
-      force(SparkEntry.queries("w_kcore")(spark, sfDir))
-    }
+    time("ns_fresh_force_1") { force(fresh()) }
+    time("ns_fresh_force_2") { force(fresh()) }
+    def freshT() = graft.compile.ModelValidator.planAuto(
+      graft.data.NorthStar.generate(spark, 500000L).localCheckpoint(false),
+      graft.data.NorthStar.personSpec, "row_id")
+    time("nsT_planning_only") { freshT().queryExecution.executedPlan }
+    time("nsT_planning_only2") { freshT().queryExecution.executedPlan }
+    time("nsT_force_1") { force(freshT()) }
+    time("nsT_force_2") { force(freshT()) }
+    time("nsT_force_3") { force(freshT()) }
     spark.stop()
   }
 }

@@ -581,7 +581,12 @@ object TextOps {
       textCol: String, w: Int = 20)
   : org.apache.spark.sql.DataFrame = {
     require(w >= 1)
+    // the narrow span index (id, pos, hash60) feeds the dup aggregate AND
+    // the occurrence join — persisted so the interpreted span-hash explode
+    // over the whole corpus runs ONCE, not twice (it is the operator's
+    // dominant cost; the frame is 3 fixed-width columns, cheap to hold)
     val spans = spanRows(df, idCol, textCol, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = spans.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__nd"),
         min(struct(col(idCol).as("d"), col("__p").as("p"))).as("__m"))
