@@ -2,6 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.dedup.Dedup
+import graft.text.{CodeOps, TextOps}
 
 /** TEMPORARY profiling scratchpad for the r06 optimization round. */
 object ProfOpt {
@@ -12,8 +16,27 @@ object ProfOpt {
     r
   }
 
+  /** The r5 stripBoilerplate (explode + anti-join + regroup) for A/B. */
+  def stripOld(df: DataFrame, idCol: String, contentCol: String,
+               minDf: Long): DataFrame = {
+    val lines = (c: org.apache.spark.sql.Column) => split(c, "\n", -1)
+    val pos = df.select(col(idCol).as("id"),
+        posexplode(lines(col(contentCol))).as(Seq("pos", "line")))
+      .withColumn("lh", TextOps.hash60(col("line")))
+    val dfreq = pos.where(trim(col("line")) =!= "")
+      .select(col("id"), col("lh")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("__df"))
+    val rebuilt = pos
+      .join(dfreq.where(col("__df") >= minDf), Seq("lh"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        x => x.getField("line")), "\n").as("content"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("content"), lit("")).as("content"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,45 +51,60 @@ object ProfOpt {
       "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
       org.apache.logging.log4j.Level.OFF)
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val scrub = graft.text.TextOps.spanScrub(docs, "doc_id", "text", 20)
-    val aff = scrub.filter(col("n_removed") > 0).count()
-    println(s"affected: $aff / ${docs.count()}")
-    spark.sharedState.cacheManager.clearCache()
+    val code = spark.read.parquet("/tmp/graft_code_input_v1")
+    val keep = CodeOps.codeFilter(
+        CodeOps.codeQuality(code, "id", "lang", "content"))
+      .filter(col("keep")).select("id")
+    val gated = code.join(keep, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"gated: ${gated.count()}")
 
-    // north-star breakdown
-    val ns = graft.data.NorthStar.generate(spark, 500000L)
-    time("ns_gen_only") { force(ns) }
-    time("ns_gen_scalar_cols") {
-      force(ns.drop("websites"))
+    // A/B stripBoilerplate (warm both once, then timed)
+    time("strip_new_warm") {
+      force(CodeOps.stripBoilerplate(gated, "id", "content", 20L))
     }
-    time("ns_gen_websites_only") {
-      force(ns.select(col("row_id"), col("websites")))
+    time("strip_old_warm") { force(stripOld(gated, "id", "content", 20L)) }
+    time("strip_new") {
+      force(CodeOps.stripBoilerplate(gated, "id", "content", 20L))
     }
-    val plan = graft.compile.ModelValidator.planAuto(
-      graft.data.NorthStar.generate(spark, 500000L),
-      graft.data.NorthStar.personSpec, "row_id")
-    time("ns_plan_full") { force(plan) }
-    time("ns_plan_full_again") { force(plan) }
-    def fresh() = graft.compile.ModelValidator.planAuto(
-      graft.data.NorthStar.generate(spark, 500000L),
-      graft.data.NorthStar.personSpec, "row_id")
-    time("ns_fresh_planning_only") {
-      fresh().queryExecution.executedPlan
+    time("strip_old") { force(stripOld(gated, "id", "content", 20L)) }
+    time("strip_new2") {
+      force(CodeOps.stripBoilerplate(gated, "id", "content", 20L))
     }
-    time("ns_fresh_planning_only2") {
-      fresh().queryExecution.executedPlan
-    }
-    time("ns_fresh_force_1") { force(fresh()) }
-    time("ns_fresh_force_2") { force(fresh()) }
-    def freshT() = graft.compile.ModelValidator.planAuto(
-      graft.data.NorthStar.generate(spark, 500000L).localCheckpoint(false),
-      graft.data.NorthStar.personSpec, "row_id")
-    time("nsT_planning_only") { freshT().queryExecution.executedPlan }
-    time("nsT_planning_only2") { freshT().queryExecution.executedPlan }
-    time("nsT_force_1") { force(freshT()) }
-    time("nsT_force_2") { force(freshT()) }
-    time("nsT_force_3") { force(freshT()) }
+    time("strip_old2") { force(stripOld(gated, "id", "content", 20L)) }
+
+    // code-norm jaccard candidate volume with/without positional filter
+    val norm = CodeOps.nearDupNorm(gated)
+    import org.apache.spark.sql.expressions.Window
+    val sh0 = Dedup.shingleRows(norm, "id", "norm", 3).distinct()
+      .select(col("id"), TextOps.hash60(col("sh")).as("sh"))
+    val dfreq = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wId = Window.partitionBy("id")
+    val ranked = sh0.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(wId.orderBy(col("df"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(wId))
+      .select(col("id"), col("sh"), col("sz"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"ranked: ${ranked.count()}")
+    val ceilT = (lit(1L) * col("sz") + lit(1L)) / lit(2L)
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceilT.cast(LongType) + 1)
+      .select(col("id"), col("sh"), col("sz"), col("rk"))
+    val base = col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+      lit(1L) * col("x.sz") <= lit(2L) * col("y.sz") &&
+      lit(1L) * col("y.sz") <= lit(2L) * col("x.sz")
+    val ub = lit(1L) +
+      least(col("x.sz") - col("x.rk"), col("y.sz") - col("y.rk"))
+    println("cand rows no-pos: " + prefix.as("x").join(prefix.as("y"), base)
+      .count())
+    println("cand rows with-pos: " + prefix.as("x").join(prefix.as("y"),
+      base && lit(2L) * ub >= lit(1L) * (col("x.sz") + col("y.sz") - ub))
+      .count())
+    println("cand pairs no-pos: " + prefix.as("x").join(prefix.as("y"), base)
+      .select(col("x.id"), col("y.id")).distinct().count())
+    println("cand pairs with-pos: " + prefix.as("x").join(prefix.as("y"),
+      base && lit(2L) * ub >= lit(1L) * (col("x.sz") + col("y.sz") - ub))
+      .select(col("x.id"), col("y.id")).distinct().count())
     spark.stop()
   }
 }

@@ -447,41 +447,17 @@ object Compiler {
         // exact via the string grammar (decimal renders canonically)
         return compileFraction(input.cast(StringType), StringType, loc, s, mode)
       case StringType =>
-        val s1 = trim(input)
-        val matched = s1.rlike(FrRe)
-        def g(i: Int) = regexp_extract(s1, FrRe, i)
-        val sign = when(g(1) === "-", lit(-1L)).otherwise(lit(1L))
-        val intD = regexp_replace(g(2), "_", "")
-        val denD = regexp_replace(g(3), "_", "")
-        val decD = regexp_replace(g(4), "_", "")
-        val expD = regexp_replace(g(5), "_", "")
-        // Long-bounded arithmetic: significand digits + exponent must fit
-        // 18 decimal digits (documented engine deviation from bignum).
-        // Every digit-string is length-bounded BEFORE its ANSI cast so
-        // oversized input ('1e99999999999', a 19-digit significand or
-        // denominator) lands in fraction_parsing — dirty rows must emit a
-        // violation, never a SparkNumberFormatException that kills the job.
-        val expOk = expD.rlike("\\A(?:[+-]?[0-9]{1,9})?\\z")
-        val e = coalesce(when(expOk, nullif(expD, lit("")))
-          .cast(IntegerType), lit(0))
-        val digits = concat(intD, decD)
-        // value = sign * digits * 10^(e - len(decimals))
-        val combined = e - length(decD)
-        val scaleUp = greatest(combined, lit(0))
-        val scaleDn = greatest(-combined, lit(0))
-        val denOk = length(coalesce(nullif(denD, lit("")), lit("1"))) <= 18
-        val fits = expOk && length(digits) + scaleUp <= 18 &&
-          scaleDn <= 18 && denOk
-        def pow10(n: Column): Column =
-          concat(lit("1"), lit("0" * 18).substr(lit(1), n)).cast(LongType)
-        val baseNum = when(fits, nullif(digits, lit(""))).cast(LongType)
-        val num = sign * baseNum * pow10(scaleUp)
-        val den = when(g(3) =!= "",
-          when(denOk, nullif(denD, lit(""))).cast(LongType))
-          .otherwise(pow10(scaleDn))
-        val arr = FractionOps.reduce(num, den)
-        val okRow = input.isNotNull && matched && fits && arr.isNotNull
-        (when(okRow, fromArr(arr)), input.isNotNull && !okRow)
+        // ONE native expression for the whole string grammar + 18-digit
+        // bounds + reduce ([[graft.functions.FractionParse]] — identical
+        // regex, guard order, and Spark-trim semantics). The expression
+        // pipeline it replaces (rlike + 5 same-pattern regexp_extract +
+        // scaling arithmetic, re-copied per downstream reference) weighed
+        // thousands of Catalyst nodes; q_fraction's cost was measured to
+        // be ~100% optimizer time on that tree. Oversized input
+        // ('1e99999999999', 19-digit significand/denominator) still lands
+        // in fraction_parsing — null result, never a NumberFormatException.
+        val arr = FractionOps.parseString(input)
+        (fromArr(arr), input.isNotNull && arr.isNull)
       case st: StructType if st.fieldNames.sorted.toSeq == Seq("den", "num") =>
         val arr = FractionOps.reduce(input.getField("num").cast(LongType),
           input.getField("den").cast(LongType))
