@@ -7,7 +7,8 @@ import org.apache.spark.sql.types.LongType
 import graft.dedup.Dedup
 import graft.text.{CodeOps, TextOps}
 
-/** TEMPORARY profiling scratchpad for the r06 optimization round. */
+/** r06 profiling scratchpad: stage-by-stage splits of heavy operators
+ * (guide §1). Not part of any driver contract. */
 object ProfOpt {
   def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
   def time[A](tag: String)(f: => A): A = {

@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
-/** TEMPORARY: planning-vs-execution split for expression-tier queries. */
+/** r06 profiling scratchpad: planning-vs-execution split for
+ * expression-tier queries (guide §7.3). Not part of any driver contract. */
 object ProfOpt2 {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
