@@ -15,14 +15,24 @@ object ProfOpt2 {
       "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
       org.apache.logging.log4j.Level.OFF)
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q_fraction", "q_tuple_var", "ns_verdict", "q_complex", "x_color")) {
-      val warm = Bench.time(Bench.force(SparkEntry.queries(q)(spark, dir)))
-      val planOnly = Bench.time {
-        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+    val names = if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names) {
+      try {
+        // NOTE: building the DataFrame itself executes staged writes /
+        // iterative loops for some queries; planOnly still isolates the
+        // final Catalyst planning cost, which is the quantity of interest.
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(spark, dir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan
+        val tPlan = (System.nanoTime() - t1) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        println(f"PROF2 $q%-18s build=$tBuild%7.2f planOnly=$tPlan%7.2f")
+      } catch { case e: Throwable =>
+        println(s"PROF2 $q FAILED ${e.getMessage}")
       }
-      val t1 = Bench.time(Bench.force(SparkEntry.queries(q)(spark, dir)))
-      val t2 = Bench.time(Bench.force(SparkEntry.queries(q)(spark, dir)))
-      println(f"PROF2 $q%-14s warm=$warm%6.2f planOnly=$planOnly%6.2f timed=[$t1%6.2f,$t2%6.2f]")
     }
     spark.stop()
   }
